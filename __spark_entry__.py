@@ -1,38 +1,496 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 re-expressed
+Spark-first; ``oracle_sql()`` holds the DuckDB-runnable ANSI-SQL twin used by
+the driver's correctness gate (row-count + schema + order-insensitive
+value-hash at sf=0.01).
+
+Geo queries derive deterministic points from the `events` table via integer
+arithmetic (lon/lat in 0.05° steps over the country fixture's [0,45]² area) so
+the DuckDB oracle can reproduce the exact same inputs in pure SQL. Operators
+under test are the real engine kernels (broadcast PIP index, zxy/XZ2 cells,
+salted aggregation) — the oracle re-derives expected outputs independently
+(rectangle/half-plane predicates, unrolled XZ2 bit arithmetic).
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.functions.text import hashtags_col
+from ohsome_planet_spark.operators.skew import salted_count
+from ohsome_planet_spark.operators.spatial_join import build_index, with_countries
+from ohsome_planet_spark.operators.tiling import xz2_point_udf, zxy_cell_col
+from ohsome_planet_spark.sources.countries import fixture_features
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared derivation: deterministic points from events (identical in SQL)
+# ---------------------------------------------------------------------------
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 900) / 20.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 900) / 20.0).alias("lat"),
+    )
+
+
+_POINTS_SQL = (
+    "SELECT event_id, (event_id * 7919 % 900) / 20.0 AS lon, "
+    "(event_id * 104729 % 900) / 20.0 AS lat FROM events"
+)
+
+# fixture polygons as SQL containment predicates (boundary-inclusive,
+# hole-interior-exclusive — the engine's JTS-intersects semantics)
+_COUNTRY_PREDICATES = {
+    "AAA": "(lon BETWEEN 0 AND 10 AND lat BETWEEN 0 AND 20)",
+    "BBB": "(lon BETWEEN 10 AND 30 AND lat BETWEEN 0 AND 20)",
+    "CCC": (
+        "(lon BETWEEN 5 AND 8 AND lat BETWEEN 5 AND 8 "
+        "AND NOT (lon > 6 AND lon < 7 AND lat > 6 AND lat < 7))"
+    ),
+    "DDD": (
+        "((lon BETWEEN 0 AND 18 AND lat BETWEEN 20 AND 40) "
+        "OR (lon BETWEEN 30 AND 36 AND lat BETWEEN 25 AND 31))"
+    ),
+    "EEE": "(lon BETWEEN 15 AND 30 AND lat BETWEEN 10 AND 32)",
+    "FFF": (
+        "(lat BETWEEN 20 AND 40 AND lon >= 18 "
+        "AND lon <= 30 + (lat - 20.0) * (-6.0) / 20.0)"
+    ),
+}
+
+
+def _xz2_oracle_expr(g: int = 16) -> str:
+    """Unrolled XZ2 point code (level == g): Σ (bx_i + 2*by_i)*nElem_i + g.
+
+    bit_i(v) = floor(v * 2^(i+1)) % 2 for v ∈ [0,1) is exactly the quadrant
+    choice of the iterative midpoint subdivision (scaling by powers of two is
+    exact in IEEE doubles).
+    """
+    n_elem = [(4 ** (g - i) - 1) // 3 for i in range(g)]
+    terms = [str(g)]
+    for i in range(g):
+        p = 1 << (i + 1)
+        bx = f"(CAST(floor(((180.0 + lon) / 360.0) * {p}) AS BIGINT) % 2)"
+        by = f"(CAST(floor(((90.0 + lat) / 360.0) * {p}) AS BIGINT) % 2)"
+        terms.append(f"({bx} + 2 * {by}) * {n_elem[i]}")
+    return " + ".join(terms)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-agg coverage (SURVEY §2.4): grouped aggregation with exact decimal
+    sums (decimal → associative, so Spark/DuckDB agree bit-for-bit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_changeset_join_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 semantics (`util/Utils.java:50-67`): left join metadata with a
+    default record on miss (created_at=epoch0 analog, numChanges=-1)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust.select("c_custkey", "c_name", "c_acctbal")),
+        ev.user_id == cust.c_custkey,
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        F.coalesce("c_name", F.lit("__missing__")).alias("meta_name"),
+        F.coalesce(F.col("c_acctbal").cast("decimal(18,2)"), F.lit(-1).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("meta_balance"),
+    )
+
+
+def _q_validity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/W8 (`ContributionsAvroConverter.java:79-98`): valid_from/valid_to
+    with sentinel 2222-01-01, last_edit, latest/history status."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sentinel = F.lit("2222-01-01 00:00:00").cast("timestamp_ntz")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(F.lead("ts").over(w), sentinel).alias("valid_to"),
+        F.lag("ts").over(w).alias("last_edit"),
+        F.when(F.lead("ts").over(w).isNull(), F.lit("latest"))
+        .otherwise(F.lit("history"))
+        .alias("status"),
+    )
+
+
+def _q_version_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4 (`ContributionsAvroConverter.java:86-94`): minor-version
+    numbering within a major key + running edit counter."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w_type) - 1).alias("minor_version"),
+        F.row_number().over(w_all).alias("edits"),
+    )
+
+
+def _q_contrib_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 (`ContributionsAvroConverter.java:151-164`): classify each event vs
+    its predecessor: CREATION / TYPE (event_type changed) / VALUE (value
+    changed) / NOCHANGE."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    prev_value = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        F.when(prev_type.isNull(), F.lit("CREATION"))
+        .when(prev_type != F.col("event_type"), F.lit("TYPE"))
+        .when(prev_value != F.col("value"), F.lit("VALUE"))
+        .otherwise(F.lit("NOCHANGE"))
+        .alias("contrib_type"),
+    )
+
+
+def _q_consecutive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (`ContributionsAvroConverter.java:67-74`): collapse consecutive
+    rows with equal (user_id, event_type) keeping the last of each run."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        ev.withColumn("_next_type", nxt)
+        .where(F.col("_next_type").isNull() | (F.col("_next_type") != F.col("event_type")))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def _q_deleted_geom_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 (`ContributionsAvroConverter.java:106`, README.md:182): deleted
+    versions carry the previous non-null payload forward —
+    last(value, ignorenulls) over preceding rows."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.withColumn(
+        "v", F.when(F.col("event_type") == "click", None).otherwise(F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("carried_value"),
+    )
+
+
+def _q_pip_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5: broadcast PIP country join over the fixture polygons (hole,
+    multipolygon part, overlap, non-convex, boundary inclusion). One row per
+    (point, country) hit."""
+    pts = _points(spark, sf_dir)
+    idx = build_index(fixture_features(), grid_zoom=8)
+    joined = with_countries(pts, idx)
+    return joined.select("event_id", F.explode("countries").alias("country"))
+
+
+def _q_cell_assign_zxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiling: zxy quadkey z=12 as a pure JVM expression (no UDF)."""
+    pts = _points(spark, sf_dir)
+    return pts.select("event_id", zxy_cell_col(F.col("lon"), F.col("lat"), 12).alias("cell"))
+
+
+def _q_cell_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level local/global aggregation (north rule's mega-cell path):
+    count per zxy z=8 cell via salted partial + final combine."""
+    pts = _points(spark, sf_dir)
+    cells = pts.select(zxy_cell_col(F.col("lon"), F.col("lat"), 8).alias("cell"))
+    return salted_count(cells, ["cell"], out_col="n", salt_buckets=16)
+
+
+def _q_xz2_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 (`util/XZCode.java:30-88`, g=16): XZ2 code per point (Arrow UDF),
+    verified against independently-unrolled bit arithmetic in the oracle."""
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "event_id", xz2_point_udf(16)(F.col("lon"), F.col("lat")).alias("xz2_code")
+    )
+
+
+def _q_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 (`ChangesetHashtags.java:19-34`): URL-strip, #-extract, len≥2,
+    non-numeric, distinct, sorted — one row per (event, tag)."""
+    ev = _t(spark, sf_dir, "events")
+    text = F.concat(
+        F.lit("#"),
+        F.col("event_type"),
+        F.lit(" http://example.com/#skip "),
+        F.lit("#tag"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(" #"),
+        (F.col("user_id") % 100).cast("string"),
+        F.lit(" #x"),
+    )
+    tags = hashtags_col(text, F.lit(None).cast("string"))
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.explode(tags).alias("tag"))
+    )
+
+
+def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) groups, keep min doc_id as canonical."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality features: token count + punctuation count (integer
+    outputs → exact cross-engine comparison)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id%100==0),
+    computed with built-in higher-order array functions (JVM-side), ranked on
+    round(cos,4) with vec_id tiebreak so cross-engine float order agrees."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    to_dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), to_dbl("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), to_dbl("embedding").alias("cv"))
+    pairs = q.crossJoin(c).where(F.col("query_id") != F.col("cand_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, v: acc + v * v))
+    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, v: acc + v * v))
+    scored = pairs.select(
+        "query_id", "cand_id", F.round(dot / (nq * nc), 4).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "changeset_join_default": _q_changeset_join_default,
+        "validity_window": _q_validity_window,
+        "version_numbering": _q_version_numbering,
+        "contrib_type": _q_contrib_type,
+        "consecutive_dedup": _q_consecutive_dedup,
+        "deleted_geom_carry_forward": _q_deleted_geom_carry_forward,
+        "pip_countries": _q_pip_countries,
+        "cell_assign_zxy": _q_cell_assign_zxy,
+        "cell_counts_salted": _q_cell_counts_salted,
+        "xz2_points": _q_xz2_points,
+        "hashtags": _q_hashtags,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_quality": _q_doc_quality,
+        "embedding_topk": _q_embedding_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pip_union = " UNION ALL ".join(
+        f"SELECT event_id, '{cid}' AS country FROM pts WHERE {pred}"
+        for cid, pred in _COUNTRY_PREDICATES.items()
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "changeset_join_default": """
+            SELECT e.event_id,
+                   coalesce(c.c_name, '__missing__') AS meta_name,
+                   CAST(coalesce(CAST(c.c_acctbal AS DECIMAL(18,2)), CAST(-1 AS DECIMAL(18,2))) AS DOUBLE) AS meta_balance
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "validity_window": """
+            SELECT event_id, user_id,
+                   ts AS valid_from,
+                   coalesce(lead(ts) OVER w, TIMESTAMP '2222-01-01') AS valid_to,
+                   lag(ts) OVER w AS last_edit,
+                   CASE WHEN lead(ts) OVER w IS NULL THEN 'latest' ELSE 'history' END AS status
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "version_numbering": """
+            SELECT event_id, user_id,
+                   row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS minor_version,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS edits
+            FROM events
+        """,
+        "contrib_type": """
+            SELECT event_id,
+                   CASE WHEN prev_type IS NULL THEN 'CREATION'
+                        WHEN prev_type <> event_type THEN 'TYPE'
+                        WHEN prev_value <> value THEN 'VALUE'
+                        ELSE 'NOCHANGE' END AS contrib_type
+            FROM (
+              SELECT event_id, event_type, value,
+                     lag(event_type) OVER w AS prev_type,
+                     lag(value) OVER w AS prev_value
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+        """,
+        "consecutive_dedup": """
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+              FROM events
+            ) WHERE next_type IS NULL OR next_type <> event_type
+        """,
+        "deleted_geom_carry_forward": """
+            SELECT event_id,
+                   round(last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS carried_value
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+                  FROM events)
+        """,
+        "pip_countries": f"WITH pts AS ({_POINTS_SQL}) {pip_union}",
+        "cell_assign_zxy": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT event_id,
+                   12 * 288230376151711744 +
+                   greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 4096) AS BIGINT), 4095)) * 536870912 +
+                   greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 4096) AS BIGINT), 4095)) AS cell
+            FROM pts
+        """,
+        "cell_counts_salted": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT 8 * 288230376151711744 +
+                   greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT), 255)) * 536870912 +
+                   greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 256) AS BIGINT), 255)) AS cell,
+                   count(*) AS n
+            FROM pts GROUP BY 1
+        """,
+        "xz2_points": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT event_id, {_xz2_oracle_expr(16)} AS xz2_code FROM pts
+        """,
+        "hashtags": r"""
+            SELECT event_id, unnest(tags) AS tag FROM (
+              SELECT event_id,
+                     list_sort(list_distinct(list_filter(
+                       regexp_extract_all(
+                         regexp_replace(
+                           '#' || event_type || ' http://example.com/#skip ' ||
+                           '#tag' || CAST(user_id % 7 AS VARCHAR) || ' #' ||
+                           CAST(user_id % 100 AS VARCHAR) || ' #x',
+                           'http\S*', '', 'g'),
+                         '#([^ -⁯⸀-⹿\n\x0B\f\r\x85   \t  ᠎  　\\''!"#$%()*,./:;<=>?@\[\]^`{|}~]+)', 1),
+                       t -> len(t) >= 2 AND NOT regexp_matches(t, '^\d+$')))) AS tags
+              FROM events
+            )
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_actual,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+                 c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+                 scored AS (
+                   SELECT query_id, cand_id,
+                          round(list_dot_product(qv, cv) /
+                                (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+                   FROM q, c WHERE query_id <> cand_id
+                 )
+            SELECT query_id, cand_id, cos_sim, rank FROM (
+              SELECT query_id, cand_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full enrichment over a generated pages table sized off the
+    sf0.001 testdata — extract → geocode → PIP countries → cells → per-cell
+    per-country counts (salted two-level agg)."""
+    sf_dir = "/root/testdata/sf0.001"
+    # anchor on the provided tables per the driver contract
+    n_pages = _t(spark, sf_dir, "events").count()
+    from ohsome_planet_spark.plans.enrich import enrich_cell_counts
+    from ohsome_planet_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, int(n_pages))
+    return enrich_cell_counts(spark, pages, salted=True)

@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "pages_geocoded_tiled_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...}
+
+The primary metric mirrors BASELINE.json: pages geocoded+tiled/sec through
+the full enrichment pipeline (extract → geocode → PIP country join → H3-class
+/S2/zxy/XZ2 cells → salted per-cell counts). Pages are generated
+deterministically at a size proportional to the SF directory's events table
+(pages = 10 × events rows), standing in for the SF sample of the notional
+10^12-doc Iceberg table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from ohsome_planet_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from ohsome_planet_spark.plans.enrich import enrich_cell_counts
+    from ohsome_planet_spark.sources.pages import pages_df
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_pages = n_events * 10
+
+    # warm up the JVM + python workers once (excluded from timings)
+    enrich_cell_counts(spark, pages_df(spark, 1000), salted=True).count()
+
+    t0 = time.time()
+    pages = pages_df(spark, n_pages)
+    result_rows = enrich_cell_counts(spark, pages, salted=True).count()
+    flagship_sec = time.time() - t0
+    pages_per_sec = n_pages / flagship_sec
+
+    headline = [
+        "pip_countries",
+        "cell_assign_zxy",
+        "cell_counts_salted",
+        "xz2_points",
+        "pricing_summary",
+        "validity_window",
+        "doc_exact_dedup",
+        "embedding_topk",
+        "hashtags",
+    ]
+    qtimes: dict[str, float] = {"enrich_pipeline": round(flagship_sec, 3)}
+    qs = entrymod.queries()
+    for name in headline:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "pages_geocoded_tiled_per_sec",
+                "value": round(pages_per_sec, 2),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "pages": n_pages,
+                "result_rows": result_rows,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Tiling: cell-index assignment columns + per-cell aggregation.
+
+Cell assignment runs as Arrow-batched pandas UDFs over the NumPy kernels in
+functions/cells.py (hex/H3 res 7–10, S2, XZ2) — the Spark analog of the
+reference's per-contribution XZ2 column (`ContributionsAvroConverter.java:127`).
+The zxy quadkey is computed as a **pure JVM column expression** (no UDF at
+all) — it is the partition/oracle-friendly cell and the fastest path.
+
+Per-cell counting supports the salted two-level local/global aggregation the
+north rule requires for mega-cells (see operators/skew.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions import cells as C
+
+
+def zxy_cell_col(lon: Column, lat: Column, z: int) -> Column:
+    """(z<<58)|(ix<<29)|iy as a JVM expression — whole-stage-codegen path.
+
+    Clamp matches functions.cells.zxy_cell so the UDF and expression agree.
+    """
+    n = F.lit(1 << z)
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    iy = F.floor((F.lit(90.0) - lat) / F.lit(180.0) * n)
+    ix = F.greatest(F.lit(0), F.least(ix, n - 1)).cast("long")
+    iy = F.greatest(F.lit(0), F.least(iy, n - 1)).cast("long")
+    return (F.lit(z).cast("long") * F.lit(1 << 58).cast("long") + F.shiftleft(ix, 29) + iy).cast(
+        "long"
+    )
+
+
+def _series_udf(fn):
+    @F.pandas_udf(LongType())
+    def udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lon_v = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        lat_v = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = ~(np.isnan(lon_v) | np.isnan(lat_v))
+        out = np.zeros(len(lon_v), dtype=np.int64)
+        if ok.any():
+            out[ok] = fn(lat_v[ok], lon_v[ok])
+        res = pd.Series(out)
+        res[~ok] = None
+        return res
+
+    return udf
+
+
+def hex_cell_udf(res: int):
+    return _series_udf(lambda lat, lon: C.hex_cell(lat, lon, res))
+
+
+def s2_cell_udf(level: int):
+    return _series_udf(lambda lat, lon: C.s2_cell_id(lat, lon, level))
+
+
+def xz2_point_udf(g: int = 16):
+    return _series_udf(lambda lat, lon: C.xz2_point(lon, lat, g))
+
+
+def with_cells(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    hex_resolutions: tuple[int, ...] = (7, 8, 9, 10),
+    s2_level: int | None = 12,
+    zxy_zoom: int | None = 12,
+    xz2_g: int | None = 16,
+) -> DataFrame:
+    """Attach cell-index columns: hex_r{R}, s2_cell, zxy_cell, xz2_code."""
+    lon = F.col(lon_col)
+    lat = F.col(lat_col)
+    for r in hex_resolutions:
+        df = df.withColumn(f"hex_r{r}", hex_cell_udf(r)(lon, lat))
+    if s2_level is not None:
+        df = df.withColumn("s2_cell", s2_cell_udf(s2_level)(lon, lat))
+    if zxy_zoom is not None:
+        df = df.withColumn("zxy_cell", zxy_cell_col(lon, lat, zxy_zoom))
+    if xz2_g is not None:
+        df = df.withColumn("xz2_code", xz2_point_udf(xz2_g)(lon, lat))
+    return df
+
+
+def cell_counts(df: DataFrame, cell_col: str, salted: bool = False, salt_buckets: int = 32) -> DataFrame:
+    """count(*) per cell. With salted=True, uses explicit two-level
+    local/global aggregation (operators/skew.py) for mega-cell skew."""
+    if not salted:
+        return df.groupBy(cell_col).agg(F.count("*").alias("n"))
+    from .skew import salted_count
+
+    return salted_count(df, [cell_col], out_col="n", salt_buckets=salt_buckets)

@@ -1,0 +1,89 @@
+"""The flagship enrichment pipeline: pages → geocoded, tiled contributions.
+
+End-to-end Spark plan mirroring the reference's main job
+(`Contributions2Parquet.call`, `/root/reference/ohsome-contributions/src/main/
+java/org/heigit/ohsome/contributions/Contributions2Parquet.java:93-146`) over
+the graft's input shape:
+
+    pages(url, warc_ts, html, text, lang)
+      → extract entity mentions        (JVM regexp + posexplode)
+      → geocode                        (broadcast join to gazetteer)
+      → country PIP join               (broadcast polygon index, Arrow UDF)
+      → cell assignment                (hex r7–10, S2, zxy, XZ2)
+      → WKB point geometry             (Arrow UDF)
+      → per-cell aggregation           (salted two-level for mega-cells)
+
+Every stage is a DataFrame transformation: Catalyst prunes `html` out of the
+scan (we never touch it after generation), pushes filters, and broadcasts the
+small sides. The only Python is inside Arrow-batched kernels.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from ..functions.wkb import wkb_dumps
+from ..operators.geocode import extract_mentions, geocode_mentions
+from ..operators.spatial_join import build_index, with_countries
+from ..operators.tiling import with_cells
+from ..sources.countries import fixture_features
+from ..sources.gazetteer import gazetteer_df
+
+
+@F.pandas_udf(BinaryType())
+def point_wkb_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """WKB point (JTS-default big-endian 2D); empty point for invalid coords
+    (the reference stores an empty geometry for invalid nodes —
+    `ContributionGeometry.java:185-191`)."""
+    out = []
+    for x, y in zip(lon, lat):
+        if x is None or y is None or pd.isna(x) or pd.isna(y) or not (
+            -180.0 <= x <= 180.0 and -90.0 <= y <= 90.0
+        ):
+            out.append(wkb_dumps(("Point", None)))
+        else:
+            out.append(wkb_dumps(("Point", (float(x), float(y)))))
+    return pd.Series(out)
+
+
+def enrich_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    features=None,
+    gazetteer: DataFrame | None = None,
+    hex_resolutions: tuple[int, ...] = (7, 8, 9, 10),
+    with_geometry: bool = True,
+) -> DataFrame:
+    """pages → one enriched row per entity mention."""
+    features = features if features is not None else fixture_features()
+    gazetteer = gazetteer if gazetteer is not None else gazetteer_df(spark)
+
+    mentions = extract_mentions(pages)
+    geocoded = geocode_mentions(mentions, gazetteer)
+    index = build_index(features)
+    enriched = with_countries(geocoded, index)
+    enriched = with_cells(enriched, hex_resolutions=hex_resolutions)
+    if with_geometry:
+        enriched = enriched.withColumn("geometry", point_wkb_udf(F.col("lon"), F.col("lat")))
+    return enriched
+
+
+def enrich_cell_counts(
+    spark: SparkSession,
+    pages: DataFrame,
+    cell_col: str = "zxy_cell",
+    salted: bool = True,
+) -> DataFrame:
+    """The headline aggregate: mentions per cell per country."""
+    enriched = enrich_pages(spark, pages, with_geometry=False)
+    exploded = enriched.where(F.col("coord_valid")).select(
+        cell_col, F.explode_outer("countries").alias("country")
+    )
+    from ..operators.skew import salted_count
+
+    if salted:
+        return salted_count(exploded, [cell_col, "country"], out_col="n")
+    return exploded.groupBy(cell_col, "country").agg(F.count("*").alias("n"))

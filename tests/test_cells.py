@@ -1,0 +1,191 @@
+"""Cell-index kernels: XZ2 parity arithmetic, zxy, S2 consistency, hex."""
+
+import math
+
+import numpy as np
+import pytest
+
+from ohsome_planet_spark.functions import cells as C
+
+
+def xz2_scalar_reference(xmin, ymin, xmax, ymax, g=16):
+    """Straight-line scalar reimplementation of the Böhm XZ2 arithmetic
+    (mirrors /root/reference/.../util/XZCode.java:30-88) used as a golden
+    for the vectorized kernel."""
+    n_elem = [(4 ** (g - i) - 1) // 3 for i in range(g)]
+    xmin = (180.0 + xmin) / 360.0
+    ymin = (90.0 + ymin) / 360.0
+    xmax = (180.0 + xmax) / 360.0
+    ymax = (90.0 + ymax) / 360.0
+    extent = max(xmax - xmin, ymax - ymin)
+    l1 = g if extent <= 0 else int(math.floor(math.log(extent) / math.log(0.5)))
+    length = g
+    if l1 < g:
+        length = l1 + 1
+        w2 = 0.5**length
+        def pred(mn, mx, w):
+            return mx <= (math.floor(mn / w) * w) + 2 * w
+        if not pred(xmin, xmax, w2) or not pred(ymin, ymax, w2):
+            length = l1
+    x, y = xmin, ymin
+    cxmin, cxmax, cymin, cymax = 0.0, 1.0, 0.0, 1.0
+    cs = 0
+    for i in range(length):
+        q = 0
+        xc = cxmin + (cxmax - cxmin) / 2
+        if x >= xc:
+            q += 1
+            cxmin = xc
+        else:
+            cxmax = xc
+        yc = cymin + (cymax - cymin) / 2
+        if y >= yc:
+            q += 2
+            cymin = yc
+        else:
+            cymax = yc
+        cs += q * n_elem[i] + 1
+    return length, cs
+
+
+@pytest.mark.parametrize(
+    "box",
+    [
+        (0.0, 0.0, 0.0, 0.0),
+        (7.61, 12.31, 7.61, 12.31),
+        (-180.0, -90.0, 180.0, 90.0),
+        (-180.0, -90.0, -180.0, -90.0),
+        (179.999, 89.999, 179.999, 89.999),
+        (10.0, 10.0, 10.1, 10.3),
+        (-120.5, 33.2, -120.4, 33.25),
+        (5.0, 5.0, 8.0, 8.0),
+    ],
+)
+def test_xz2_matches_scalar_reference(box):
+    exp_level, exp_code = xz2_scalar_reference(*box)
+    level, code = C.xz2_code(
+        np.array([box[0]]), np.array([box[1]]), np.array([box[2]]), np.array([box[3]])
+    )
+    assert int(level[0]) == exp_level
+    assert int(code[0]) == exp_code
+
+
+def test_xz2_randomized_against_scalar():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 179, 200)
+    lat = rng.uniform(-90, 89, 200)
+    dlon = rng.uniform(0, 1.0, 200)
+    dlat = rng.uniform(0, 1.0, 200)
+    levels, codes = C.xz2_code(lon, lat, lon + dlon, lat + dlat)
+    for i in range(200):
+        el, ec = xz2_scalar_reference(lon[i], lat[i], lon[i] + dlon[i], lat[i] + dlat[i])
+        assert (int(levels[i]), int(codes[i])) == (el, ec), i
+
+
+def test_xz2_point_level_is_g():
+    levels, _ = C.xz2_code(np.array([7.0]), np.array([3.0]), np.array([7.0]), np.array([3.0]))
+    assert int(levels[0]) == 16
+
+
+def test_zxy_roundtrip_and_bounds():
+    lon = np.array([-180.0, 0.0, 7.61, 179.99, -0.0001])
+    lat = np.array([-90.0, 0.0, 12.31, 89.99, 0.0001])
+    for z in (4, 8, 12):
+        cell = C.zxy_cell(lon, lat, z)
+        zz, ix, iy = C.zxy_decode(cell)
+        assert (zz == z).all()
+        lon_min, lat_min, lon_max, lat_max = C.zxy_cell_bounds(cell)
+        assert (lon >= lon_min).all() and (lon <= lon_max).all()
+        assert (lat >= lat_min).all() and (lat <= lat_max).all()
+
+
+def test_zxy_parent_contains_child():
+    lon = np.random.default_rng(3).uniform(-180, 180, 100)
+    lat = np.random.default_rng(4).uniform(-90, 90, 100)
+    child = C.zxy_cell(lon, lat, 12)
+    parent = C.zxy_parent(child, 8)
+    direct = C.zxy_cell(lon, lat, 8)
+    assert (parent == direct).all()
+
+
+def test_zxy_neighbors_count_and_adjacency():
+    cell = int(C.zxy_cell(np.array([7.0]), np.array([3.0]), 8)[0])
+    nbrs = C.zxy_neighbors(cell)
+    assert len(nbrs) == 8
+    z, ix, iy = C.zxy_decode(np.array([cell]))
+    for nb in nbrs:
+        _, jx, jy = C.zxy_decode(np.array([nb]))
+        assert max(abs(int(jx[0]) - int(ix[0])) % ((1 << 8) - 2), abs(int(jy[0]) - int(iy[0]))) <= 1
+
+
+class TestS2:
+    def test_leaf_id_is_odd_and_valid_face(self):
+        lat = np.array([0.0, 45.0, -45.0, 89.9, -89.9, 12.31])
+        lon = np.array([0.0, 90.0, -90.0, 179.9, -179.9, 7.61])
+        leaf = C.s2_cell_id(lat, lon, 30).view(np.uint64)
+        assert (leaf % 2 == 1).all()
+        faces = leaf >> np.uint64(61)
+        assert (faces <= 5).all()
+
+    def test_face_centers(self):
+        # lat/lng (0,0) → +x axis → face 0; (0,90) → +y → face 1; (90,0) → +z → face 2
+        # (0,180) → -x → face 3; (0,-90) → -y → face 4; (-90,0) → -z → face 5
+        pts = [(0, 0, 0), (0, 90, 1), (90, 0, 2), (0, 180, 3), (0, -90, 4), (-90, 0, 5)]
+        for lat, lon, face in pts:
+            cid = C.s2_cell_id(np.array([float(lat)]), np.array([float(lon)]), 30)
+            got = int(cid.view(np.uint64)[0]) >> 61
+            assert got == face, (lat, lon, got, face)
+
+    def test_parent_hierarchy(self):
+        rng = np.random.default_rng(11)
+        lat = rng.uniform(-89, 89, 500)
+        lon = rng.uniform(-180, 180, 500)
+        c12 = C.s2_cell_id(lat, lon, 12)
+        c8_direct = C.s2_cell_id(lat, lon, 8)
+        c8_parent = C.s2_parent(c12, 8)
+        assert (c8_direct == c8_parent).all()
+        assert (C.s2_level(c12) == 12).all()
+        assert (C.s2_level(c8_direct) == 8).all()
+
+    def test_nearby_points_share_coarse_cell(self):
+        lat = np.array([12.31, 12.3100001])
+        lon = np.array([7.61, 7.6100001])
+        c = C.s2_cell_id(lat, lon, 10)
+        assert c[0] == c[1]
+
+    def test_distant_points_differ(self):
+        lat = np.array([12.31, -33.0])
+        lon = np.array([7.61, 151.0])
+        c = C.s2_cell_id(lat, lon, 4)
+        assert c[0] != c[1]
+
+
+class TestHex:
+    def test_roundtrip_center_in_same_cell(self):
+        rng = np.random.default_rng(5)
+        lat = rng.uniform(-60, 60, 300)
+        lon = rng.uniform(-179, 179, 300)
+        for res in (7, 8, 9, 10):
+            cell = C.hex_cell(lat, lon, res)
+            clat, clon = C.hex_center(cell)
+            again = C.hex_cell(clat, clon, res)
+            assert (cell == again).all(), res
+
+    def test_resolution_nesting_monotone(self):
+        # finer resolution → strictly more distinct cells on a spread sample
+        rng = np.random.default_rng(6)
+        lat = rng.uniform(-60, 60, 2000)
+        lon = rng.uniform(-179, 179, 2000)
+        counts = [len(np.unique(C.hex_cell(lat, lon, r))) for r in (7, 8, 9, 10)]
+        assert counts == sorted(counts)
+
+    def test_ring1_six_neighbors(self):
+        cell = int(C.hex_cell(np.array([12.31]), np.array([7.61]), 8)[0])
+        nbrs = C.hex_ring1(cell)
+        assert len(set(nbrs)) == 6
+        assert cell not in nbrs
+
+    def test_res_encoded(self):
+        cell = C.hex_cell(np.array([12.31]), np.array([7.61]), 9)
+        res, _, _ = C.hex_decode(cell)
+        assert int(res[0]) == 9

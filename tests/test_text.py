@@ -1,0 +1,59 @@
+"""Text kernels: hashtag reference parity, entity extraction, langid."""
+
+from ohsome_planet_spark.functions.text import (
+    extract_entities_py,
+    hashtags_py,
+    lang_id_py,
+    doc_fingerprint_py,
+)
+
+
+class TestHashtags:
+    """Golden cases mirror ChangesetHashtags semantics
+    (/root/reference/osm-changesets/.../ChangesetHashtags.java:19-34)."""
+
+    def test_basic(self):
+        assert hashtags_py(None, "mapping #hotosm-task #MissingMaps today") == [
+            "MissingMaps",
+            "hotosm-task",
+        ]
+
+    def test_urls_stripped(self):
+        assert hashtags_py(None, "see http://example.com/#anchor and #real") == ["real"]
+
+    def test_short_and_numeric_dropped(self):
+        assert hashtags_py(None, "#a #12 #ab #1x") == ["1x", "ab"]
+
+    def test_both_fields_distinct_sorted(self):
+        assert hashtags_py("#zeta #alpha", "#alpha #beta") == ["alpha", "beta", "zeta"]
+
+    def test_separators_terminate(self):
+        assert hashtags_py(None, "#tag,next #tag2(x) #tag3;y") == ["tag2", "tag3", "tag"] or True
+        got = hashtags_py(None, "#tag,next #tag2(x) #tag3;y")
+        assert got == ["tag", "tag2", "tag3"]
+
+    def test_none_fields(self):
+        assert hashtags_py(None, None) == []
+
+
+def test_extract_entities():
+    assert extract_entities_py("x @@Alpha_City@@ y @@Beta_Metro@@") == [
+        "Alpha_City",
+        "Beta_Metro",
+    ]
+    assert extract_entities_py("no mentions") == []
+
+
+def test_lang_id():
+    assert lang_id_py("hello world") == "en"
+    assert lang_id_py("straße über") == "de"
+    assert lang_id_py("日本語ではなく中文") == "zh"
+    assert lang_id_py("привет") == "ru"
+
+
+def test_fingerprint_deterministic():
+    a = doc_fingerprint_py("some document text " * 20)
+    b = doc_fingerprint_py("some document text " * 20)
+    c = doc_fingerprint_py("different document " * 20)
+    assert a == b
+    assert a != c
