@@ -172,3 +172,103 @@ class PolygonIndex:
                 for idx in sel[hit]:
                     out_sets[idx].add(self.ids[pi])
         return [sorted(s) for s in out_sets]
+
+    def join_geom(self, kind: str, data) -> list[str]:
+        """Sorted id set for one geometry (JTS `intersects` analog, J4).
+
+        Point → PIP; LineString/Polygon → intersects = any geometry vertex in
+        the part, OR any part-shell vertex in the geometry (polygon only), OR
+        any edge crossing. Mirrors the exact-test fallback of
+        `SpatialIndexJoiner.join:32-43`.
+        """
+        from .geometry_np import points_in_polygon
+
+        if data is None:
+            return []
+        if kind == "Point":
+            return self.join_points(np.asarray([data[0]]), np.asarray([data[1]]))[0]
+        if kind == "LineString":
+            coords = np.asarray(data, np.float64)
+            rings = [coords]
+            closed = False
+        elif kind == "Polygon":
+            rings = [np.asarray(r, np.float64) for r in data]
+            coords = rings[0]
+            closed = True
+        else:
+            raise ValueError(kind)
+        gx0, gy0 = coords[:, 0].min(), coords[:, 1].min()
+        gx1, gy1 = coords[:, 0].max(), coords[:, 1].max()
+        hits: set[str] = set()
+        for pi in range(len(self.ids)):
+            b = self.boxes[pi]
+            if gx1 < b[0] or gx0 > b[2] or gy1 < b[1] or gy0 > b[3]:
+                continue
+            part = self.rings[pi]
+            # any geometry vertex inside the part
+            allv = np.vstack(rings)
+            if points_in_polygon(allv[:, 0], allv[:, 1], part).any():
+                hits.add(self.ids[pi])
+                continue
+            # part shell vertex inside the (closed) geometry
+            if closed:
+                sx, sy = part[0]
+                inside = points_in_polygon(
+                    np.asarray(sx), np.asarray(sy),
+                    [(r[:, 0], r[:, 1]) for r in rings],
+                )
+                if inside.any():
+                    hits.add(self.ids[pi])
+                    continue
+            # edge crossings
+            if self._edges_cross(rings, part):
+                hits.add(self.ids[pi])
+        return sorted(hits)
+
+    @staticmethod
+    def _edges_cross(rings: list[np.ndarray], part_rings) -> bool:
+        for arr in rings:
+            ax1, ay1 = arr[:-1, 0], arr[:-1, 1]
+            ax2, ay2 = arr[1:, 0], arr[1:, 1]
+            for rx, ry in part_rings:
+                bx1, by1 = rx[:-1], ry[:-1]
+                bx2, by2 = rx[1:], ry[1:]
+                # vectorized proper-crossing test over the (A,B) edge grid
+                d1 = (ax2[:, None] - ax1[:, None]) * (by1[None, :] - ay1[:, None]) - (
+                    ay2[:, None] - ay1[:, None]
+                ) * (bx1[None, :] - ax1[:, None])
+                d2 = (ax2[:, None] - ax1[:, None]) * (by2[None, :] - ay1[:, None]) - (
+                    ay2[:, None] - ay1[:, None]
+                ) * (bx2[None, :] - ax1[:, None])
+                d3 = (bx2[None, :] - bx1[None, :]) * (ay1[:, None] - by1[None, :]) - (
+                    by2[None, :] - by1[None, :]
+                ) * (ax1[:, None] - bx1[None, :])
+                d4 = (bx2[None, :] - bx1[None, :]) * (ay2[:, None] - by1[None, :]) - (
+                    by2[None, :] - by1[None, :]
+                ) * (ax2[:, None] - bx1[None, :])
+                cross = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+                if cross.any():
+                    return True
+                touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
+                if touch.any():
+                    # conservative exact-touch check on flagged pairs
+                    ii, jj = np.nonzero(touch)
+                    from .geometry_np import points_on_segments
+
+                    for i, j in zip(ii[:64], jj[:64]):
+                        if (
+                            points_on_segments(
+                                np.asarray([bx1[j]]), np.asarray([by1[j]]),
+                                ax1[i : i + 1], ay1[i : i + 1], ax2[i : i + 1], ay2[i : i + 1],
+                            )[0]
+                            or points_on_segments(
+                                np.asarray([bx2[j]]), np.asarray([by2[j]]),
+                                ax1[i : i + 1], ay1[i : i + 1], ax2[i : i + 1], ay2[i : i + 1],
+                            )[0]
+                            or points_on_segments(
+                                np.asarray([ax1[i]]), np.asarray([ay1[i]]),
+                                bx1[j : j + 1], by1[j : j + 1], bx2[j : j + 1], by2[j : j + 1],
+                            )[0]
+                        ):
+                            return True
+        return False

@@ -1,0 +1,439 @@
+"""Temporal history semantics: minor-version merge + contribution view.
+
+The one genuinely custom operator of the reference (SURVEY §2.3 J6/J7,
+§2.5 W1–W9): for each parent element (way), merge its major versions with its
+members' edit histories into a stream of contributions — one row per major
+version plus one *minor version* per group of member edits sharing a
+changeset between two majors — then derive the output columns of the
+reference's converter.
+
+Semantics parity (all behaviors below are reproduced exactly, including the
+reference's quirks):
+
+- `ContributionsEntity` (`/root/reference/ohsome-contributions/src/main/java/
+  org/heigit/ohsome/contributions/contrib/ContributionsEntity.java:82-150`):
+  * member as-of snapshot at a major version consumes edits with
+    ts ≤ major.ts OR changeset == major.changeset (`initMembers:89-93`);
+  * between majors, a priority queue over member streams ordered by
+    (ts, changeset) groups consecutive same-changeset edits into one minor
+    version stamped with the ts of the LAST consumed edit (`computeNext:
+    124-133`);
+  * member iterators persist across major versions (the `oshContributions`
+    cache) — consumption is never rewound;
+  * missing members behave as empty histories (`EmptyContributions`).
+- `ContributionsAvroConverter` (`ContributionsAvroConverter.java:57-176`):
+  * same-(version, changeset) runs collapse, keeping the LAST row (`:67-74`)
+    — but valid_to/last_edit come from the RAW neighbors and minor_version
+    counts RAW predecessors of the same version;
+  * minorVersion resets on version change else increments (`:86-90`) — note
+    a collapsed first run yields minor_version ≥ 1 by design;
+  * deleted rows reuse the previous emitted geometry (`:106`);
+  * area/length deltas are vs the previous EMITTED row (`:143-148`);
+  * contrib_type: DELETION | CREATION | TAG/GEOMETRY combos — faithfully
+    including the reference's inverted TAG test (`:156-158` adds "TAG" when
+    tags did NOT change: `filter(not(equals)).isEmpty()`);
+  * status: deleted / history / latest, overridden by "invalid" when the
+    geometry is empty (`:79-84,139-140`);
+  * empty geometry ⇒ xz(-1, 0) (`:126-127`).
+
+Spark shape: `ways.groupBy(id)` cogrouped with the ways' member-node
+histories (`explode(refs)` ⋈ nodes shuffle) → `applyInPandas` — the shuffle
+replaces the reference's RocksDB minor store, the per-group kernel replaces
+its hand-fused iterator pipeline. Groups are single elements' histories
+(tiny); the fan-out across elements is Spark's parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geodesy as gd
+from ..functions import geometry_np as gnp
+from ..functions.cells import xz2_code
+from ..functions.waygeom import way_geometry
+from ..functions.wkb import wkb_dumps
+
+MAX_TS = pd.Timestamp("2262-01-01")  # practical +inf inside pandas range
+VALID_TO_SENTINEL = pd.Timestamp("2222-01-01")
+
+CONTRIB_SCHEMA = (
+    "osm_type string, osm_id long, osm_version int, osm_minor_version int, "
+    "osm_edits int, osm_last_edit timestamp_ntz, valid_from timestamp_ntz, "
+    "valid_to timestamp_ntz, user_id long, user string, changeset long, "
+    "tags map<string,string>, tags_before map<string,string>, "
+    "status string, contrib_type string, geometry_type string, "
+    "geometry binary, xmin double, ymin double, xmax double, ymax double, "
+    "centroid_x double, centroid_y double, xz_level int, xz_code long, "
+    "countries array<string>, area double, area_delta double, "
+    "length double, length_delta double, refs array<long>"
+)
+
+
+class _Hist:
+    """Member edit stream with prev/peek/next cursor (Contributions analog)."""
+
+    __slots__ = ("rows", "pos")
+
+    def __init__(self, rows: list):
+        self.rows = rows  # list of dict-like with ts, changeset, ...
+        self.pos = -1
+
+    def has_next(self) -> bool:
+        return self.pos + 1 < len(self.rows)
+
+    def peek(self):
+        return self.rows[self.pos + 1]
+
+    def next(self):
+        self.pos += 1
+        return self.rows[self.pos]
+
+    def prev(self):
+        return self.rows[self.pos] if self.pos >= 0 else None
+
+    def head_key(self):
+        if not self.has_next():
+            return (MAX_TS, np.iinfo(np.int64).max)
+        p = self.peek()
+        return (p["ts"], p["changeset"])
+
+
+def merge_contributions(majors: list[dict], member_hists: dict[int, _Hist]) -> list[dict]:
+    """Raw contribution stream for one element (pre-converter).
+
+    majors: sorted version dicts with ts/changeset/user_id/user/visible/tags/refs.
+    Returns dicts: ts, changeset, user_id, user, version, visible, tags, refs,
+    members (list of member snapshot dicts or None).
+    """
+    out: list[dict] = []
+    empty = _Hist([])
+    i = 0
+    while i < len(majors):
+        major = majors[i]
+        ts = major["ts"]
+        cs = major["changeset"]
+        uid = major["user_id"]
+        user = major["user"]
+        refs = major["refs"]
+        active: dict[int, _Hist] = {}
+        for ref in refs:
+            h = active.get(ref)
+            if h is None:
+                h = member_hists.get(ref, empty)
+                active[ref] = h
+            while h.has_next() and (h.peek()["ts"] <= ts or h.peek()["changeset"] == cs):
+                h.next()
+        members = [active[r].prev() for r in refs]
+        queue = list({id(h): h for h in active.values()}.values())
+        next_major_ts = majors[i + 1]["ts"] if i + 1 < len(majors) else MAX_TS
+
+        while True:
+            out.append(
+                {
+                    "ts": ts,
+                    "changeset": cs,
+                    "user_id": uid,
+                    "user": user,
+                    "version": major["version"],
+                    "visible": major["visible"],
+                    "tags": major["tags"],
+                    "refs": refs,
+                    "members": list(members),
+                }
+            )
+            head = min(queue, key=_Hist.head_key) if queue else None
+            if head is not None and head.has_next():
+                p = head.peek()
+                ts, cs, uid, user = p["ts"], p["changeset"], p["user_id"], p["user"]
+            else:
+                ts, cs, uid, user = MAX_TS, np.iinfo(np.int64).max, -1, ""
+            # consume all member edits of this changeset before the next major
+            while queue:
+                head = min(queue, key=_Hist.head_key)
+                if not head.has_next():
+                    break
+                p = head.peek()
+                if p["changeset"] != cs or not (p["ts"] < next_major_ts):
+                    break
+                ts = p["ts"]
+                head.next()
+            if ts < next_major_ts:
+                # minor version: refresh member snapshots as-of (ts, cs)
+                for r in refs:
+                    h = active[r]
+                    while (
+                        h.has_next()
+                        and h.peek()["ts"] <= ts
+                        and h.peek()["changeset"] == cs
+                    ):
+                        h.next()
+                members = [active[r].prev() for r in refs]
+            else:
+                i += 1
+                break
+    return out
+
+
+def convert_contributions(
+    osm_type: str,
+    osm_id: int,
+    raw: list[dict],
+    country_join=None,
+) -> list[dict]:
+    """ContributionsAvroConverter analog: collapse same-(version, changeset)
+    runs, derive window columns, geometry, deltas, status, contrib_type."""
+    out: list[dict] = []
+    n = len(raw)
+    minor_version = 0
+    edits = 0
+    geometry_before = None  # (wkb_bytes, kind) of previous emitted
+    area_before = 0.0
+    length_before = 0.0
+    k = 0
+    prev_raw = None
+    while k < n:
+        c = raw[k]
+        # run collapse: skip while next has same (version, changeset)
+        while k + 1 < n and raw[k + 1]["version"] == c["version"] and raw[k + 1]["changeset"] == c["changeset"]:
+            prev_raw = c
+            k += 1
+            c = raw[k]
+        nxt = raw[k + 1] if k + 1 < n else None
+        before = prev_raw
+
+        if before is None or c["version"] != before["version"]:
+            minor_version = 0
+        else:
+            minor_version += 1
+        edits += 1
+
+        if c["visible"]:
+            members = c["members"]
+            lons = np.asarray(
+                [m["lon"] if m is not None else np.nan for m in members], np.float64
+            )
+            lats = np.asarray(
+                [m["lat"] if m is not None else np.nan for m in members], np.float64
+            )
+            vis = np.asarray(
+                [bool(m["visible"]) if m is not None else False for m in members], bool
+            )
+            refs = c["refs"]
+            geom = way_geometry(
+                lons, lats, vis, c["tags"],
+                refs[0] if refs else -1, refs[-1] if refs else -2, len(refs),
+            )
+            geom_t = (geom[0], geom[1], wkb_dumps(geom))
+        else:
+            geom_t = geometry_before  # carry forward (may be None)
+
+        status = "latest"
+        if not c["visible"]:
+            status = "deleted"
+        elif nxt is not None:
+            status = "history"
+
+        row: dict = {
+            "osm_type": osm_type,
+            "osm_id": osm_id,
+            "osm_version": int(c["version"]),
+            "osm_minor_version": int(minor_version),
+            "osm_edits": int(edits),
+            "osm_last_edit": before["ts"] if before is not None else None,
+            "valid_from": c["ts"],
+            "valid_to": nxt["ts"] if nxt is not None else VALID_TO_SENTINEL,
+            "user_id": int(c["user_id"]),
+            "user": c["user"],
+            "changeset": int(c["changeset"]),
+            "tags": c["tags"],
+            "tags_before": before["tags"] if before is not None else {},
+            "refs": list(c["refs"]),
+        }
+
+        area = 0.0
+        length = 0.0
+        if geom_t is not None and geom_t[1] is not None:
+            kind, data, wkb_bytes = geom_t
+            coords = _geom_coords(geom_t)
+            bx = gnp.bbox(coords[:, 0], coords[:, 1])
+            cx, cy = _geom_centroid(geom_t, coords)
+            lvl, code = xz2_code(
+                np.array([bx[0]]), np.array([bx[1]]), np.array([bx[2]]), np.array([bx[3]])
+            )
+            row.update(
+                geometry_type=kind,
+                geometry=wkb_bytes,
+                xmin=bx[0], ymin=bx[1], xmax=bx[2], ymax=bx[3],
+                centroid_x=cx, centroid_y=cy,
+                xz_level=int(lvl[0]), xz_code=int(code[0]),
+            )
+            area = _geom_area(geom_t)
+            length = _geom_length(geom_t)
+            row["countries"] = country_join(geom_t) if country_join else []
+        else:
+            row.update(
+                geometry_type=geom_t[0] if geom_t is not None else None,
+                geometry=None,
+                xmin=None, ymin=None, xmax=None, ymax=None,
+                centroid_x=None, centroid_y=None,
+                xz_level=-1, xz_code=0,
+                countries=[],
+            )
+            status = "invalid"
+
+        row["status"] = status
+        row["area"] = area
+        row["area_delta"] = area - area_before
+        row["length"] = length
+        row["length_delta"] = length - length_before
+        area_before = area
+        length_before = length
+
+        types = []
+        if not c["visible"]:
+            types.append("DELETION")
+        elif before is None or not before["visible"]:
+            types.append("CREATION")
+        else:
+            # reference quirk (`:156-158`): TAG is set when tags are UNCHANGED
+            if before["tags"] == c["tags"]:
+                types.append("TAG")
+            if not _geom_equal(geometry_before, geom_t):
+                types.append("GEOMETRY")
+        row["contrib_type"] = "_".join(types)
+
+        geometry_before = geom_t
+        out.append(row)
+        prev_raw = c
+        k += 1
+    return out
+
+
+def _geom_equal(a, b) -> bool:
+    """Objects.equals(geometryBefore, geometry) analog — WKB byte equality."""
+    if a is None or b is None:
+        return a is b
+    return a[2] == b[2]
+
+
+def _geom_coords(geom_t) -> np.ndarray:
+    kind, data, _ = geom_t
+    if kind == "Point":
+        return np.asarray([data], np.float64)
+    if kind == "LineString":
+        return np.asarray(data, np.float64)
+    if kind == "Polygon":
+        return np.vstack(data)
+    raise ValueError(kind)
+
+
+def _geom_centroid(geom_t, coords: np.ndarray):
+    kind, data, _ = geom_t
+    if kind == "Point":
+        return float(data[0]), float(data[1])
+    if kind == "LineString":
+        return gnp.centroid_linestring(coords[:, 0], coords[:, 1])
+    if kind == "Polygon":
+        return gnp.centroid_polygon([(r[:, 0], r[:, 1]) for r in data])
+    raise ValueError(kind)
+
+
+def _geom_area(geom_t) -> float:
+    kind, data, _ = geom_t
+    if kind != "Polygon":
+        return 0.0
+    outer = (data[0][:, 0], data[0][:, 1])
+    inners = [(r[:, 0], r[:, 1]) for r in data[1:]]
+    return gd.geodesic_polygon_area(outer, inners)
+
+
+def _geom_length(geom_t) -> float:
+    kind, data, _ = geom_t
+    if kind != "LineString":
+        return 0.0
+    return gd.geodesic_length(data[:, 0], data[:, 1])
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+
+def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> DataFrame:
+    """Distributed temporal merge + conversion.
+
+    ways:  id, version, ts, changeset, user_id, user, visible, tags, refs
+    nodes: id, version, ts, changeset, user_id, user, visible, lon, lat
+
+    Plan: explode way refs → distinct (way_id, node_id) ⋈ nodes (shuffle hash
+    join on node id — the RocksDB `minorNodes` analog) → cogroup with ways by
+    way id → applyInPandas merge+convert.
+    """
+    spark = ways.sparkSession
+    bc = spark.sparkContext.broadcast(country_index) if country_index is not None else None
+
+    refs_pairs = ways.select(
+        F.col("id").alias("way_id"), F.explode("refs").alias("node_id")
+    ).distinct()
+    member_hist = refs_pairs.join(
+        nodes.withColumnRenamed("id", "node_id"), "node_id"
+    ).select(
+        "way_id", "node_id", "version", "ts", "changeset", "user_id", "user",
+        "visible", "lon", "lat",
+    )
+
+    def merge_fn(key, ways_pdf: pd.DataFrame, nodes_pdf: pd.DataFrame) -> pd.DataFrame:
+        way_id = int(key[0])
+        ways_sorted = ways_pdf.sort_values(["version", "ts"])
+        majors = [
+            {
+                "version": int(r.version),
+                "ts": pd.Timestamp(r.ts),
+                "changeset": int(r.changeset),
+                "user_id": int(r.user_id),
+                "user": r.user,
+                "visible": bool(r.visible),
+                "tags": dict(r.tags) if r.tags is not None else {},
+                "refs": [int(x) for x in r.refs],
+            }
+            for r in ways_sorted.itertuples()
+        ]
+        hists: dict[int, _Hist] = {}
+        if len(nodes_pdf):
+            for nid, grp in nodes_pdf.sort_values(["node_id", "version", "ts"]).groupby(
+                "node_id"
+            ):
+                hists[int(nid)] = _Hist(
+                    [
+                        {
+                            "ts": pd.Timestamp(r.ts),
+                            "changeset": int(r.changeset),
+                            "user_id": int(r.user_id),
+                            "user": r.user,
+                            "version": int(r.version),
+                            "visible": bool(r.visible),
+                            "lon": float(r.lon),
+                            "lat": float(r.lat),
+                        }
+                        for r in grp.itertuples()
+                    ]
+                )
+        raw = merge_contributions(majors, hists)
+        joiner = None
+        if bc is not None:
+            idx = bc.value
+
+            def joiner(geom_t):
+                return idx.join_geom(geom_t[0], geom_t[1])
+
+        rows = convert_contributions("way", way_id, raw, country_join=joiner)
+        return pd.DataFrame(rows)
+
+    return (
+        ways.groupBy("id")
+        .cogroup(member_hist.groupBy("way_id"))
+        .applyInPandas(merge_fn, CONTRIB_SCHEMA)
+    )

@@ -1,0 +1,281 @@
+"""Temporal merge goldens — the reference's ContributionsWayTest cases
+(/root/reference/ohsome-contributions/src/test/java/.../ContributionsWayTest.java)
+re-expressed as scenario goldens over merge_contributions, plus converter
+semantics checks (F6 collapse, minor versions, deltas, status).
+
+Each scenario builds micro-histories and asserts the emitted contribution
+sequence: (changeset, timestamp-sec, member versions).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ohsome_planet_spark.operators.history import (
+    _Hist,
+    convert_contributions,
+    merge_contributions,
+)
+
+
+def node(v, ts, cs, lon=0.0, lat=0.0, visible=True, uid=1, user=""):
+    return {
+        "ts": pd.Timestamp(ts, unit="s"),
+        "changeset": cs,
+        "user_id": uid,
+        "user": user,
+        "version": v,
+        "visible": visible,
+        "lon": lon,
+        "lat": lat,
+    }
+
+
+def way(v, ts, cs, refs, visible=True, tags=None, uid=1, user=""):
+    return {
+        "version": v,
+        "ts": pd.Timestamp(ts, unit="s"),
+        "changeset": cs,
+        "user_id": uid,
+        "user": user,
+        "visible": visible,
+        "tags": tags or {},
+        "refs": refs,
+    }
+
+
+def run(majors, node_map):
+    hists = {nid: _Hist(rows) for nid, rows in node_map.items()}
+    return merge_contributions(majors, hists)
+
+
+def seq(contribs):
+    """(changeset, ts_epoch_sec, [member versions or None]) per contribution."""
+    out = []
+    for c in contribs:
+        mv = [m["version"] if m is not None else None for m in c["members"]]
+        out.append((c["changeset"], int(c["ts"].timestamp()), mv))
+    return out
+
+
+def test_node_versions_before_way():
+    # ContributionsWayTest.testNodeVersionsBeforeWay:52-73
+    nodes = {1: [node(1, 0, 1), node(2, 1, 2)]}
+    majors = [way(1, 2, 1, [1])]
+    assert seq(run(majors, nodes)) == [(1, 2, [2])]
+
+
+def test_way_exists_before_node_same_changeset():
+    # testWayExistsBeforeNode:75-96: node created later but in the way's
+    # changeset → consumed by the as-of OR-changeset rule, single contribution
+    nodes = {1: [node(1, 2, 1, lon=1.0)]}
+    majors = [way(1, 1, 1, [1])]
+    got = seq(run(majors, nodes))
+    assert got == [(1, 1, [1])]
+
+
+def test_node_versions_before_plus_minor_versions():
+    # testNodeVersionsBeforePlusMinorVersionWay:98-137
+    nodes = {
+        1: [
+            node(1, 0, 1, lon=1.0),
+            node(2, 1, 2, lon=2.0),
+            node(3, 5, 5, lon=3.0),
+            node(4, 6, 6, lon=4.0),
+        ]
+    }
+    majors = [way(1, 2, 1, [1]), way(2, 7, 1, [1])]
+    assert seq(run(majors, nodes)) == [
+        (1, 2, [2]),
+        (5, 5, [3]),
+        (6, 6, [4]),
+        (1, 7, [4]),
+    ]
+
+
+def test_two_nodes_moved_in_different_changesets():
+    # testTwoNodesMovedInDifferentChangesets:139-189
+    nodes = {
+        1: [node(1, 1, 1, lon=1.0), node(2, 2, 2, lon=1.1)],
+        2: [node(1, 1, 1, lon=2.0), node(2, 2, 3, lon=2.2)],
+    }
+    majors = [way(1, 1, 1, [1, 2])]
+    assert seq(run(majors, nodes)) == [
+        (1, 1, [1, 1]),
+        (2, 2, [2, 1]),
+        (3, 2, [2, 2]),
+    ]
+
+
+def test_two_nodes_moved_in_different_changesets_different_times():
+    # testTwoNodesMovedInDifferentChangesetsAtDifferentTimepoints:191-238
+    nodes = {
+        1: [node(1, 1, 1, lon=1.0), node(2, 2, 2, lon=1.1)],
+        2: [node(1, 1, 1, lon=2.0), node(2, 3, 3, lon=2.2)],
+    }
+    majors = [way(1, 1, 1, [1, 2])]
+    assert seq(run(majors, nodes)) == [
+        (1, 1, [1, 1]),
+        (2, 2, [2, 1]),
+        (3, 3, [2, 2]),
+    ]
+
+
+def test_node_moved_multiple_times_within_one_changeset():
+    # testNodeMovedMultipleTimesWithinOneChangeset:240-266: both edits of
+    # changeset 2 fold into ONE minor version stamped with the LAST edit's ts
+    nodes = {1: [node(1, 1, 1, lon=1.0), node(2, 2, 2, lon=2.0), node(3, 3, 2, lon=3.0)]}
+    majors = [way(1, 1, 1, [1])]
+    assert seq(run(majors, nodes)) == [(1, 1, [1]), (2, 3, [3])]
+
+
+def test_two_nodes_moved_within_one_changeset():
+    # testTwoNodesMovedWithinOneChangeset:294-323
+    nodes = {
+        1: [node(1, 1, 1, lon=1.0), node(2, 2, 2, lon=1.1)],
+        2: [node(1, 1, 1, lon=2.0), node(2, 2, 2, lon=2.2)],
+    }
+    majors = [way(1, 1, 1, [1, 2])]
+    got = seq(run(majors, nodes))
+    assert [g[0] for g in got] == [1, 2]
+
+
+def test_two_nodes_moved_at_different_times_one_changeset():
+    # testTwoNodesMovedAtDifferentTimepointsWithinOneChangeset:325-353
+    nodes = {
+        1: [node(1, 1, 1, lon=1.0), node(2, 2, 2, lon=1.1)],
+        2: [node(1, 1, 1, lon=2.0), node(2, 3, 2, lon=2.2)],
+    }
+    majors = [way(1, 1, 1, [1, 2])]
+    assert seq(run(majors, nodes)) == [(1, 1, [1, 1]), (2, 3, [2, 2])]
+
+
+def test_multiple_nodes_reverse_order_one_changeset():
+    # testMultipleNodesMovedInReverseOrderWithinOneChangeset:355-385
+    nodes = {
+        1: [node(1, 1, 1, lon=1.0), node(2, 3, 2, lon=1.1)],
+        2: [node(1, 1, 1, lon=2.0), node(2, 2, 2, lon=2.2)],
+    }
+    majors = [way(1, 1, 1, [1, 2])]
+    assert seq(run(majors, nodes)) == [(1, 1, [1, 1]), (2, 3, [2, 2])]
+
+
+def test_referenced_node_older_ts_same_changeset():
+    # testReferencedNodeHasOlderTimestampThanWay:387-414: member edit with
+    # later ts but same changeset as the way → absorbed at init, no minor
+    nodes = {1: [node(1, 1, 1, lon=1.0)], 2: [node(1, 3, 1, lon=2.0)]}
+    majors = [way(1, 2, 1, [1, 2])]
+    assert seq(run(majors, nodes)) == [(1, 2, [1, 1])]
+
+
+def test_missing_member_yields_none_snapshot():
+    # EmptyContributions analog (contrib/Contributions.java:17-23)
+    majors = [way(1, 1, 1, [1, 99])]
+    nodes = {1: [node(1, 1, 1, lon=1.0)]}
+    got = run(majors, nodes)
+    assert seq(got) == [(1, 1, [1, None])]
+
+
+# ---------------------------------------------------------------------------
+# converter semantics
+# ---------------------------------------------------------------------------
+
+
+def test_converter_minor_versions_and_status():
+    nodes = {
+        1: [
+            node(1, 0, 1, lon=1.0),
+            node(2, 1, 2, lon=2.0),
+            node(3, 5, 5, lon=3.0),
+            node(4, 6, 6, lon=4.0),
+        ],
+        2: [node(1, 0, 1, lon=0.0, lat=1.0)],
+    }
+    majors = [way(1, 2, 1, [1, 2]), way(2, 7, 1, [1, 2])]
+    raw = merge_contributions(majors, {k: _Hist(v) for k, v in nodes.items()})
+    rows = convert_contributions("way", 10, raw)
+    assert [r["osm_version"] for r in rows] == [1, 1, 1, 2]
+    assert [r["osm_minor_version"] for r in rows] == [0, 1, 2, 0]
+    assert [r["osm_edits"] for r in rows] == [1, 2, 3, 4]
+    assert [r["status"] for r in rows] == ["history", "history", "history", "latest"]
+    # valid_from/valid_to chain
+    assert rows[0]["valid_to"] == rows[1]["valid_from"]
+    assert rows[-1]["valid_to"] == pd.Timestamp("2222-01-01")
+    # geometry: two distinct points → LineString
+    assert rows[0]["geometry_type"] == "LineString"
+    assert rows[0]["length"] > 0
+    assert rows[0]["contrib_type"] == "CREATION"
+    # node 1 moved → GEOMETRY changes; tags unchanged → reference quirk adds TAG
+    assert rows[1]["contrib_type"] == "TAG_GEOMETRY"
+
+
+def test_converter_same_changeset_collapse():
+    # raw run with same (version, changeset) keeps only the last, and the
+    # first emitted row of a collapsed run starts at minor_version ≥ 1
+    nodes = {1: [node(1, 1, 1, lon=1.0), node(2, 2, 1, lon=2.0)]}
+    majors = [way(1, 1, 1, [1])]
+    raw = merge_contributions(majors, {k: _Hist(v) for k, v in nodes.items()})
+    # same changeset 1 → member edit at ts2 absorbed at init (OR-changeset), so
+    # actually a single raw row here
+    assert len(raw) == 1
+    rows = convert_contributions("way", 10, raw)
+    assert len(rows) == 1 and rows[0]["osm_minor_version"] == 0
+
+
+def test_converter_collapse_run_keeps_last():
+    # force a same-(version,changeset) run via two members edited in the same
+    # changeset at different times with a different changeset id than the way
+    nodes = {
+        1: [node(1, 1, 1, lon=1.0), node(2, 2, 2, lon=1.5), node(3, 4, 2, lon=1.7)],
+    }
+    majors = [way(1, 1, 1, [1])]
+    raw = merge_contributions(majors, {k: _Hist(v) for k, v in nodes.items()})
+    assert seq(raw) == [(1, 1, [1]), (2, 4, [3])]
+    rows = convert_contributions("way", 10, raw)
+    assert len(rows) == 2
+    assert rows[0]["valid_to"] == rows[1]["valid_from"]
+
+
+def test_converter_deleted_carries_geometry():
+    nodes = {1: [node(1, 1, 1, lon=1.0)], 2: [node(1, 1, 1, lon=2.0)]}
+    majors = [way(1, 1, 1, [1, 2]), way(2, 5, 9, [1, 2], visible=False)]
+    raw = merge_contributions(majors, {k: _Hist(v) for k, v in nodes.items()})
+    rows = convert_contributions("way", 10, raw)
+    assert rows[1]["status"] == "deleted"
+    assert rows[1]["contrib_type"] == "DELETION"
+    assert rows[1]["geometry"] == rows[0]["geometry"]  # carried forward
+    assert rows[1]["area_delta"] == 0.0
+
+
+def test_converter_polygon_area_and_invalid():
+    ring_nodes = {
+        1: [node(1, 1, 1, lon=0.0, lat=0.0)],
+        2: [node(1, 1, 1, lon=0.01, lat=0.0)],
+        3: [node(1, 1, 1, lon=0.01, lat=0.01)],
+        4: [node(1, 1, 1, lon=0.0, lat=0.01)],
+    }
+    majors = [way(1, 1, 1, [1, 2, 3, 4, 1], tags={"building": "yes"})]
+    raw = merge_contributions(majors, {k: _Hist(v) for k, v in ring_nodes.items()})
+    rows = convert_contributions("way", 10, raw)
+    assert rows[0]["geometry_type"] == "Polygon"
+    assert 1.2e6 < rows[0]["area"] < 1.25e6
+    assert rows[0]["xz_level"] > 0
+    # invisible-only members → empty geometry → invalid
+    ghost = {1: [node(1, 1, 1, lon=1.0, visible=False)]}
+    majors2 = [way(1, 1, 1, [1])]
+    raw2 = merge_contributions(majors2, {k: _Hist(v) for k, v in ghost.items()})
+    rows2 = convert_contributions("way", 11, raw2)
+    assert rows2[0]["status"] == "invalid"
+    assert rows2[0]["xz_level"] == -1 and rows2[0]["xz_code"] == 0
+
+
+def test_converter_area_no_override():
+    ring_nodes = {
+        1: [node(1, 1, 1, lon=0.0, lat=0.0)],
+        2: [node(1, 1, 1, lon=0.01, lat=0.0)],
+        3: [node(1, 1, 1, lon=0.01, lat=0.01)],
+    }
+    majors = [way(1, 1, 1, [1, 2, 3, 1], tags={"building": "yes", "area": "no"})]
+    raw = merge_contributions(majors, {k: _Hist(v) for k, v in ring_nodes.items()})
+    rows = convert_contributions("way", 10, raw)
+    assert rows[0]["geometry_type"] == "LineString"
