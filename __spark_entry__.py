@@ -330,6 +330,159 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned kNN (north star operator): zxy cell + 3×3 neighbor
+    ring candidate generation, local distance ranking, global top-k."""
+    from ohsome_planet_spark.operators.knn import knn_join
+
+    pts = _points(spark, sf_dir)
+    q = pts.where(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("query_id"), "lon", "lat"
+    )
+    c = pts.select(F.col("event_id").alias("cand_id"), "lon", "lat")
+    return knn_join(q, c, k=3, zoom=6)
+
+
+def _q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over documents ∪ tail-extended
+    copies (inverted shingle index — no cross join)."""
+    from ohsome_planet_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail words appended here")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    return ngram_jaccard_pairs(corpus, threshold=0.3)
+
+
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (Arrow kernel + pigeonhole block join) — no SQL
+    oracle (bit-vote kernel not SQL-expressible); rows-only check."""
+    from ohsome_planet_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    return simhash_near_dups(docs.unionByName(copies), max_hamming=6)
+
+
+def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (scale path of embedding_topk) —
+    approximate by construction; rows-only check."""
+    from ohsome_planet_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    return ann_topk(q, c, k=5, planes=4)
+
+
+def _q_way_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal minor-version merge (J6/J7 + W1-W9) over micro-histories
+    derived from events — the applyInPandas queue merge is not
+    SQL-expressible; rows-only check (pytest goldens cover semantics)."""
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.history import way_contributions
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    # nodes: 100 synthetic nodes, versions from events
+    nodes = ev.select(
+        (F.col("event_id") % 100).alias("id"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("event_id") % 100).orderBy("ts", "event_id"))
+        .alias("version"),
+        F.col("ts"),
+        (F.col("event_id") % 17).alias("changeset"),
+        F.col("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        ((F.col("event_id") * 7 % 360) - 180.0).alias("lon"),
+        ((F.col("event_id") * 11 % 180) - 90.0).alias("lat"),
+    )
+    ways = spark.range(20).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        F.array(F.col("id") * 2, F.col("id") * 2 + 1, F.col("id") * 2 + 50).alias("refs"),
+    )
+    out = way_contributions(ways, nodes)
+    return out.select(
+        "osm_id", "osm_version", "osm_minor_version", "osm_edits", "changeset",
+        "valid_from", "valid_to", "status", "geometry_type",
+    )
+
+
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→cell zonal stats (mapInPandas partial agg + global combine) —
+    deterministic gradient tiles; rows-only check (pytest holds the
+    closed-form golden)."""
+    from ohsome_planet_spark.operators.zonal import make_raster_tiles, zonal_stats
+
+    tiles = make_raster_tiles(spark, n_tiles_x=4, n_tiles_y=4)
+    return zonal_stats(tiles, zoom=8)
+
+
+def _q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (ROLLUP) — grouping-set coverage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having a high-quantity lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no high-value orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000.0)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming-adjacent window op): new session
+    when > 1h since the user's previous event."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull() | (F.col("ts") - prev_ts > F.expr("INTERVAL 1 HOUR")), 1
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_sess).over(wcum).alias("session_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -347,6 +500,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
         "embedding_topk": _q_embedding_topk,
+        "knn_grid": _q_knn_grid,
+        "ngram_jaccard_dup": _q_ngram_jaccard_dup,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "embedding_ann": _q_embedding_ann,
+        "way_history": _q_way_history,
+        "zonal_stats": _q_zonal_stats,
+        "rollup_agg": _q_rollup_agg,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -463,6 +626,87 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
                    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
             FROM documents
+        """,
+        "knn_grid": f"""
+            WITH pts AS ({_POINTS_SQL}),
+                 cells AS (
+                   SELECT event_id, lon, lat,
+                          greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 63)) AS ix,
+                          greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 64) AS BIGINT), 63)) AS iy
+                   FROM pts
+                 ),
+                 offsets AS (SELECT dx, dy FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
+                 q AS (
+                   SELECT event_id AS query_id, lon AS q_lon, lat AS q_lat,
+                          ((ix + dx) % 64 + 64) % 64 AS jx,
+                          greatest(0, least(iy + dy, 63)) AS jy
+                   FROM cells, offsets WHERE event_id % 20 = 0
+                 ),
+                 c AS (SELECT event_id AS cand_id, lon AS c_lon, lat AS c_lat, ix, iy FROM cells),
+                 pairs AS (
+                   SELECT DISTINCT query_id, cand_id, q_lon, q_lat, c_lon, c_lat
+                   FROM q JOIN c ON q.jx = c.ix AND q.jy = c.iy AND query_id <> cand_id
+                 ),
+                 scored AS (
+                   SELECT query_id, cand_id,
+                          round((q_lon - c_lon) * (q_lon - c_lon) + (q_lat - c_lat) * (q_lat - c_lat), 9) AS dist_sq
+                   FROM pairs
+                 )
+            SELECT query_id, cand_id, dist_sq, rank FROM (
+              SELECT query_id, cand_id, dist_sq,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist_sq ASC, cand_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "ngram_jaccard_dup": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text || ' extra tail words appended here' AS text
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                                  i -> array_to_string(w[i:i+2], ' '))) AS s
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM corpus)
+              WHERE len(w) >= 3
+            )
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) > 0
+            ) WHERE jaccard >= 0.3
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "semi_join": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),

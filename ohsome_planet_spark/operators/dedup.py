@@ -1,0 +1,287 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's operator set (its only dedup is the minor-store
+version dedup, `MinorNode.java:55-64`), these are the training-data-pipeline
+operators the graft requires: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes:
+- exact dedup is one hash-shuffle groupBy (map-side combine applies);
+- MinHash signatures are computed entirely with JVM array expressions
+  (split → shingle → hash → min) — no Python in the signature path;
+- LSH banding turns the quadratic pair space into per-band buckets: only
+  same-bucket pairs are verified (the classic shingle→minhash→band→bucket
+  join), so the shuffle is O(docs × bands), not O(docs²);
+- SimHash is an Arrow-batched kernel (bit loops don't vectorize well in SQL);
+- pair verification recomputes exact n-gram Jaccard with array intersection —
+  JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# 2^31-1: keeps a*h+b < 2^62 inside JVM longs under ANSI overflow checking
+MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonicalize exact duplicates: min id per md5(text)."""
+    return df.groupBy(F.md5(text_col).alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+def words_col(text_c: Column) -> Column:
+    return F.split(F.lower(F.trim(text_c)), r"\s+")
+
+
+def shingles_col(text_c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> — pure JVM expressions."""
+    w = words_col(text_c)
+    count = F.size(w) - (n - 1)
+    # sequence(1, 0) descends — guard texts shorter than one shingle
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _hash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MERSENNE - 1)), int(rng.integers(0, MERSENNE - 1)))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature_col(text_c: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """array<long> MinHash signature, all-JVM: xxhash64 per shingle, then
+    min over (a*h+b) mod p per hash function."""
+    sh = shingles_col(text_c, shingle_n)
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    sigs = []
+    for a, b in _hash_params(num_hashes):
+        sigs.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(MERSENNE)) + F.lit(b), F.lit(MERSENNE)),
+                )
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via shingle→minhash→band→bucket-join→verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and exact n-gram Jaccard
+    ≥ threshold (verification recomputes the true Jaccard on shingle sets —
+    LSH only proposes candidates, so results are exact w.r.t. the pairs it
+    surfaces).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
+        minhash_signature_col(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    )
+    band_cols = [
+        F.hash(F.slice("_sig", i * rows_per_band + 1, rows_per_band), F.lit(i)).alias("_b")
+        for i in range(bands)
+    ]
+    banded = sig.select(
+        "_id", "_sh", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_bucket")
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l._band_idx") == F.col("r._band_idx"))
+            & (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("sh_a"),
+            F.col("r._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold via an inverted shingle
+    index (explode → self-join on shingle → count ∩ per pair) — no O(n²)
+    cross join; pairs sharing zero shingles never materialize."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
+    ).cache()
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("_s"))
+    pair_inter = (
+        inv.alias("l")
+        .join(inv.alias("r"), (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    joined = (
+        pair_inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+    )
+    jac = F.col("_inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_udf(num_bits: int = 64):
+    """Arrow-batched SimHash over whitespace tokens (FNV-1a per token,
+    ±1 bit voting)."""
+
+    @F.pandas_udf(LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            if t is None:
+                continue
+            tokens = str(t).lower().split()
+            if not tokens:
+                continue
+            votes = np.zeros(num_bits, dtype=np.int64)
+            mask = (1 << 64) - 1
+            for tok in tokens:
+                h = 14695981039346656037
+                for ch in tok.encode("utf-8"):
+                    h ^= ch
+                    h = (h * 1099511628211) & mask
+                bits = np.asarray([(h >> b) & 1 for b in range(num_bits)], dtype=np.int64)
+                votes += 2 * bits - 1
+            sig = 0
+            for b in range(num_bits):
+                if votes[b] > 0:
+                    sig |= 1 << b
+            # reinterpret the unsigned 64-bit pattern as signed
+            out[i] = np.uint64(sig).astype(np.int64)
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: block the 64-bit signature into `blocks`
+    16-bit keys (pigeonhole: hamming ≤ blocks-1 ⇒ some block equal), join on
+    any equal block, verify hamming distance ≤ max_hamming JVM-side."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_sig"))
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    block_cols = [
+        (F.shiftrightunsigned("_sig", i * width).bitwiseAND(F.lit(mask))).alias("_blk")
+        for i in range(blocks)
+    ]
+    blocked = sig.select("_id", "_sig", F.posexplode(F.array(*block_cols)).alias("_bi", "_blk"))
+    cand = (
+        blocked.alias("l")
+        .join(
+            blocked.alias("r"),
+            (F.col("l._bi") == F.col("r._bi"))
+            & (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("sig_a"),
+            F.col("r._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    planes: int = 12,
+    seed: int = 11,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dups via random-hyperplane LSH buckets +
+    in-bucket exact cosine verification (JVM higher-order array math)."""
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((planes, dim))
+    to_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sign_bits = []
+    for p in range(planes):
+        coeffs = F.array(*[F.lit(float(x)) for x in hyper[p]])
+        dot = F.aggregate(
+            F.zip_with(to_dbl, coeffs, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+        sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    bucket = sum(sign_bits[1:], sign_bits[0])
+    tagged = df.select(F.col(id_col).alias("_id"), to_dbl.alias("_v"), bucket.alias("_bkt"))
+    cand = (
+        tagged.alias("l")
+        .join(
+            tagged.alias("r"),
+            (F.col("l._bkt") == F.col("r._bkt")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._v").alias("va"),
+            F.col("r._v").alias("vb"),
+        )
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, v: acc + v * v))
+    return (
+        cand.withColumn("cos_sim", F.round(dot / (na * nb), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

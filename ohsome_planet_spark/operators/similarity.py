@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns: brute-force and LSH-bucketed ANN.
+
+Brute-force cosine top-k is the exactness baseline (cross join — fine for
+query batches, never for all-pairs at scale). The scale path is
+random-hyperplane LSH with multi-probe: vectors shuffle into sign-pattern
+buckets; each query probes its own bucket plus all 1-bit-flip neighbors, so
+the candidate set stays tiny while recall stays high. All vector math is
+JVM-side higher-order array expressions (zip_with/aggregate) — no Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _to_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_col(a, b) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k (rank on round(cos,4), id tiebreak)."""
+    q = queries.select(F.col(query_id), _to_double(F.col(vec_col)).alias("qv"))
+    c = candidates.select(F.col(cand_id), _to_double(F.col(vec_col)).alias("cv"))
+    pairs = q.crossJoin(c).where(F.col(query_id) != F.col(cand_id))
+    scored = pairs.select(
+        query_id, cand_id, F.round(cosine_col(F.col("qv"), F.col("cv")), 4).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, cand_id, "cos_sim", "rank")
+    )
+
+
+def _bucket_col(vec_dbl: Column, hyper: np.ndarray) -> Column:
+    bits = []
+    for p in range(hyper.shape[0]):
+        coeffs = F.array(*[F.lit(float(x)) for x in hyper[p]])
+        dot = F.aggregate(
+            F.zip_with(vec_dbl, coeffs, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+    multiprobe: bool = True,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets + 1-bit multi-probe.
+
+    Recall is governed by `planes` (fewer planes → bigger buckets → higher
+    recall, more compute). With multiprobe, each query also searches every
+    bucket at Hamming distance 1 — (planes+1)× candidates, dramatically
+    better recall near bucket boundaries.
+    """
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((planes, dim))
+    q = queries.select(
+        F.col(query_id),
+        _to_double(F.col(vec_col)).alias("qv"),
+        _bucket_col(_to_double(F.col(vec_col)), hyper).alias("_b0"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("_b0"), *[F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+        )
+        q = q.select(query_id, "qv", F.explode(probes).alias("_bkt"))
+    else:
+        q = q.select(query_id, "qv", F.col("_b0").alias("_bkt"))
+    c = candidates.select(
+        F.col(cand_id),
+        _to_double(F.col(vec_col)).alias("cv"),
+        _bucket_col(_to_double(F.col(vec_col)), hyper).alias("_bkt"),
+    )
+    pairs = q.join(c, "_bkt").where(F.col(query_id) != F.col(cand_id))
+    scored = pairs.select(
+        query_id, cand_id, F.round(cosine_col(F.col("qv"), F.col("cv")), 4).alias("cos_sim")
+    ).dropDuplicates([query_id, cand_id])
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, cand_id, "cos_sim", "rank")
+    )
+
+
+def ann_recall_vs_exact(spark, emb: DataFrame, k: int = 5, **ann_kwargs) -> float:
+    """Diagnostic: fraction of exact top-k recovered by ann_topk."""
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    exact = brute_force_topk(q, c, k=k).select("query_id", "cand_id")
+    approx = ann_topk(q, c, k=k, **ann_kwargs).select("query_id", "cand_id")
+    hits = exact.intersect(approx).count()
+    total = exact.count()
+    return hits / total if total else 1.0

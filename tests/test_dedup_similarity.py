@@ -1,0 +1,131 @@
+"""Dedup suite (exact, minhash LSH, simhash, ngram jaccard, embedding) +
+similarity search (brute force, ANN recall)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.operators import dedup as D
+from ohsome_planet_spark.operators import similarity as S
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word change
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR),  # near dup of 0
+        (3, FAR),
+        (4, FAR + " with an extra tail of words"),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def py_shingles(text, n=3):
+    w = text.lower().split()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+
+def py_jaccard(a, b, n=3):
+    sa, sb = py_shingles(a, n), py_shingles(b, n)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs):
+    got = {r["canonical_id"]: r["n_copies"] for r in D.exact_dedup(docs).collect()}
+    assert got[0] == 2  # docs 0 and 1
+    assert got[2] == 1
+
+
+def test_shingles_match_python(spark, docs):
+    got = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(D.shingles_col(F.col("text"), 3))).alias("sh")
+    ).collect()
+    for r in got:
+        exp = sorted(py_shingles(next(t for i, t in [(0, BASE), (1, BASE), (2, NEAR), (3, FAR), (4, FAR + " with an extra tail of words"), (5, "tiny")] if i == r["doc_id"])))
+        assert r["sh"] == exp, r["doc_id"]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=32, bands=16, jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got
+    assert got[(0, 2)] == pytest.approx(round(py_jaccard(BASE, NEAR), 6))
+    assert (0, 3) not in got
+
+
+def test_ngram_jaccard_exact_pairs(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    texts = {0: BASE, 1: BASE, 2: NEAR, 3: FAR, 4: FAR + " with an extra tail of words"}
+    for (a, b), j in got.items():
+        assert j == pytest.approx(round(py_jaccard(texts[a], texts[b]), 6))
+    assert (0, 1) in got and (0, 2) in got and (3, 4) in got
+    assert (0, 3) not in got
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = D.simhash_near_dups(docs, max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0  # identical text → identical signature
+    assert (0, 2) in got  # near dup within hamming budget
+    assert (0, 3) not in got and (0, 5) not in got
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.001 + 0.001]),  # near-identical direction
+        (2, [float(x) for x in rng.standard_normal(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(df, threshold=0.98, dim=64).collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    got = S.brute_force_topk(q, c, k=3).collect()
+
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].map(np.asarray))
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(vecs, axis=1)
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(r["cand_id"])
+    for qid in ids[ids % 100 == 0]:
+        qv = vecs[ids == qid][0]
+        cos = np.round(vecs @ qv / (norms * np.linalg.norm(qv)), 4)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -cos[mask]))
+        exp = [int(ids[mask][j]) for j in order[:3]]
+        assert got_by_q[int(qid)] == exp
+
+
+def test_ann_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the fixture embeddings are near-uniform (no strong cluster structure),
+    # so hyperplane-LSH recall tracks candidate-space coverage: planes=3 +
+    # 1-bit multiprobe covers ~50% of buckets → recall well above coverage
+    # would indicate structure; we assert it at least meets coverage.
+    recall = S.ann_recall_vs_exact(spark, emb, k=5, planes=3, multiprobe=True)
+    assert recall >= 0.5, recall
