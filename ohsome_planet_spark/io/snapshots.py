@@ -1,0 +1,157 @@
+"""icelite — snapshot-manifest tables: atomic commits, lineage, resume.
+
+The container ships no Iceberg runtime jar, so the engine provides a
+lightweight table layer with the Iceberg semantics the north rule needs:
+snapshot isolation (readers see only committed manifests), atomic commit
+(manifest write + CURRENT pointer swap), per-partition lineage + metrics,
+and incremental resume (a failed run recommits only missing partitions from
+the last snapshot checkpoint). The write path mirrors the reference's
+progress/ → contributions/ atomic finalize (`/root/reference/
+ohsome-contributions/src/main/java/org/heigit/ohsome/contributions/
+transformer/Transformer.java:168-225`, `Writer.java:76-96`); on a real
+deployment this layer is swapped for Iceberg catalog commits — the operator
+API (write_partitions / resume) is deliberately identical in shape.
+
+Layout:
+    <root>/data/<part_col>=<value>/snap-<id>-part-*.parquet
+    <root>/manifests/snap-<id>.json
+    <root>/CURRENT                      (text: current snapshot id)
+
+Manifest: {snapshot_id, parent_id, partitions: {value: {files, rows,
+metrics}}} — child manifests inherit the parent's committed partitions, so
+lineage is the full chain and readers need only CURRENT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+        (self.root / "manifests").mkdir(parents=True, exist_ok=True)
+
+    # -- metadata ------------------------------------------------------------
+    def current_snapshot_id(self) -> str | None:
+        cur = self.root / "CURRENT"
+        if not cur.exists():
+            return None
+        return cur.read_text().strip() or None
+
+    def manifest(self, snapshot_id: str | None = None) -> dict | None:
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            return None
+        p = self.root / "manifests" / f"snap-{sid}.json"
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def committed_partitions(self) -> dict[str, dict]:
+        m = self.manifest()
+        return dict(m["partitions"]) if m else {}
+
+    def snapshot_chain(self) -> list[str]:
+        chain = []
+        sid = self.current_snapshot_id()
+        while sid:
+            chain.append(sid)
+            m = self.manifest(sid)
+            sid = m.get("parent_id") if m else None
+        return chain
+
+    # -- commit --------------------------------------------------------------
+    def _commit(self, new_partitions: dict[str, dict], extra: dict | None = None) -> str:
+        parent = self.current_snapshot_id()
+        merged = self.committed_partitions()
+        merged.update(new_partitions)
+        sid = uuid.uuid4().hex[:12]
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "partitions": merged,
+            "new_partitions": sorted(new_partitions),
+        }
+        if extra:
+            manifest.update(extra)
+        mpath = self.root / "manifests" / f"snap-{sid}.json"
+        tmp = mpath.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+        tmp.rename(mpath)
+        cur_tmp = self.root / "CURRENT.tmp"
+        cur_tmp.write_text(sid)
+        cur_tmp.rename(self.root / "CURRENT")  # atomic pointer swap
+        return sid
+
+    # -- write / resume --------------------------------------------------------
+    def write_partitions(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        only_missing: bool = True,
+        metrics: dict | None = None,
+        fail_partitions: set | None = None,
+    ) -> dict:
+        """Write df partitioned by `partition_col`; commit a new snapshot.
+
+        only_missing=True → partitions already committed are skipped
+        (idempotent resume: a re-run after a failure writes only the
+        remainder). fail_partitions injects failures mid-write for tests.
+        Returns {snapshot_id, written, skipped}.
+        """
+        spark = df.sparkSession
+        committed = self.committed_partitions() if only_missing else {}
+        values = [r[0] for r in df.select(partition_col).distinct().collect()]
+        todo = [v for v in values if str(v) not in committed]
+        skipped = [v for v in values if str(v) in committed]
+
+        new_parts: dict[str, dict] = {}
+        batch = uuid.uuid4().hex[:8]
+        for v in sorted(todo, key=str):
+            if fail_partitions and v in fail_partitions:
+                raise RuntimeError(f"injected failure writing partition {v}")
+            part_dir = self.root / "data" / f"{partition_col}={v}"
+            staging = self.root / "data" / f"_staging-{batch}-{v}"
+            part_df = df.where(F.col(partition_col) == F.lit(v))
+            part_df.write.mode("overwrite").parquet(str(staging))
+            rows = spark.read.parquet(str(staging)).count()
+            part_dir.mkdir(parents=True, exist_ok=True)
+            files = []
+            for f in sorted(staging.glob("*.parquet")):
+                dest = part_dir / f"snap-{batch}-{f.name}"
+                f.rename(dest)
+                files.append(str(dest.relative_to(self.root)))
+            for leftover in staging.glob("*"):
+                leftover.unlink()
+            staging.rmdir()
+            new_parts[str(v)] = {
+                "files": files,
+                "rows": rows,
+                "metrics": (metrics or {}).get(str(v), {}),
+            }
+        sid = self._commit(new_parts)
+        return {"snapshot_id": sid, "written": sorted(map(str, todo)), "skipped": sorted(map(str, skipped))}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read exactly the files of the current snapshot (snapshot isolation:
+        uncommitted/staging files are invisible)."""
+        parts = self.committed_partitions()
+        files = [str(self.root / f) for p in parts.values() for f in p["files"]]
+        if not files:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        return spark.read.parquet(*files)
+
+    def rollback(self, snapshot_id: str) -> None:
+        if self.manifest(snapshot_id) is None:
+            raise KeyError(snapshot_id)
+        cur_tmp = self.root / "CURRENT.tmp"
+        cur_tmp.write_text(snapshot_id)
+        cur_tmp.rename(self.root / "CURRENT")

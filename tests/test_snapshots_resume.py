@@ -1,0 +1,116 @@
+"""Snapshot table: atomic commits, isolation, resume-after-failure, lineage;
+GeoParquet footer metadata; checkpointed plan end-to-end."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.io.geoparquet import read_geo_metadata, write_geoparquet
+from ohsome_planet_spark.io.snapshots import SnapshotTable
+from ohsome_planet_spark.plans.checkpointed import run_checkpointed
+from ohsome_planet_spark.sources.pages import pages_df
+
+
+def test_write_commit_read_roundtrip(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    t = SnapshotTable(tmp_path / "t1")
+    res = t.write_partitions(df, "bucket")
+    assert sorted(res["written"]) == ["0", "1", "2", "3"]
+    back = t.read(spark)
+    assert back.count() == 100
+    assert t.current_snapshot_id() == res["snapshot_id"]
+
+
+def test_resume_writes_only_missing(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    t = SnapshotTable(tmp_path / "t2")
+    # first run fails at bucket 2 → only 0,1 committed? (fail raises before commit)
+    with pytest.raises(RuntimeError):
+        t.write_partitions(df, "bucket", fail_partitions={2})
+    assert t.current_snapshot_id() is None  # nothing committed — atomic
+    # partial run: commit buckets 0,1 only
+    res1 = t.write_partitions(df.where(F.col("bucket") < 2), "bucket")
+    assert res1["written"] == ["0", "1"]
+    # resume: full df, only 2,3 get written
+    res2 = t.write_partitions(df, "bucket")
+    assert res2["written"] == ["2", "3"]
+    assert res2["skipped"] == ["0", "1"]
+    assert t.read(spark).count() == 100
+    # lineage chain has both snapshots
+    assert len(t.snapshot_chain()) == 2
+
+
+def test_snapshot_isolation_and_rollback(spark, tmp_path):
+    df1 = spark.range(10).select(F.col("id"), F.lit(0).cast("int").alias("bucket"))
+    df2 = spark.range(10, 30).select(F.col("id"), F.lit(1).cast("int").alias("bucket"))
+    t = SnapshotTable(tmp_path / "t3")
+    r1 = t.write_partitions(df1, "bucket")
+    r2 = t.write_partitions(df2, "bucket")
+    assert t.read(spark).count() == 30
+    t.rollback(r1["snapshot_id"])
+    assert t.read(spark).count() == 10  # snapshot isolation via manifest files
+    manifest = t.manifest()
+    assert manifest["partitions"]["0"]["rows"] == 10
+
+
+def test_geoparquet_footer_metadata(spark, tmp_path):
+    from ohsome_planet_spark.plans.enrich import enrich_pages
+
+    pages = pages_df(spark, 100)
+    enriched = enrich_pages(spark, pages).where(F.col("coord_valid"))
+    out = tmp_path / "geo"
+    files = write_geoparquet(
+        enriched.select("url", "entity", "lon", "lat", "geometry"),
+        out,
+        bloom_columns=("url",),
+        no_dict_columns=("geometry",),
+    )
+    assert files
+    meta = read_geo_metadata(out / files[0])
+    assert meta["primary_column"] == "geometry"
+    assert meta["columns"]["geometry"]["encoding"] == "WKB"
+    back = spark.read.parquet(str(out))
+    assert back.count() == enriched.count()
+
+
+def test_run_checkpointed_resume_end_to_end(spark, tmp_path):
+    pages = pages_df(spark, 300)
+    root = tmp_path / "ckpt"
+    # find a real bucket value to fail on
+    from ohsome_planet_spark.plans.checkpointed import cell_range_bucket
+    from ohsome_planet_spark.plans.enrich import enrich_pages as _ep
+
+    buckets = sorted(
+        r[0]
+        for r in _ep(spark, pages, with_geometry=False)
+        .select(cell_range_bucket().alias("b"))
+        .distinct()
+        .collect()
+    )
+    assert len(buckets) >= 2, buckets
+    # run 1: injected failure on the last bucket → nothing committed that run
+    with pytest.raises(RuntimeError):
+        run_checkpointed(spark, pages, root, fail_partitions={buckets[-1]})
+    # run 2: clean resume — everything gets written exactly once
+    res = run_checkpointed(spark, pages, root)
+    assert res["written"]
+    t = SnapshotTable(root)
+    total = t.read(spark).count()
+    from ohsome_planet_spark.plans.enrich import enrich_pages
+
+    assert total == enrich_pages(spark, pages).count()
+    # metrics json landed next to manifests
+    metrics_files = list((root / "manifests").glob("metrics-*.json"))
+    assert metrics_files
+    payload = json.loads(metrics_files[0].read_text())
+    stages = [s["stage"] for s in payload["stages"]]
+    assert "enrich" in stages and "snapshot_write" in stages and "invariants" in stages
+    inv = next(s for s in payload["stages"] if s["stage"] == "invariants")
+    # byte-identity: output-covered urls fingerprint equals full input only if
+    # all urls survived (every page has ≥1 mention here)
+    assert inv["fp_in"] == inv["fp_out_subset"]
