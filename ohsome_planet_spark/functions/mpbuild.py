@@ -1,0 +1,446 @@
+"""Multipolygon assembly (K5): OSM member ways → MultiPolygon.
+
+Pure-Python re-implementation of the semantics of the reference's
+`GeometryBuilder` (`/root/reference/osm-geometry/src/main/java/org/heigit/
+ohsome/osm/geometry/GeometryBuilder.java:25-286`, `NodeSegments.java:7-136`,
+`Segment.java:8-95`), written from the observed rules:
+
+1. roles are ignored — outer+inner ways are merged and nesting is derived
+   purely from area-sorted containment (`buildMultiPolygon:26-49`);
+2. ways are deduplicated by coordinate SET; zero-length segments dropped
+   (`splitWays:225-246`, `buildRings:166-171`);
+3. duplicated segments at odd-degree nodes are removed, preferring segments
+   whose other end also has odd degree (`NodeSegments.
+   filterOutRedundantSegments:41-59`);
+4. degree-2 chains are pre-joined into rings; rings with > 3 coords kept
+   (`joinItermediateSegments:61-103`);
+5. parity: every node must touch an even number of segments, else the
+   build fails (DEFAULT mode) → empty geometry upstream
+   (`buildRings:178-186`, `ContributionGeometry.relGeometryMultiPolygon`
+   catch → empty);
+   LEGACY mode instead removes mismatched segments that can be attributed
+   to a single way (`NodeSegments.removeMismatchedSegments:105-135`);
+6. closed rings are walked segment-by-segment; consecutive collinear
+   overlapping closing edges are collapsed (`mergeSegments:252-284`);
+7. every assembled ring must be a valid polygon ring (`buildPolygons:248`);
+8. outers touching at a single COMMON NODE are allowed (mod/706); touching
+   without a common node, overlapping rings, or line-overlaps are errors
+   (`handleIntersectingAndTouchingPolygons:119-158`).
+
+DEVIATION (documented): the reference salvages two exotic cases with JTS
+boolean ops — inner rings that split the outer into parts (mod/722,
+`buildMultiPolygon:78-107`) and same-role overlapping rings subtracted from
+each other. Without GEOS in this container those raise
+MultiPolygonBuildError here (⇒ empty geometry), while the reference emits a
+repaired geometry. All other golden cases match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geometry_np as gnp
+from .waygeom import ring_is_valid
+
+
+class MultiPolygonBuildError(Exception):
+    pass
+
+
+class _Seg:
+    __slots__ = ("coords", "way_id", "rev")
+
+    def __init__(self, coords: list[tuple[float, float]], way_id: int):
+        self.coords = list(coords)
+        self.way_id = way_id
+        self.rev = False
+
+    def first(self):
+        return self.coords[-1] if self.rev else self.coords[0]
+
+    def last(self):
+        return self.coords[0] if self.rev else self.coords[-1]
+
+    def other(self, node):
+        return self.last() if self.first() == node else self.first()
+
+    def set_first(self, node):
+        if self.first() != node:
+            self.rev = not self.rev
+        return self
+
+    def get_coords(self):
+        return list(reversed(self.coords)) if self.rev else list(self.coords)
+
+    def same(self, other: "_Seg") -> bool:
+        a = self.coords
+        b = other.get_coords()
+        if len(a) != len(b):
+            return False
+        if a[0] == b[0] and a[-1] == b[-1] and a == b:
+            return True
+        rb = list(reversed(b))
+        return a[0] == rb[0] and a[-1] == rb[-1] and a == rb
+
+
+class _NodeSegments:
+    def __init__(self):
+        self.map: dict[tuple, list[_Seg]] = {}
+        self.dup: dict[tuple, list[_Seg]] = {}
+
+    def _bucket(self, m, node):
+        return m.setdefault(node, [])
+
+    def add(self, seg: _Seg):
+        a = self._bucket(self.map, seg.first())
+        b = self._bucket(self.map, seg.last())
+        dup_a = any(s.same(seg) for s in a)
+        dup_b = any(s.same(seg) for s in b)
+        if dup_a and dup_b:
+            self._bucket(self.dup, seg.first()).append(seg)
+            self._bucket(self.dup, seg.last()).append(seg)
+        else:
+            a.append(seg)
+            b.append(seg)
+
+    def remove(self, seg: _Seg, m=None):
+        m = self.map if m is None else m
+        for node in (seg.first(), seg.last()):
+            lst = m.get(node)
+            if lst is None:
+                continue
+            for i, s in enumerate(lst):
+                if s is seg:
+                    lst.pop(i)
+                    break
+            if not lst:
+                del m[node]
+
+    def degree(self, node) -> int:
+        return len(self.map.get(node, ()))
+
+    def is_valid(self) -> bool:
+        return all(len(v) % 2 == 0 for v in self.map.values())
+
+    def filter_redundant(self):
+        """Remove duplicate segments at odd-degree nodes (parity repair),
+        preferring segments whose OTHER end is not odd."""
+        changed = True
+        while changed:
+            changed = False
+            for node in list(self.dup.keys()):
+                if node not in self.dup:
+                    continue
+                if self.degree(node) % 2 == 1 and self.dup.get(node):
+                    candidates = self.dup[node]
+                    pick = candidates[0]
+                    for s in candidates:
+                        if self.degree(s.other(node)) % 2 == 1:
+                            pick = s
+                            break
+                    self.remove(pick, self.dup)
+                    # the duplicate was stored only in dup; removing it from
+                    # map removes one of the live copies
+                    self.remove(pick)
+                    changed = True
+                    break
+
+    def join_chains(self) -> list[list[_Seg]]:
+        """Pre-join degree-2 chains; emit rings that close (> 3 coords)."""
+        rings: list[list[_Seg]] = []
+        for start in list(self.map.keys()):
+            if start not in self.map:
+                continue
+            for seg in list(self.map.get(start, ())):
+                # the snapshot may contain segments consumed by an earlier chain
+                if not any(s is seg for s in self.map.get(start, ())):
+                    continue
+                end = seg.last() if seg.first() == start else seg.first()
+                if end == start:
+                    continue
+                seg.set_first(start)
+                self.remove(seg)
+                merged = _Seg(seg.get_coords(), seg.way_id)
+                while end in self.map:
+                    bucket = self.map[end]
+                    if len(bucket) != 1:
+                        # re-add as merged segment and stop
+                        self._bucket(self.map, merged.first()).append(merged)
+                        self._bucket(self.map, merged.last()).append(merged)
+                        break
+                    nxt = bucket[0]
+                    self.remove(nxt)
+                    nxt.set_first(end)
+                    merged.coords = merged.get_coords() + nxt.get_coords()[1:]
+                    merged.rev = False
+                    end = merged.last()
+                    if end == start:
+                        if len(merged.coords) > 3:
+                            rings.append([merged])
+                        break
+                else:
+                    # end not in map: dangling chain — keep merged for parity check
+                    self._bucket(self.map, merged.first()).append(merged)
+                    self._bucket(self.map, merged.last()).append(merged)
+        return rings
+
+    def remove_mismatched(self) -> bool:
+        """LEGACY repair: at odd nodes, drop segments attributable to a
+        single way id appearing an odd number of times."""
+        mismatched = []
+        for segments in self.map.values():
+            if len(segments) % 2 == 0:
+                continue
+            ids: dict[int, _Seg] = {}
+            for seg in segments:
+                if any(seg is m for m in mismatched):
+                    continue
+                if seg.way_id in ids:
+                    del ids[seg.way_id]
+                else:
+                    ids[seg.way_id] = seg
+            if len(ids) == 1:
+                mismatched.append(next(iter(ids.values())))
+        if not mismatched:
+            return False
+        for seg in mismatched:
+            self.remove(seg)
+        return True
+
+
+def _split_ways(ways: list[list[tuple[float, float]]]) -> list[_Seg]:
+    segments = []
+    unique = set()
+    for way_id, way in enumerate(ways):
+        if len(way) < 2:
+            continue
+        key = frozenset(way)
+        if key in unique:
+            continue
+        unique.add(key)
+        for i in range(1, len(way)):
+            segments.append(_Seg([way[i - 1], way[i]], way_id))
+    return segments
+
+
+def _build_rings(ways, mode: str) -> list[list[_Seg]]:
+    ns = _NodeSegments()
+    for seg in _split_ways(ways):
+        if seg.first() == seg.last():
+            continue
+        ns.add(seg)
+    ns.filter_redundant()
+    rings = ns.join_chains()
+    if not ns.is_valid():
+        if mode == "default":
+            raise MultiPolygonBuildError("Mismatched segments parity")
+        if ns.remove_mismatched():
+            rings.extend(ns.join_chains())
+
+    while ns.map:
+        bucket = next(iter(ns.map.values()))
+        segment = bucket[0]
+        start = segment.first()
+        nxt_node = segment.last()
+        ns.remove(segment)
+        nxt_bucket = ns.map.get(nxt_node, [])
+        if not nxt_bucket:
+            continue
+        ring = [segment]
+        rings.append(ring)
+        found = None
+        for cand in nxt_bucket:
+            if cand.other(nxt_node) == start:
+                found = cand
+                if cand.way_id == segment.way_id:
+                    break
+        if found is None:
+            raise MultiPolygonBuildError("Failed to find next segment")
+        found.set_first(nxt_node)
+        ring.append(found)
+        ns.remove(found)
+    return rings
+
+
+def _merge_ring(segments: list[_Seg]) -> list[tuple[float, float]]:
+    coords: list[tuple[float, float]] = []
+    for seg in segments:
+        cs = seg.get_coords()
+        coords.extend(cs[:-1])
+    # remove collinear overlapping closing edges (mergeSegments:260-279)
+    def covers(p, q, r, s) -> bool:
+        """segment pq covers rs (both collinear, rs within pq)?"""
+        cross1 = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        cross2 = (q[0] - p[0]) * (s[1] - p[1]) - (q[1] - p[1]) * (s[0] - p[0])
+        if cross1 != 0.0 or cross2 != 0.0:
+            return False
+        for t in (r, s):
+            if not (
+                min(p[0], q[0]) <= t[0] <= max(p[0], q[0])
+                and min(p[1], q[1]) <= t[1] <= max(p[1], q[1])
+            ):
+                return False
+        return True
+
+    i = 1
+    a = coords[-1]
+    b = coords[0]
+    while i < len(coords):
+        c = coords[i]
+        if covers(a, b, b, c) or covers(b, c, a, b):
+            coords.remove(b)
+            i -= 1
+        else:
+            a = b
+        b = c
+        i += 1
+    coords.append(coords[0])
+    return coords
+
+
+def _ring_area(ring) -> float:
+    arr = np.asarray(ring, np.float64)
+    return abs(gnp.ring_signed_area(arr[:, 0], arr[:, 1]))
+
+
+def _point_in_ring(pt, ring) -> bool:
+    arr = np.asarray(ring, np.float64)
+    return bool(
+        gnp.points_in_polygon(
+            np.asarray([pt[0]]), np.asarray([pt[1]]), [(arr[:, 0], arr[:, 1])]
+        )[0]
+    )
+
+
+def _ring_contains_ring(outer, inner) -> bool:
+    """outer contains inner: every inner vertex inside-or-on outer and at
+    least one strictly inside (shared-boundary rings don't contain)."""
+    arr_o = np.asarray(outer, np.float64)
+    arr_i = np.asarray(inner, np.float64)
+    inside = gnp.points_in_polygon(
+        arr_i[:-1, 0], arr_i[:-1, 1], [(arr_o[:, 0], arr_o[:, 1])]
+    )
+    if not inside.all():
+        return False
+    on_edge = gnp.points_on_segments(
+        arr_i[:-1, 0], arr_i[:-1, 1], arr_o[:-1, 0], arr_o[:-1, 1], arr_o[1:, 0], arr_o[1:, 1]
+    )
+    return bool((~on_edge).any())
+
+
+def _ring_vertex_set(ring) -> set:
+    return set(map(tuple, ring[:-1]))
+
+
+def _rings_intersection_nodes(ra, rb) -> list[tuple]:
+    """Shared vertices between two rings; raises if rings cross or touch at
+    non-vertex points (handleIntersectingAndTouchingPolygons semantics)."""
+    a = np.asarray(ra, np.float64)
+    b = np.asarray(rb, np.float64)
+    # bbox disjoint → no intersection
+    if (
+        a[:, 0].max() < b[:, 0].min()
+        or a[:, 0].min() > b[:, 0].max()
+        or a[:, 1].max() < b[:, 1].min()
+        or a[:, 1].min() > b[:, 1].max()
+    ):
+        return []
+    shared = sorted(_ring_vertex_set(ra) & _ring_vertex_set(rb))
+    # detect any edge crossing / touching beyond shared vertices
+    ax1, ay1, ax2, ay2 = a[:-1, 0], a[:-1, 1], a[1:, 0], a[1:, 1]
+    bx1, by1, bx2, by2 = b[:-1, 0], b[:-1, 1], b[1:, 0], b[1:, 1]
+    d1 = (ax2[:, None] - ax1[:, None]) * (by1[None, :] - ay1[:, None]) - (
+        ay2[:, None] - ay1[:, None]
+    ) * (bx1[None, :] - ax1[:, None])
+    d2 = (ax2[:, None] - ax1[:, None]) * (by2[None, :] - ay1[:, None]) - (
+        ay2[:, None] - ay1[:, None]
+    ) * (bx2[None, :] - ax1[:, None])
+    d3 = (bx2[None, :] - bx1[None, :]) * (ay1[:, None] - by1[None, :]) - (
+        by2[None, :] - by1[None, :]
+    ) * (ax1[:, None] - bx1[None, :])
+    d4 = (bx2[None, :] - bx1[None, :]) * (ay2[:, None] - by1[None, :]) - (
+        by2[None, :] - by1[None, :]
+    ) * (ax2[:, None] - bx1[None, :])
+    proper_cross = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    if proper_cross.any():
+        raise MultiPolygonBuildError("Overlapping polygons")
+    # touching at non-vertex point: an endpoint of one edge strictly inside
+    # the other edge
+    for px, py, qx, qy, rx1, ry1, rx2, ry2 in (
+        (bx1, by1, bx2, by2, ax1, ay1, ax2, ay2),
+        (ax1, ay1, ax2, ay2, bx1, by1, bx2, by2),
+    ):
+        on = gnp.points_on_segments(px, py, rx1, ry1, rx2, ry2)
+        for idx in np.nonzero(on)[0]:
+            pt = (float(px[idx]), float(py[idx]))
+            if pt not in _ring_vertex_set(ra) or pt not in _ring_vertex_set(rb):
+                raise MultiPolygonBuildError("Touching polygons without common node")
+    return shared
+
+
+def build_multipolygon(
+    outer_ways: list[list[tuple[float, float]]],
+    inner_ways: list[list[tuple[float, float]]],
+    mode: str = "default",
+):
+    """→ ("MultiPolygon", [ [shell, hole, ...], ... ]) internal geometry.
+
+    Raises MultiPolygonBuildError for the invalid cases (callers map that to
+    an empty geometry, as `ContributionGeometry.relGeometryMultiPolygon`
+    does with its catch-all).
+    """
+    ways = [list(map(tuple, w)) for w in outer_ways] + [list(map(tuple, w)) for w in inner_ways]
+    rings = [_merge_ring(r) for r in _build_rings(ways, mode)]
+    for ring in rings:
+        arr = np.asarray(ring, np.float64)
+        if not ring_is_valid(arr[:, 0], arr[:, 1]):
+            raise MultiPolygonBuildError("Invalid polygon")
+
+    # nesting by area-desc containment (buildMultiPolygon:33-49)
+    rings.sort(key=_ring_area, reverse=True)
+    is_inner = [False] * len(rings)
+    matched: list[tuple[list, list[list]]] = []  # (outer_ring, [inner rings])
+    ring_owner: dict[int, int] = {}
+    for i, cur in enumerate(rings):
+        placed = False
+        for j in range(i - 1, -1, -1):
+            if _ring_contains_ring(rings[j], cur):
+                if not is_inner[j]:
+                    owner = ring_owner[j]
+                    matched[owner][1].append(cur)
+                    is_inner[i] = True
+                placed = True
+                break
+        if not is_inner[i]:
+            ring_owner[i] = len(matched)
+            matched.append((cur, []))
+
+    # outer-outer touch validation (Point at common node OK, else error)
+    outers = [m[0] for m in matched]
+    for i in range(len(outers)):
+        for j in range(i + 1, len(outers)):
+            shared = _rings_intersection_nodes(outers[i], outers[j])
+            # shared vertices allowed (mod/706); crossings already raised
+
+    polygons = []
+    for outer_ring, inners in matched:
+        # inner-inner touches: ANY shared node sets formsEnclosedAreas in
+        # the reference, which then repairs via outer.difference(inners)
+        # (`buildMultiPolygon:78-85`) — JTS-only, unsupported here
+        for a in range(len(inners)):
+            for b in range(a + 1, len(inners)):
+                if _rings_intersection_nodes(inners[a], inners[b]):
+                    raise MultiPolygonBuildError(
+                        "unsupported: touching inner rings (reference repairs via difference/union)"
+                    )
+        for inner in inners:
+            shared = _rings_intersection_nodes(outer_ring, inner)
+            if len(shared) >= 2:
+                # a non-Point inner∩outer intersection triggers the
+                # difference-split path (`buildMultiPolygon:87-105`)
+                raise MultiPolygonBuildError(
+                    "unsupported: inner ring splitting outer (reference repairs via difference)"
+                )
+        polygons.append([np.asarray(outer_ring, np.float64)] + [np.asarray(r, np.float64) for r in inners])
+
+    return ("MultiPolygon", polygons)
