@@ -437,3 +437,409 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
         .cogroup(member_hist.groupBy("way_id"))
         .applyInPandas(merge_fn, CONTRIB_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Relations (J2 transitive member resolution + K4/K5/K6 geometry)
+# ---------------------------------------------------------------------------
+
+REL_CONTRIB_SCHEMA = CONTRIB_SCHEMA.replace(
+    "refs array<long>",
+    "member_types array<string>, member_ids array<long>, member_roles array<string>",
+)
+
+MEMBERS_THRESHOLD = 500  # ContributionGeometry.java:24
+
+
+def _way_coords_from_members(members: list) -> np.ndarray:
+    """Visible, in-range node snapshot coords in ref order (the coordinate
+    extraction under wayGeometry, `ContributionGeometry.java:138-146`)."""
+    pts = []
+    for m in members or []:
+        if m is None or not m.get("visible", False):
+            continue
+        lon = m.get("lon")
+        lat = m.get("lat")
+        if lon is None or lat is None:
+            continue
+        if not (-180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0):
+            continue
+        pts.append((float(lon), float(lat)))
+    return np.asarray(pts, np.float64).reshape(len(pts), 2)
+
+
+def _relation_geometry(tags: dict, members: list) -> tuple:
+    """(kind, data) for a relation contribution.
+
+    members: [{type, role, snapshot}] where a way snapshot carries its own
+    node-member snapshots. Multipolygon per relIsMultipolygon
+    (`ContributionGeometry.java:68-78`); failure or non-MP type →
+    GeometryCollection semantics (bbox-only payload, K6).
+    """
+    from ..functions.mpbuild import MultiPolygonBuildError, build_multipolygon
+
+    is_mp = (
+        len(members) <= MEMBERS_THRESHOLD
+        and (tags.get("type") or "").lower() in ("multipolygon", "boundary")
+    )
+    if is_mp:
+        outers = []
+        inners = []
+        for m in members:
+            if m["type"] != "way" or m["snapshot"] is None:
+                continue
+            coords = _way_coords_from_members(m["snapshot"].get("members"))
+            if coords.shape[0] == 0:
+                continue
+            role = m.get("role") or ""
+            (inners if role == "inner" else outers).append([tuple(p) for p in coords])
+        try:
+            geom = build_multipolygon(outers, inners)
+            if geom[1]:
+                return geom
+        except MultiPolygonBuildError:
+            pass
+        return ("MultiPolygon", None)  # empty → invalid status upstream
+    # GeometryCollection: bbox of all member geometries
+    all_pts = []
+    for m in members:
+        snap = m["snapshot"]
+        if snap is None:
+            continue
+        if m["type"] == "way":
+            coords = _way_coords_from_members(snap.get("members"))
+            if coords.size:
+                all_pts.append(coords)
+        elif m["type"] == "node":
+            lon, lat = snap.get("lon"), snap.get("lat")
+            if (
+                lon is not None
+                and lat is not None
+                and snap.get("visible", False)
+                and -180.0 <= lon <= 180.0
+                and -90.0 <= lat <= 90.0
+            ):
+                all_pts.append(np.asarray([[lon, lat]], np.float64))
+    if not all_pts:
+        return ("GeometryCollection", None)
+    stacked = np.vstack(all_pts)
+    return ("GeometryCollection", stacked)  # payload = member points (bbox source)
+
+
+def convert_relation_contributions(
+    osm_id: int, raw: list[dict], country_join=None
+) -> list[dict]:
+    """Relation converter: like convert_contributions but with relation
+    geometry; GeometryCollection rows store only the bbox polygon as WKB
+    (`ContributionsAvroConverter.java:110-117`)."""
+    out: list[dict] = []
+    n = len(raw)
+    minor_version = 0
+    edits = 0
+    geometry_before = None
+    area_before = 0.0
+    length_before = 0.0
+    prev_raw = None
+    k = 0
+    while k < n:
+        c = raw[k]
+        while k + 1 < n and raw[k + 1]["version"] == c["version"] and raw[k + 1]["changeset"] == c["changeset"]:
+            prev_raw = c
+            k += 1
+            c = raw[k]
+        nxt = raw[k + 1] if k + 1 < n else None
+        before = prev_raw
+        if before is None or c["version"] != before["version"]:
+            minor_version = 0
+        else:
+            minor_version += 1
+        edits += 1
+
+        if c["visible"]:
+            kind, data = _relation_geometry(c["tags"], c["rel_members"])
+            if kind == "GeometryCollection" and data is not None:
+                # bbox polygon is the stored geometry
+                bx = gnp.bbox(data[:, 0], data[:, 1])
+                ring = np.asarray(
+                    [
+                        [bx[0], bx[1]], [bx[2], bx[1]], [bx[2], bx[3]],
+                        [bx[0], bx[3]], [bx[0], bx[1]],
+                    ],
+                    np.float64,
+                )
+                geom_t = ("GeometryCollection", data, wkb_dumps(("Polygon", [ring])))
+            elif data is not None:
+                geom_t = (kind, data, wkb_dumps((kind, data)))
+            else:
+                geom_t = (kind, None, wkb_dumps((kind, None)))
+        else:
+            geom_t = geometry_before
+
+        status = "latest"
+        if not c["visible"]:
+            status = "deleted"
+        elif nxt is not None:
+            status = "history"
+
+        row: dict = {
+            "osm_type": "relation",
+            "osm_id": osm_id,
+            "osm_version": int(c["version"]),
+            "osm_minor_version": int(minor_version),
+            "osm_edits": int(edits),
+            "osm_last_edit": before["ts"] if before is not None else None,
+            "valid_from": c["ts"],
+            "valid_to": nxt["ts"] if nxt is not None else VALID_TO_SENTINEL,
+            "user_id": int(c["user_id"]),
+            "user": c["user"],
+            "changeset": int(c["changeset"]),
+            "tags": c["tags"],
+            "tags_before": before["tags"] if before is not None else {},
+            "member_types": [m["type"] for m in c["rel_members"]],
+            "member_ids": [int(m["id"]) for m in c["rel_members"]],
+            "member_roles": [m.get("role") or "" for m in c["rel_members"]],
+        }
+
+        area = 0.0
+        length = 0.0
+        if geom_t is not None and geom_t[1] is not None:
+            kind, data, wkb_bytes = geom_t
+            if kind == "MultiPolygon":
+                coords = np.vstack([np.vstack(rings) for rings in data])
+            else:
+                coords = data
+            bx = gnp.bbox(coords[:, 0], coords[:, 1])
+            lvl, code = xz2_code(
+                np.array([bx[0]]), np.array([bx[1]]), np.array([bx[2]]), np.array([bx[3]])
+            )
+            if kind == "MultiPolygon":
+                cx = cy = 0.0
+                a_sum = 0.0
+                for rings in data:
+                    pa, (px, py) = _poly_area_centroid(rings)
+                    cx += px * pa
+                    cy += py * pa
+                    a_sum += pa
+                cx, cy = (cx / a_sum, cy / a_sum) if a_sum else gnp.centroid_points(coords[:, 0], coords[:, 1])
+                area = sum(
+                    gd.geodesic_polygon_area(
+                        (rings[0][:, 0], rings[0][:, 1]),
+                        [(r[:, 0], r[:, 1]) for r in rings[1:]],
+                    )
+                    for rings in data
+                )
+            else:
+                cx, cy = gnp.centroid_points(coords[:, 0], coords[:, 1])
+            row.update(
+                geometry_type=kind,
+                geometry=wkb_bytes,
+                xmin=bx[0], ymin=bx[1], xmax=bx[2], ymax=bx[3],
+                centroid_x=cx, centroid_y=cy,
+                xz_level=int(lvl[0]), xz_code=int(code[0]),
+            )
+            if country_join:
+                if kind == "MultiPolygon":
+                    hits: set[str] = set()
+                    for rings in data:
+                        hits.update(country_join(("Polygon", list(rings), b"")))
+                    row["countries"] = sorted(hits)
+                else:
+                    hits = set()
+                    for p in coords:
+                        hits.update(country_join(("Point", (float(p[0]), float(p[1])), b"")))
+                    row["countries"] = sorted(hits)
+            else:
+                row["countries"] = []
+        else:
+            row.update(
+                geometry_type=geom_t[0] if geom_t is not None else None,
+                geometry=None,
+                xmin=None, ymin=None, xmax=None, ymax=None,
+                centroid_x=None, centroid_y=None,
+                xz_level=-1, xz_code=0,
+                countries=[],
+            )
+            status = "invalid"
+
+        row["status"] = status
+        row["area"] = area
+        row["area_delta"] = area - area_before
+        row["length"] = length
+        row["length_delta"] = length - length_before
+        area_before = area
+        length_before = length
+
+        types = []
+        if not c["visible"]:
+            types.append("DELETION")
+        elif before is None or not before["visible"]:
+            types.append("CREATION")
+        else:
+            if before["tags"] == c["tags"]:
+                types.append("TAG")
+            if not _geom_equal(geometry_before, geom_t):
+                types.append("GEOMETRY")
+        row["contrib_type"] = "_".join(types)
+
+        geometry_before = geom_t
+        out.append(row)
+        prev_raw = c
+        k += 1
+    return out
+
+
+def _poly_area_centroid(rings: list[np.ndarray]):
+    """(planar net area, centroid) of one polygon part — used to weight the
+    multipolygon centroid like JTS does."""
+    c0x, c0y = gnp.centroid_polygon([(r[:, 0], r[:, 1]) for r in rings])
+    a = abs(gnp.ring_signed_area(rings[0][:, 0], rings[0][:, 1]))
+    for r in rings[1:]:
+        a -= abs(gnp.ring_signed_area(r[:, 0], r[:, 1]))
+    return max(a, 1e-300), (c0x, c0y)
+
+
+def relation_contributions(
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame, country_index=None
+) -> DataFrame:
+    """Distributed relation history merge (J2: transitive member resolution).
+
+    relations: id, version, ts, changeset, user_id, user, visible, tags,
+               members array<struct<type:string, id:long, role:string>>
+    ways/nodes: as in way_contributions.
+
+    Member routing: relation → member way ids → way histories; way refs ∪
+    direct node members → node histories; all shuffled to the relation id
+    and merged in one kernel (the reference's two-level multiGet,
+    `Contributions2Parquet.processRelation:233-266`).
+    """
+    spark = relations.sparkSession
+    bc = spark.sparkContext.broadcast(country_index) if country_index is not None else None
+
+    rel_way_ids = relations.select(
+        F.col("id").alias("rel_id"),
+        F.explode(F.filter("members", lambda m: m.type == "way")).alias("m"),
+    ).select("rel_id", F.col("m.id").alias("way_id")).distinct()
+    rel_node_direct = relations.select(
+        F.col("id").alias("rel_id"),
+        F.explode(F.filter("members", lambda m: m.type == "node")).alias("m"),
+    ).select("rel_id", F.col("m.id").alias("node_id")).distinct()
+
+    rel_ways = rel_way_ids.join(ways.withColumnRenamed("id", "way_id"), "way_id")
+    rel_way_nodes = (
+        rel_ways.select("rel_id", F.explode("refs").alias("node_id")).distinct()
+    )
+    rel_nodes = (
+        rel_node_direct.unionByName(rel_way_nodes)
+        .distinct()
+        .join(nodes.withColumnRenamed("id", "node_id"), "node_id")
+    )
+
+    # pack ways + nodes into one side for the 2-way cogroup
+    ways_packed = rel_ways.select(
+        "rel_id",
+        F.lit("way").alias("kind"),
+        F.col("way_id").alias("member_id"),
+        "version", "ts", "changeset", "user_id", "user", "visible",
+        "tags", "refs",
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("double").alias("lat"),
+    )
+    nodes_packed = rel_nodes.select(
+        "rel_id",
+        F.lit("node").alias("kind"),
+        F.col("node_id").alias("member_id"),
+        "version", "ts", "changeset", "user_id", "user", "visible",
+        F.lit(None).cast("map<string,string>").alias("tags"),
+        F.lit(None).cast("array<long>").alias("refs"),
+        "lon", "lat",
+    )
+    members_packed = ways_packed.unionByName(nodes_packed)
+
+    def merge_fn(key, rels_pdf: pd.DataFrame, members_pdf: pd.DataFrame) -> pd.DataFrame:
+        rel_id = int(key[0])
+        node_hists: dict[int, _Hist] = {}
+        way_rows: dict[int, list] = {}
+        if len(members_pdf):
+            nd = members_pdf[members_pdf["kind"] == "node"]
+            for nid, grp in nd.sort_values(["member_id", "version", "ts"]).groupby("member_id"):
+                node_hists[int(nid)] = _Hist(
+                    [
+                        {
+                            "ts": pd.Timestamp(r.ts), "changeset": int(r.changeset),
+                            "user_id": int(r.user_id), "user": r.user,
+                            "version": int(r.version), "visible": bool(r.visible),
+                            "lon": float(r.lon), "lat": float(r.lat),
+                        }
+                        for r in grp.itertuples()
+                    ]
+                )
+            wd = members_pdf[members_pdf["kind"] == "way"]
+            for wid, grp in wd.sort_values(["member_id", "version", "ts"]).groupby("member_id"):
+                way_rows[int(wid)] = [
+                    {
+                        "version": int(r.version), "ts": pd.Timestamp(r.ts),
+                        "changeset": int(r.changeset), "user_id": int(r.user_id),
+                        "user": r.user, "visible": bool(r.visible),
+                        "tags": dict(r.tags) if r.tags is not None else {},
+                        "refs": [int(x) for x in r.refs] if r.refs is not None else [],
+                    }
+                    for r in grp.itertuples()
+                ]
+
+        # way member histories = their own merged contribution streams; each
+        # way merge gets FRESH node cursors over the shared row lists (the
+        # reference allocates per-entity Contributions objects)
+        way_hists: dict[int, _Hist] = {}
+        for wid, way_majors in way_rows.items():
+            fresh = {nid: _Hist(h.rows) for nid, h in node_hists.items()}
+            raw_way = merge_contributions(way_majors, fresh)
+            way_hists[wid] = _Hist(raw_way)
+
+        majors = [
+            {
+                "version": int(r.version), "ts": pd.Timestamp(r.ts),
+                "changeset": int(r.changeset), "user_id": int(r.user_id),
+                "user": r.user, "visible": bool(r.visible),
+                "tags": dict(r.tags) if r.tags is not None else {},
+                "refs": [
+                    (m["type"], int(m["id"]), m["role"] or "")
+                    for m in (r.members if r.members is not None else [])
+                ],
+            }
+            for r in rels_pdf.sort_values(["version", "ts"]).itertuples()
+        ]
+        # adapt: merge_contributions keys member histories by the ref value —
+        # here refs are (type, id, role) triples
+        hists: dict = {}
+        for m in {ref for mj in majors for ref in mj["refs"]}:
+            mtype, mid, _role = m
+            if mtype == "way" and mid in way_hists:
+                hists[m] = _Hist(way_hists[mid].rows)
+            elif mtype == "node" and mid in node_hists:
+                hists[m] = _Hist(node_hists[mid].rows)
+        raw = merge_contributions(majors, hists)
+        for c in raw:
+            c["rel_members"] = [
+                {
+                    "type": ref[0],
+                    "id": ref[1],
+                    "role": ref[2],
+                    "snapshot": snap,
+                }
+                for ref, snap in zip(c["refs"], c["members"])
+            ]
+        joiner = None
+        if bc is not None:
+            idx = bc.value
+
+            def joiner(geom_t):
+                return idx.join_geom(geom_t[0], geom_t[1])
+
+        rows = convert_relation_contributions(rel_id, raw, country_join=joiner)
+        return pd.DataFrame(rows)
+
+    return (
+        relations.groupBy("id")
+        .cogroup(members_packed.groupBy("rel_id"))
+        .applyInPandas(merge_fn, REL_CONTRIB_SCHEMA)
+    )

@@ -1,0 +1,168 @@
+"""Relation contributions: transitive member resolution (J2), multipolygon
+geometry (K4/K5), GeometryCollection bbox storage (K6), minor versions from
+member-way/node edits (ported from ContributionsRelationTest scenarios)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.functions.wkb import wkb_loads
+from ohsome_planet_spark.operators.history import relation_contributions
+
+REL_SCHEMA = (
+    "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+    "user string, visible boolean, tags map<string,string>, "
+    "members array<struct<type:string, id:long, role:string>>"
+)
+WAY_SCHEMA = (
+    "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+    "user string, visible boolean, tags map<string,string>, refs array<long>"
+)
+NODE_SCHEMA = (
+    "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+    "user string, visible boolean, lon double, lat double"
+)
+
+
+def ts(s):
+    return pd.Timestamp(s, unit="s").to_pydatetime()
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    # square outer ring from two ways (1: bottom+right, 2: top+left),
+    # plus a hole way (3), plus a non-MP relation with a node member
+    nodes = spark.createDataFrame(
+        [
+            (1, 1, ts(1), 1, 1, "a", True, 0.0, 0.0),
+            (2, 1, ts(1), 1, 1, "a", True, 10.0, 0.0),
+            (3, 1, ts(1), 1, 1, "a", True, 10.0, 10.0),
+            (4, 1, ts(1), 1, 1, "a", True, 0.0, 10.0),
+            (5, 1, ts(1), 1, 1, "a", True, 4.0, 4.0),
+            (6, 1, ts(1), 1, 1, "a", True, 6.0, 4.0),
+            (7, 1, ts(1), 1, 1, "a", True, 6.0, 6.0),
+            (8, 1, ts(1), 1, 1, "a", True, 4.0, 6.0),
+            # node 3 moves later (changeset 5) → relation minor version
+            (3, 2, ts(30), 5, 2, "b", True, 11.0, 11.0),
+            (9, 1, ts(1), 1, 1, "a", True, 2.0, 2.0),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (101, 1, ts(2), 1, 1, "a", True, {}, [1, 2, 3]),
+            (102, 1, ts(2), 1, 1, "a", True, {}, [3, 4, 1]),
+            (103, 1, ts(2), 1, 1, "a", True, {}, [5, 6, 7, 8, 5]),
+        ],
+        WAY_SCHEMA,
+    )
+    relations = spark.createDataFrame(
+        [
+            (
+                1001, 1, ts(10), 1, 1, "a", True, {"type": "multipolygon"},
+                [("way", 101, "outer"), ("way", 102, "outer"), ("way", 103, "inner")],
+            ),
+            (
+                1002, 1, ts(10), 1, 1, "a", True, {"type": "route"},
+                [("way", 101, ""), ("node", 9, "stop")],
+            ),
+        ],
+        REL_SCHEMA,
+    )
+    return relations, ways, nodes
+
+
+def test_multipolygon_relation_geometry(spark, data):
+    relations, ways, nodes = data
+    got = relation_contributions(relations, ways, nodes).where(
+        F.col("osm_id") == 1001
+    ).orderBy("osm_edits").collect()
+    assert len(got) == 2  # major @10 + minor when node 3 moves @30
+    first = got[0]
+    assert first["geometry_type"] == "MultiPolygon"
+    kind, polys = wkb_loads(bytes(first["geometry"]))
+    assert kind == "MultiPolygon" and len(polys) == 1
+    assert len(polys[0]) == 2  # shell + hole
+    assert first["status"] == "history"
+    assert first["osm_minor_version"] == 0
+    # hole excluded from area: 100-ish minus 4-ish in degree² geodesic m²
+    assert first["area"] > 0
+    second = got[1]
+    assert second["osm_minor_version"] == 1
+    assert second["changeset"] == 5
+    assert pd.Timestamp(second["valid_from"]) == pd.Timestamp(30, unit="s")
+    assert second["contrib_type"] == "TAG_GEOMETRY"
+    # moved corner is reflected in the new shell
+    _, polys2 = wkb_loads(bytes(second["geometry"]))
+    shell_pts = {tuple(p) for p in polys2[0][0]}
+    assert (11.0, 11.0) in shell_pts
+
+
+def test_non_mp_relation_bbox_only(spark, data):
+    relations, ways, nodes = data
+    got = relation_contributions(relations, ways, nodes).where(
+        F.col("osm_id") == 1002
+    ).orderBy("osm_edits").collect()
+    first = got[0]
+    assert first["geometry_type"] == "GeometryCollection"
+    kind, rings = wkb_loads(bytes(first["geometry"]))
+    assert kind == "Polygon"  # bbox polygon stored in place of the collection
+    xs = [p[0] for p in rings[0]]
+    ys = [p[1] for p in rings[0]]
+    assert min(xs) == 0.0 and max(xs) == 10.0
+    assert min(ys) == 0.0 and max(ys) == 10.0
+    assert first["member_types"] == ["way", "node"]
+    assert first["member_roles"] == ["", "stop"]
+
+
+def test_members_threshold_forces_collection(spark):
+    # >500 members → not a multipolygon even with type=multipolygon
+    n_members = 501
+    nodes = spark.createDataFrame(
+        [(i, 1, ts(1), 1, 1, "a", True, float(i % 10), float(i // 10 % 10)) for i in range(1, 4)],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [(200 + i, 1, ts(1), 1, 1, "a", True, {}, [1, 2, 3]) for i in range(n_members)],
+        WAY_SCHEMA,
+    )
+    members = [("way", 200 + i, "outer") for i in range(n_members)]
+    relations = spark.createDataFrame(
+        [(2001, 1, ts(5), 1, 1, "a", True, {"type": "multipolygon"}, members)],
+        REL_SCHEMA,
+    )
+    got = relation_contributions(relations, ways, nodes).collect()
+    assert got[0]["geometry_type"] == "GeometryCollection"
+
+
+def test_invalid_mp_empty_geometry(spark):
+    # multipolygon whose member ways cross → build fails → invalid status
+    nodes = spark.createDataFrame(
+        [
+            (1, 1, ts(1), 1, 1, "a", True, 0.0, 0.0),
+            (2, 1, ts(1), 1, 1, "a", True, 2.0, 0.0),
+            (3, 1, ts(1), 1, 1, "a", True, 2.0, 2.0),
+            (4, 1, ts(1), 1, 1, "a", True, 0.0, 2.0),
+            (5, 1, ts(1), 1, 1, "a", True, 1.0, 1.0),
+            (6, 1, ts(1), 1, 1, "a", True, 3.0, 1.0),
+            (7, 1, ts(1), 1, 1, "a", True, 3.0, 3.0),
+            (8, 1, ts(1), 1, 1, "a", True, 1.0, 3.0),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (301, 1, ts(1), 1, 1, "a", True, {}, [1, 2, 3, 4, 1]),
+            (302, 1, ts(1), 1, 1, "a", True, {}, [5, 6, 7, 8, 5]),
+        ],
+        WAY_SCHEMA,
+    )
+    relations = spark.createDataFrame(
+        [(3001, 1, ts(5), 1, 1, "a", True, {"type": "multipolygon"},
+          [("way", 301, "outer"), ("way", 302, "outer")])],
+        REL_SCHEMA,
+    )
+    got = relation_contributions(relations, ways, nodes).collect()
+    assert got[0]["status"] == "invalid"
+    assert got[0]["geometry"] is None
+    assert got[0]["xz_level"] == -1
