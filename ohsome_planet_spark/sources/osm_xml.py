@@ -1,0 +1,130 @@
+"""OSM XML source (S8/S9): .osm documents → nodes/ways/relations DataFrames.
+
+Parity with the reference's StAX readers (`/root/reference/osm-xml/src/main/
+java/org/heigit/ohsome/osm/xml/OSMXmlIterator.java:14-176`, changeset reader
+`/root/reference/osm-changesets/.../ChangesetXmlReader.java:16-149`): element
+attributes (id, version, timestamp, changeset, uid, user, visible defaulting
+true), `<tag k v>`, `<nd ref>`, `<member type ref role>`.
+
+Like the reference, this source exists for test fixtures and golden suites
+(the production input is the pages table); files are parsed per-file inside
+tasks via a parallelized file list, so even this path distributes.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+NODE_SCHEMA = (
+    "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+    "user string, visible boolean, tags map<string,string>, lon double, lat double"
+)
+WAY_SCHEMA = (
+    "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+    "user string, visible boolean, tags map<string,string>, refs array<long>"
+)
+REL_SCHEMA = (
+    "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+    "user string, visible boolean, tags map<string,string>, "
+    "members array<struct<type:string, id:long, role:string>>"
+)
+CHANGESET_SCHEMA = (
+    "id long, created_at timestamp_ntz, closed_at timestamp_ntz, "
+    "num_changes int, tags map<string,string>"
+)
+
+
+def _parse_ts(val: str | None):
+    if not val:
+        return None
+    t = pd.Timestamp(val)
+    if t.tzinfo is not None:
+        t = t.tz_localize(None)
+    return t.to_pydatetime()
+
+
+def _common_attrs(el) -> dict:
+    return {
+        "id": int(el.get("id")),
+        "version": int(el.get("version", "1")),
+        "ts": _parse_ts(el.get("timestamp")),
+        "changeset": int(el.get("changeset", "-1")),
+        "user_id": int(el.get("uid", "-1")),
+        "user": el.get("user", ""),
+        "visible": el.get("visible", "true") == "true",
+        "tags": {t.get("k"): t.get("v") for t in el.findall("tag")},
+    }
+
+
+def parse_osm_xml(text: str) -> tuple[list[dict], list[dict], list[dict]]:
+    root = ET.fromstring(text)
+    nodes, ways, rels = [], [], []
+    for el in root.iter("node"):
+        row = _common_attrs(el)
+        row["lon"] = float(el.get("lon", "nan"))
+        row["lat"] = float(el.get("lat", "nan"))
+        nodes.append(row)
+    for el in root.iter("way"):
+        row = _common_attrs(el)
+        row["refs"] = [int(nd.get("ref")) for nd in el.findall("nd")]
+        ways.append(row)
+    for el in root.iter("relation"):
+        row = _common_attrs(el)
+        row["members"] = [
+            (m.get("type"), int(m.get("ref")), m.get("role", "")) for m in el.findall("member")
+        ]
+        rels.append(row)
+    return nodes, ways, rels
+
+
+def read_osm_xml(spark: SparkSession, paths: list[str | Path]):
+    """→ (nodes_df, ways_df, relations_df) parsed per-file in tasks."""
+    texts = spark.sparkContext.parallelize([str(p) for p in paths], max(1, len(paths)))
+
+    def parse(path: str):
+        n, w, r = parse_osm_xml(Path(path).read_text(encoding="utf-8"))
+        return [("n", n), ("w", w), ("r", r)]
+
+    collected = texts.flatMap(parse).collect()
+    nodes = [row for kind, rows in collected if kind == "n" for row in rows]
+    ways = [row for kind, rows in collected if kind == "w" for row in rows]
+    rels = [row for kind, rows in collected if kind == "r" for row in rows]
+
+    def df(rows, schema, cols):
+        data = [tuple(r[c] for c in cols) for r in rows]
+        return spark.createDataFrame(data, schema)
+
+    base = ["id", "version", "ts", "changeset", "user_id", "user", "visible", "tags"]
+    return (
+        df(nodes, NODE_SCHEMA, base + ["lon", "lat"]),
+        df(ways, WAY_SCHEMA, base + ["refs"]),
+        df(rels, REL_SCHEMA, base + ["members"]),
+    )
+
+
+def parse_changeset_xml(text: str) -> list[dict]:
+    root = ET.fromstring(text)
+    out = []
+    for el in root.iter("changeset"):
+        out.append(
+            {
+                "id": int(el.get("id")),
+                "created_at": _parse_ts(el.get("created_at")),
+                "closed_at": _parse_ts(el.get("closed_at")),
+                "num_changes": int(el.get("num_changes", "-1")),
+                "tags": {t.get("k"): t.get("v") for t in el.findall("tag")},
+            }
+        )
+    return out
+
+
+def read_changeset_xml(spark: SparkSession, path: str | Path) -> DataFrame:
+    rows = parse_changeset_xml(Path(path).read_text(encoding="utf-8"))
+    data = [
+        (r["id"], r["created_at"], r["closed_at"], r["num_changes"], r["tags"]) for r in rows
+    ]
+    return spark.createDataFrame(data, CHANGESET_SCHEMA)

@@ -1,0 +1,152 @@
+"""Multimodal plumbing, streaming cell counts vs batch, OSM XML source."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.operators.multimodal import (
+    decode_features,
+    frame_sample_plan,
+    make_media_df,
+)
+from ohsome_planet_spark.sources.osm_xml import read_changeset_xml, read_osm_xml
+
+
+class TestMultimodal:
+    def test_decode_features_deterministic(self, spark):
+        media = make_media_df(spark, 30)
+        f1 = decode_features(media, dim=8).orderBy("media_id").collect()
+        f2 = decode_features(media, dim=8).orderBy("media_id").collect()
+        assert len(f1) == 30
+        for a, b in zip(f1, f2):
+            assert a["features"] == b["features"]
+            assert a["checksum"] == b["checksum"]
+            assert a["decoded"] is True
+            assert len(a["features"]) == 8
+
+    def test_unknown_kind_raises(self, spark):
+        bad = spark.createDataFrame(
+            [(1, "hologram", bytearray(b"xx"), None)],
+            "media_id long, kind string, content binary, "
+            "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+        )
+        with pytest.raises(Exception, match="hologram"):
+            decode_features(bad).collect()
+
+    def test_frame_sample_plan(self, spark):
+        media = make_media_df(spark, 12)
+        plan = frame_sample_plan(media, every_ms=500)
+        rows = plan.collect()
+        assert all(r["frame_ts_ms"] == r["frame_idx"] * 500 for r in rows)
+        vids = media.where(F.col("kind") == "video").select("media_id", "meta.duration_ms").collect()
+        exp = sum(max(1, v["duration_ms"] // 500) for v in vids)
+        assert len(rows) == exp
+
+
+class TestStreaming:
+    def test_stream_counts_match_batch(self, spark, tmp_path):
+        from ohsome_planet_spark.sources.pages import pages_df
+        from ohsome_planet_spark.streaming.cellcounts import run_file_stream
+
+        pages = pages_df(spark, 400)
+        inp = str(tmp_path / "stream_in")
+        pages.write.mode("overwrite").parquet(inp)
+        q = run_file_stream(
+            spark, inp, str(tmp_path / "ckpt"), query_name="t_cells", zoom=8
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_total = (
+            spark.sql("SELECT sum(n) FROM t_cells").collect()[0][0]
+        )
+        # batch twin
+        from ohsome_planet_spark.operators.geocode import extract_mentions, geocode_mentions
+        from ohsome_planet_spark.sources.gazetteer import gazetteer_df
+
+        batch = geocode_mentions(extract_mentions(pages), gazetteer_df(spark)).where(
+            F.col("coord_valid")
+        )
+        assert stream_total == batch.count()
+
+
+class TestOsmXml:
+    OSM = """<?xml version="1.0"?>
+<osm version="0.6">
+  <node id="1" version="1" timestamp="2020-01-01T00:00:00Z" changeset="10" uid="7" user="u" lat="1.0" lon="2.0">
+    <tag k="amenity" v="cafe"/>
+  </node>
+  <node id="2" version="2" timestamp="2020-01-02T00:00:00Z" changeset="11" uid="7" user="u" visible="false" lat="1.5" lon="2.5"/>
+  <way id="10" version="1" timestamp="2020-01-03T00:00:00Z" changeset="12" uid="8" user="v">
+    <nd ref="1"/><nd ref="2"/>
+    <tag k="highway" v="path"/>
+  </way>
+  <relation id="20" version="1" timestamp="2020-01-04T00:00:00Z" changeset="13" uid="8" user="v">
+    <member type="way" ref="10" role="outer"/>
+    <member type="node" ref="1" role=""/>
+    <tag k="type" v="multipolygon"/>
+  </relation>
+</osm>"""
+
+    CS = """<?xml version="1.0"?>
+<osm>
+  <changeset id="10" created_at="2020-01-01T00:00:00Z" closed_at="2020-01-01T01:00:00Z" num_changes="5">
+    <tag k="created_by" v="TestEditor 1.0"/>
+    <tag k="comment" v="mapping #hotosm-task near http://x.com/#frag"/>
+  </changeset>
+  <changeset id="11" created_at="2020-01-02T00:00:00Z"/>
+</osm>"""
+
+    def test_read_osm_xml(self, spark, tmp_path):
+        p = tmp_path / "data.osm"
+        p.write_text(self.OSM)
+        nodes, ways, rels = read_osm_xml(spark, [p])
+        n = {r["id"]: r for r in nodes.collect()}
+        assert n[1]["tags"] == {"amenity": "cafe"}
+        assert n[1]["visible"] is True and n[2]["visible"] is False
+        w = ways.collect()[0]
+        assert w["refs"] == [1, 2] and w["changeset"] == 12
+        r = rels.collect()[0]
+        assert [(m["type"], m["id"], m["role"]) for m in r["members"]] == [
+            ("way", 10, "outer"), ("node", 1, ""),
+        ]
+
+    def test_changesets_and_hashtags(self, spark, tmp_path):
+        from ohsome_planet_spark.functions.text import hashtags_py
+
+        p = tmp_path / "cs.xml"
+        p.write_text(self.CS)
+        cs = read_changeset_xml(spark, p)
+        rows = {r["id"]: r for r in cs.collect()}
+        assert rows[10]["num_changes"] == 5
+        assert rows[11]["closed_at"] is None and rows[11]["num_changes"] == -1
+        # editor + hashtag extraction parity (K12/K13)
+        assert rows[10]["tags"]["created_by"] == "TestEditor 1.0"
+        assert hashtags_py(None, rows[10]["tags"]["comment"]) == ["hotosm-task"]
+
+    def test_xml_feeds_relation_pipeline(self, spark, tmp_path):
+        """Reference test-harness flow: data.osm → geometry build (§3.3)."""
+        osm = """<?xml version="1.0"?>
+<osm>
+  <node id="1" version="1" timestamp="2020-01-01T00:00:00Z" changeset="1" uid="1" user="u" lat="0" lon="0"/>
+  <node id="2" version="1" timestamp="2020-01-01T00:00:00Z" changeset="1" uid="1" user="u" lat="0" lon="4"/>
+  <node id="3" version="1" timestamp="2020-01-01T00:00:00Z" changeset="1" uid="1" user="u" lat="4" lon="4"/>
+  <node id="4" version="1" timestamp="2020-01-01T00:00:00Z" changeset="1" uid="1" user="u" lat="4" lon="0"/>
+  <way id="10" version="1" timestamp="2020-01-02T00:00:00Z" changeset="2" uid="1" user="u">
+    <nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="1"/>
+  </way>
+  <relation id="20" version="1" timestamp="2020-01-03T00:00:00Z" changeset="3" uid="1" user="u">
+    <member type="way" ref="10" role="outer"/>
+    <tag k="type" v="multipolygon"/>
+  </relation>
+</osm>"""
+        p = tmp_path / "rel.osm"
+        p.write_text(osm)
+        nodes, ways, rels = read_osm_xml(spark, [p])
+        from ohsome_planet_spark.operators.history import relation_contributions
+
+        got = relation_contributions(rels, ways, nodes).collect()
+        assert len(got) == 1
+        assert got[0]["geometry_type"] == "MultiPolygon"
+        assert got[0]["status"] == "latest"
