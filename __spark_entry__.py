@@ -330,6 +330,46 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cell_assign_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex (H3-class) cell assignment at res 8 via the Arrow kernel; oracle
+    re-derives the axial/cube-rounding arithmetic in SQL."""
+    from ohsome_planet_spark.operators.tiling import hex_cell_udf
+
+    pts = _points(spark, sf_dir)
+    return pts.select("event_id", hex_cell_udf(8)(F.col("lon"), F.col("lat")).alias("hex_cell"))
+
+
+def _hex_oracle_sql(res: int) -> str:
+    size = f"(9.2 / pow(7.0, {res}/2.0))"
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        ax AS (
+          SELECT event_id,
+                 (sqrt(3.0)/3.0 * lon - lat/3.0) / {size} AS qf,
+                 (2.0/3.0 * lat) / {size} AS rf
+          FROM pts
+        ),
+        r1 AS (
+          SELECT event_id, qf, rf, -qf - rf AS sf,
+                 roundbankers(qf, 0) AS q0, roundbankers(rf, 0) AS r0,
+                 roundbankers(-qf - rf, 0) AS s0
+          FROM ax
+        ),
+        r2 AS (
+          SELECT event_id,
+                 CAST(CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf)
+                           THEN -r0-s0 ELSE q0 END AS BIGINT) AS qi,
+                 CAST(CASE WHEN NOT (abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf))
+                               AND abs(r0-rf) > abs(s0-sf)
+                           THEN -q0-s0 ELSE r0 END AS BIGINT) AS ri
+          FROM r1
+        )
+        SELECT event_id,
+               {res}::BIGINT * 9007199254740992 + (qi + 33554432) * 67108864 + (ri + 33554432) AS hex_cell
+        FROM r2
+    """
+
+
 def _q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-partitioned kNN (north star operator): zxy cell + 3×3 neighbor
     ring candidate generation, local distance ranking, global top-k."""
@@ -434,6 +474,49 @@ def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(tiles, zoom=8)
 
 
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join aggregation (TPC-H Q5 shape): customer⋈orders⋈lineitem⋈
+    nation with broadcast dims, exact decimal revenue cast to double."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def _q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 (`util/Utils.java:21-32`): untagged drop + include-keys filter
+    over a map column derived from events."""
+    from ohsome_planet_spark.operators.history import filter_by_tag_keys, filter_untagged
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 5 == 0, F.create_map().cast("map<string,string>")
+        )
+        .otherwise(
+            F.create_map(
+                F.col("event_type"), F.col("props"),
+                F.lit("idmod"), (F.col("event_id") % 3).cast("string"),
+            )
+        )
+        .alias("tags"),
+    )
+    kept = filter_by_tag_keys(filter_untagged(tagged), ["click", "view"])
+    return kept.select("event_id")
+
+
 def _q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregation (ROLLUP) — grouping-set coverage."""
     li = _t(spark, sf_dir, "lineitem")
@@ -500,12 +583,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
         "embedding_topk": _q_embedding_topk,
+        "cell_assign_hex": _q_cell_assign_hex,
         "knn_grid": _q_knn_grid,
         "ngram_jaccard_dup": _q_ngram_jaccard_dup,
         "simhash_near_dup": _q_simhash_near_dup,
         "embedding_ann": _q_embedding_ann,
         "way_history": _q_way_history,
         "zonal_stats": _q_zonal_stats,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "tag_filter": _q_tag_filter,
         "rollup_agg": _q_rollup_agg,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
@@ -627,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
                    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
             FROM documents
         """,
+        "cell_assign_hex": _hex_oracle_sql(8),
         "knn_grid": f"""
             WITH pts AS ({_POINTS_SQL}),
                  cells AS (
@@ -679,6 +766,21 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               WHERE len(list_intersect(a.s, b.s)) > 0
             ) WHERE jaccard >= 0.3
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "tag_filter": """
+            SELECT event_id FROM events
+            WHERE event_id % 5 <> 0 AND event_type IN ('click', 'view')
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -139,9 +139,15 @@ class _NodeSegments:
                             pick = s
                             break
                     self.remove(pick, self.dup)
-                    # the duplicate was stored only in dup; removing it from
-                    # map removes one of the live copies
-                    self.remove(pick)
+                    # the dup entry is a distinct object: remove the LIVE
+                    # segment equal to it from the map (equality, not identity)
+                    live = None
+                    for s in self.map.get(node, ()):
+                        if s.same(pick):
+                            live = s
+                            break
+                    if live is not None:
+                        self.remove(live)
                     changed = True
                     break
 
@@ -361,7 +367,14 @@ def _rings_intersection_nodes(ra, rb) -> list[tuple]:
     d4 = (bx2[None, :] - bx1[None, :]) * (ay2[:, None] - by1[None, :]) - (
         by2[None, :] - by1[None, :]
     ) * (ax2[:, None] - bx1[None, :])
-    proper_cross = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    # scale-relative zero tolerance: collinear edges sharing a vertex can
+    # yield |d| ~ 1e-17 instead of exact 0 — require a strict sign FLIP
+    la = np.hypot(ax2 - ax1, ay2 - ay1)
+    lb = np.hypot(bx2 - bx1, by2 - by1)
+    tol = 1e-12 * (la[:, None] * lb[None, :])
+    z = lambda d: np.where(np.abs(d) <= tol, 0.0, d)
+    d1, d2, d3, d4 = z(d1), z(d2), z(d3), z(d4)
+    proper_cross = (d1 * d2 < 0) & (d3 * d4 < 0)
     if proper_cross.any():
         raise MultiPolygonBuildError("Overlapping polygons")
     # touching at non-vertex point: an endpoint of one edge strictly inside
@@ -376,6 +389,124 @@ def _rings_intersection_nodes(ra, rb) -> list[tuple]:
             if pt not in _ring_vertex_set(ra) or pt not in _ring_vertex_set(rb):
                 raise MultiPolygonBuildError("Touching polygons without common node")
     return shared
+
+
+def _ring_oriented(ring: list[tuple], ccw: bool) -> list[tuple]:
+    arr = np.asarray(ring, np.float64)
+    is_ccw = gnp.ring_signed_area(arr[:-1, 0], arr[:-1, 1]) > 0
+    return list(ring) if is_ccw == ccw else list(reversed(ring))
+
+
+def _interior_sample(face: list[tuple]) -> tuple[float, float] | None:
+    """A point strictly inside the simple CCW face polygon."""
+    arr = np.asarray(face + [face[0]], np.float64)
+    n = len(face)
+    for i in range(n):
+        a = face[i - 1]
+        b = face[i]
+        c = face[(i + 1) % n]
+        px = (a[0] + b[0] + c[0]) / 3.0
+        py = (a[1] + b[1] + c[1]) / 3.0
+        inside = gnp.points_in_polygon(
+            np.asarray([px]), np.asarray([py]), [(arr[:, 0], arr[:, 1])],
+            include_boundary=False,
+        )[0]
+        on = gnp.points_on_segments(
+            np.asarray([px]), np.asarray([py]), arr[:-1, 0], arr[:-1, 1], arr[1:, 0], arr[1:, 1]
+        )[0]
+        if inside and not on:
+            return (px, py)
+    return None
+
+
+def difference_faces(
+    outer_ring: list[tuple], inner_rings: list[list[tuple]]
+) -> list[list[tuple]]:
+    """outer ∖ inners when all intersections are at shared vertices.
+
+    Planar half-edge face trace: outer oriented CCW, inners CW; each ring
+    contributes its directed cycle; faces are traced with the
+    most-clockwise-turn rule, so every kept (CCW, positive-area) face has the
+    difference's interior on its left. This replaces the reference's JTS
+    `outerPoly.difference(...)` (`GeometryBuilder.java:78-105`) for the
+    vertex-touching arrangements the pipeline produces (crossings and
+    non-vertex touches are rejected before we get here).
+
+    Returns the list of closed face rings (first == last).
+    """
+    import math as _math
+
+    edges: list[tuple[tuple, tuple]] = []
+    for ring in [_ring_oriented(outer_ring, ccw=True)] + [
+        _ring_oriented(r, ccw=False) for r in inner_rings
+    ]:
+        for i in range(len(ring) - 1):
+            if ring[i] != ring[i + 1]:
+                edges.append((tuple(ring[i]), tuple(ring[i + 1])))
+
+    out_by_vertex: dict[tuple, list[tuple]] = {}
+    for u, v in edges:
+        out_by_vertex.setdefault(u, []).append(v)
+
+    def angle(u, v):
+        return _math.atan2(v[1] - u[1], v[0] - u[0])
+
+    unused = set(edges)
+    faces: list[list[tuple]] = []
+    for start in list(edges):
+        if start not in unused:
+            continue
+        face = []
+        cur = start
+        for _ in range(len(edges) + 1):
+            if cur not in unused:
+                break
+            unused.discard(cur)
+            u, v = cur
+            face.append(u)
+            back = angle(v, u)
+            best = None
+            best_delta = None
+            for w in out_by_vertex.get(v, ()):  # pick most-clockwise from reversed
+                if (v, w) not in unused and (v, w) != start:
+                    continue
+                d = (back - angle(v, w)) % (2 * _math.pi)
+                if d == 0.0:
+                    d = 2 * _math.pi  # going straight back is the last resort
+                if best_delta is None or d < best_delta:
+                    best_delta = d
+                    best = (v, w)
+            if best is None:
+                break
+            cur = best
+            if cur == start:
+                face.append(start[0])  # close the ring (first == last)
+                faces.append(face)
+                break
+    # keep CCW faces whose interior is inside outer and outside every inner
+    out_arr = np.asarray(_ring_oriented(outer_ring, True) , np.float64)
+    inner_arrs = [np.asarray(r, np.float64) for r in inner_rings]
+    kept = []
+    for face in faces:
+        arr = np.asarray(face, np.float64)
+        if gnp.ring_signed_area(arr[:-1, 0], arr[:-1, 1]) <= 0:
+            continue
+        sample = _interior_sample(face[:-1])
+        if sample is None:
+            continue
+        px, py = np.asarray([sample[0]]), np.asarray([sample[1]])
+        if not gnp.points_in_polygon(px, py, [(out_arr[:, 0], out_arr[:, 1])])[0]:
+            continue
+        in_hole = False
+        for ia in inner_arrs:
+            if gnp.points_in_polygon(px, py, [(ia[:, 0], ia[:, 1])], include_boundary=False)[0]:
+                on = gnp.points_on_segments(px, py, ia[:-1, 0], ia[:-1, 1], ia[1:, 0], ia[1:, 1])[0]
+                if not on:
+                    in_hole = True
+                    break
+        if not in_hole:
+            kept.append(face)
+    return kept
 
 
 def build_multipolygon(
@@ -424,23 +555,41 @@ def build_multipolygon(
 
     polygons = []
     for outer_ring, inners in matched:
-        # inner-inner touches: ANY shared node sets formsEnclosedAreas in
-        # the reference, which then repairs via outer.difference(inners)
-        # (`buildMultiPolygon:78-85`) — JTS-only, unsupported here
+        # does this polygon need the difference repair? (reference:
+        # formsEnclosedAreas from inner-inner touches `buildMultiPolygon:
+        # 78-85`, or a non-Point inner∩outer intersection `:87-105`)
+        needs_difference = False
         for a in range(len(inners)):
             for b in range(a + 1, len(inners)):
                 if _rings_intersection_nodes(inners[a], inners[b]):
-                    raise MultiPolygonBuildError(
-                        "unsupported: touching inner rings (reference repairs via difference/union)"
-                    )
+                    needs_difference = True
+        touching_outer = []
         for inner in inners:
             shared = _rings_intersection_nodes(outer_ring, inner)
             if len(shared) >= 2:
-                # a non-Point inner∩outer intersection triggers the
-                # difference-split path (`buildMultiPolygon:87-105`)
-                raise MultiPolygonBuildError(
-                    "unsupported: inner ring splitting outer (reference repairs via difference)"
-                )
+                needs_difference = True
+        if needs_difference:
+            # outer ∖ inners via planar face trace (vertex-only touches are
+            # guaranteed by the intersection validation above)
+            faces = difference_faces(outer_ring, [list(map(tuple, r)) for r in inners])
+            if not faces:
+                raise MultiPolygonBuildError("difference produced no faces")
+            # non-touching inners wholly inside a face become its holes
+            face_polys = []
+            for face in faces:
+                face_arr = np.asarray(face, np.float64)
+                if not ring_is_valid(face_arr[:, 0], face_arr[:, 1]):
+                    raise MultiPolygonBuildError("invalid difference face")
+                holes = []
+                for inner in inners:
+                    inner_arr = np.asarray(inner, np.float64)
+                    if not _rings_intersection_nodes(face, [tuple(p) for p in inner]) and _ring_contains_ring(
+                        face, [tuple(p) for p in inner]
+                    ):
+                        holes.append(inner_arr)
+                face_polys.append([face_arr] + holes)
+            polygons.extend(face_polys)
+            continue
         polygons.append([np.asarray(outer_ring, np.float64)] + [np.asarray(r, np.float64) for r in inners])
 
     return ("MultiPolygon", polygons)

@@ -439,6 +439,22 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
     )
 
 
+def filter_by_tag_keys(df: DataFrame, keys: list[str], tags_col: str = "tags") -> DataFrame:
+    """F2 (`util/Utils.java:25-32`, `--include-tags`): keep elements having at
+    least one of `keys` among their tag keys — pure JVM expression."""
+    if not keys:
+        return df
+    return df.where(
+        F.arrays_overlap(F.map_keys(F.col(tags_col)), F.array(*[F.lit(k) for k in keys]))
+    )
+
+
+def filter_untagged(df: DataFrame, tags_col: str = "tags") -> DataFrame:
+    """F1 (`util/Utils.java:21-23`): drop elements with no tags (applied after
+    the side-output in the reference — callers control ordering)."""
+    return df.where(F.size(F.map_keys(F.col(tags_col))) > 0)
+
+
 # ---------------------------------------------------------------------------
 # Relations (J2 transitive member resolution + K4/K5/K6 geometry)
 # ---------------------------------------------------------------------------

@@ -46,13 +46,19 @@ def countries_udf(spark, index: PolygonIndex, use_grid: bool = True):
         lat_v = lat.to_numpy(dtype=np.float64, na_value=np.nan)
         ok = ~(np.isnan(lon_v) | np.isnan(lat_v))
         ok &= (lon_v >= -180.0) & (lon_v <= 180.0) & (lat_v >= -90.0) & (lat_v <= 90.0)
-        result: list[list[str]] = [[] for _ in range(len(lon_v))]
+        result: list[list[str]] = [[]] * len(lon_v)
         if ok.any():
             sel = np.nonzero(ok)[0]
+            # memoize repeated coordinates: entity mentions repeat massively,
+            # so probe only the batch's unique points (the reference memoizes
+            # geometry per contribution the same way — Contribution.data,
+            # `contrib/Contribution.java:26-28`)
+            pts = np.column_stack([lon_v[sel], lat_v[sel]])
+            uniq, inverse = np.unique(pts, axis=0, return_inverse=True)
             join = idx.join_points_grid if use_grid else idx.join_points
-            hits = join(lon_v[sel], lat_v[sel])
-            for i, h in zip(sel, hits):
-                result[i] = h
+            hits = join(uniq[:, 0], uniq[:, 1])
+            for pos, inv in zip(sel, inverse):
+                result[pos] = hits[inv]
         return pd.Series(result)
 
     return pip_countries

@@ -87,3 +87,54 @@ def enrich_cell_counts(
     if salted:
         return salted_count(exploded, [cell_col, "country"], out_col="n")
     return exploded.groupBy(cell_col, "country").agg(F.count("*").alias("n"))
+
+
+def enrich_tile_counts(
+    spark: SparkSession,
+    pages: DataFrame,
+    salted: bool = True,
+) -> DataFrame:
+    """The full headline pipeline (BASELINE metric): extract → geocode → PIP
+    country join → ALL cell encodes (hex r7–10, S2, zxy, XZ2) → salted
+    per-(hex_r8, country) counts carrying the coarser hex levels.
+
+    Unlike enrich_cell_counts (whose agg key lets Catalyst prune the Arrow
+    cell kernels), this aggregate consumes every cell column, so the timing
+    includes the complete encode work the metric advertises.
+    """
+    enriched = enrich_pages(spark, pages, with_geometry=False)
+    exploded = enriched.where(F.col("coord_valid")).select(
+        "hex_r7", "hex_r8", "hex_r9", "hex_r10", "s2_cell", "zxy_cell", "xz2_code",
+        F.explode_outer("countries").alias("country"),
+    )
+    from ..operators.skew import salted_agg
+
+    partials = [
+        F.count("*").alias("c"),
+        F.min("hex_r7").alias("h7"),
+        F.count_distinct("hex_r9").alias("d9p"),
+        F.count_distinct("hex_r10").alias("d10p"),
+        F.count_distinct("s2_cell").alias("s2p"),
+        F.count_distinct("zxy_cell").alias("zxp"),
+        F.min("xz2_code").alias("xzp"),
+    ]
+    finals = [
+        F.sum("c").alias("n"),
+        F.min("h7").alias("hex_r7"),
+        F.sum("d9p").alias("approx_r9_cells"),
+        F.sum("d10p").alias("approx_r10_cells"),
+        F.sum("s2p").alias("approx_s2_cells"),
+        F.sum("zxp").alias("approx_zxy_cells"),
+        F.min("xzp").alias("min_xz2"),
+    ]
+    if salted:
+        return salted_agg(exploded, ["hex_r8", "country"], partials, finals)
+    return exploded.groupBy("hex_r8", "country").agg(
+        F.count("*").alias("n"),
+        F.min("hex_r7").alias("hex_r7"),
+        F.count_distinct("hex_r9").alias("approx_r9_cells"),
+        F.count_distinct("hex_r10").alias("approx_r10_cells"),
+        F.count_distinct("s2_cell").alias("approx_s2_cells"),
+        F.count_distinct("zxy_cell").alias("approx_zxy_cells"),
+        F.min("xz2_code").alias("min_xz2"),
+    )

@@ -126,20 +126,44 @@ def test_757_unclosed_inners_parity_invalid():
         build_multipolygon(outer, [])
 
 
-@pytest.mark.xfail(
-    reason="DEVIATION: inner rings splitting the outer need JTS difference "
-    "(GeometryBuilder:78-105); unsupported without GEOS — we raise (→ empty) "
-    "where the reference emits the repaired two-part multipolygon",
-    strict=True,
-)
 def test_722_inners_split_outer():
+    """Difference-repair path (GeometryBuilder:78-105): two inner rings that
+    touch each other and the outer split the square into two parts — handled
+    here with a planar face trace instead of JTS difference."""
     outer = [[(7.25, 1.25), (7.25, 1.21), (7.21, 1.21), (7.21, 1.25), (7.25, 1.25)]]
     inner = [
         [(7.21, 1.25), (7.24, 1.24), (7.23, 1.23), (7.21, 1.25)],
         [(7.25, 1.21), (7.23, 1.23), (7.22, 1.22), (7.25, 1.21)],
     ]
     got = build_multipolygon(outer, inner)
-    assert len(got[1]) == 2
+    exp = mp_from_wkt(
+        "MULTIPOLYGON(((7.21 1.21,7.21 1.25,7.23 1.23,7.22 1.22,7.25 1.21,7.21 1.21)),"
+        "((7.25 1.21,7.23 1.23,7.24 1.24,7.21 1.25,7.25 1.25,7.25 1.21)))"
+    )
+    assert norm_mp(got) == exp
+
+
+def test_touching_inner_rings_merge_via_difference():
+    """Two inner rings sharing an edge-path of vertices inside an outer —
+    the difference path must carve both out as one combined hole region."""
+    outer = [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]]
+    inner = [
+        [(2, 2), (5, 2), (5, 5), (2, 5), (2, 2)],
+        [(5, 2), (8, 2), (8, 5), (5, 5), (5, 2)],
+    ]
+    got = build_multipolygon(outer, inner)
+    kind, polys = got
+    # one outer face with the merged hole(s): total area = 100 - 18 = 82 (planar)
+    from ohsome_planet_spark.functions.geometry_np import ring_signed_area
+    import numpy as np
+
+    total = 0.0
+    for rings in polys:
+        a = abs(ring_signed_area(np.asarray(rings[0])[:, 0], np.asarray(rings[0])[:, 1]))
+        for r in rings[1:]:
+            a -= abs(ring_signed_area(np.asarray(r)[:, 0], np.asarray(r)[:, 1]))
+        total += a
+    assert total == pytest.approx(82.0)
 
 
 # -- synthesized cases (FIXTURES.md §5) --------------------------------------
@@ -187,6 +211,20 @@ def test_crossing_outers_invalid():
             ],
             [],
         )
+
+
+def test_legacy_mode_removes_mismatched_segment():
+    """LEGACY mode (`NodeSegments.removeMismatchedSegments:105-135`): an
+    extra dangling way attributable to one way id is dropped instead of
+    failing the parity check."""
+    outer = [
+        [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)],
+        [(1, 1), (2, 2)],  # dangling spur
+    ]
+    with pytest.raises(MultiPolygonBuildError):
+        build_multipolygon(outer, [], mode="default")
+    got = build_multipolygon(outer, [], mode="legacy")
+    assert norm_mp(got) == mp_from_wkt("MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))")
 
 
 def test_unclosed_dangling_way_invalid():
