@@ -370,6 +370,69 @@ def _hex_oracle_sql(res: int) -> str:
     """
 
 
+_POINTS_FULLRANGE_SQL = (
+    "SELECT event_id, (event_id * 7919 % 7200) / 20.0 - 180.0 AS lon, "
+    "(event_id * 104729 % 3600) / 20.0 - 90.0 AS lat FROM events"
+)
+
+
+def _q_cell_assign_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell ids at level 12 over full-range points (all six cube faces);
+    oracle replays the face/quadratic-st/Hilbert algorithm in SQL with the
+    engine's own 1024-entry lookup table inlined as VALUES."""
+    from ohsome_planet_spark.operators.tiling import s2_cell_udf
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 7200) / 20.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 3600) / 20.0 - 90.0).alias("lat"),
+    )
+    return pts.select("event_id", s2_cell_udf(12)(F.col("lon"), F.col("lat")).alias("s2_cell"))
+
+
+def _s2_oracle_sql(level: int = 12) -> str:
+    from ohsome_planet_spark.functions.cells import _LOOKUP_POS
+
+    lookup_rows = ",".join(f"({i},{int(v)})" for i, v in enumerate(_LOOKUP_POS))
+    sql = f"""
+WITH pts AS ({_POINTS_FULLRANGE_SQL}),
+xyz AS (SELECT event_id, cos(radians(lat))*cos(radians(lon)) AS x,
+               cos(radians(lat))*sin(radians(lon)) AS y, sin(radians(lat)) AS z FROM pts),
+fuv AS (SELECT event_id, x, y, z,
+  CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN (CASE WHEN x < 0 THEN 3 ELSE 0 END)
+       WHEN abs(y) >= abs(z) THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+       ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END AS face FROM xyz),
+uv AS (SELECT event_id, face,
+  CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z WHEN 3 THEN z/x WHEN 4 THEN z/y WHEN 5 THEN -y/z END AS u,
+  CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z WHEN 3 THEN y/x WHEN 4 THEN -x/y WHEN 5 THEN -x/z END AS v FROM fuv),
+st AS (SELECT event_id, face,
+  CASE WHEN u >= 0 THEN 0.5*sqrt(1.0+3.0*u) ELSE 1.0-0.5*sqrt(1.0-3.0*u) END AS s,
+  CASE WHEN v >= 0 THEN 0.5*sqrt(1.0+3.0*v) ELSE 1.0-0.5*sqrt(1.0-3.0*v) END AS t FROM uv),
+ij AS (SELECT event_id, face,
+  greatest(0, least(CAST(floor(s*1073741824) AS BIGINT), 1073741823)) AS i,
+  greatest(0, least(CAST(floor(t*1073741824) AS BIGINT), 1073741823)) AS j FROM st),
+lut(k, pv) AS (VALUES {lookup_rows}),
+step0 AS (SELECT event_id, face, i, j, CAST(face & 1 AS BIGINT) AS bits, CAST(0 AS HUGEINT) AS n FROM ij)
+"""
+    prev = "step0"
+    for idx, k in enumerate(range(7, -1, -1)):
+        cur = f"step{idx + 1}"
+        shift = 1 << (k * 8)
+        sql += f""",{cur} AS (
+  SELECT p.event_id, p.face, p.i, p.j, CAST(l.pv & 3 AS BIGINT) AS bits,
+         p.n + CAST(l.pv >> 2 AS HUGEINT) * CAST({shift} AS HUGEINT) AS n
+  FROM {prev} p JOIN lut l ON l.k = ((p.i >> {k * 4}) & 15) * 64 + ((p.j >> {k * 4}) & 15) * 4 + p.bits)
+"""
+        prev = cur
+    lsb = 1 << (2 * (30 - level))
+    sql += f""", leaf AS (SELECT event_id, (CAST(face AS HUGEINT) * CAST({1 << 60} AS HUGEINT) + n) * 2 + 1 AS leaf_u FROM {prev})
+SELECT event_id, CAST((leaf_u // CAST({2 * lsb} AS HUGEINT)) * CAST({2 * lsb} AS HUGEINT) + CAST({lsb} AS HUGEINT)
+  - CASE WHEN leaf_u >= CAST({1 << 63} AS HUGEINT) THEN CAST({1 << 64} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS s2_cell
+FROM leaf"""
+    return sql
+
+
 def _q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-partitioned kNN (north star operator): zxy cell + 3×3 neighbor
     ring candidate generation, local distance ranking, global top-k."""
@@ -584,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "embedding_topk": _q_embedding_topk,
         "cell_assign_hex": _q_cell_assign_hex,
+        "cell_assign_s2": _q_cell_assign_s2,
         "knn_grid": _q_knn_grid,
         "ngram_jaccard_dup": _q_ngram_jaccard_dup,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -714,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "cell_assign_hex": _hex_oracle_sql(8),
+        "cell_assign_s2": _s2_oracle_sql(12),
         "knn_grid": f"""
             WITH pts AS ({_POINTS_SQL}),
                  cells AS (
