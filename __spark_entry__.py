@@ -528,13 +528,44 @@ def _q_way_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster→cell zonal stats (mapInPandas partial agg + global combine) —
-    deterministic gradient tiles; rows-only check (pytest holds the
-    closed-form golden)."""
+    """Raster→cell zonal stats (mapInPandas per-tile partial agg + global
+    combine) over deterministic gradient tiles; the oracle regenerates the
+    same pixels from first principles in SQL (range() cross joins)."""
     from ohsome_planet_spark.operators.zonal import make_raster_tiles, zonal_stats
 
     tiles = make_raster_tiles(spark, n_tiles_x=4, n_tiles_y=4)
-    return zonal_stats(tiles, zoom=8)
+    z = zonal_stats(tiles, zoom=8)
+    # round float aggregates: summation order differs across engines
+    return z.select(
+        "cell",
+        F.round("value_sum", 6).alias("value_sum"),
+        "px_count",
+        F.round("value_mean", 6).alias("value_mean"),
+        "value_min",
+        "value_max",
+    )
+
+
+_ZONAL_ORACLE_SQL = """
+    WITH px AS (
+      SELECT tx.range AS tx, ty.range AS ty, r.range AS r, c.range AS c,
+             CAST(tx.range * 1000 + ty.range * 100 + r.range + c.range / 100.0 AS DOUBLE) AS val,
+             (tx.range + (c.range + 0.5) * (1.0) / 16) AS x,
+             ((ty.range + 1) - (r.range + 0.5) * (1.0) / 16) AS y
+      FROM range(0,4) tx, range(0,4) ty, range(0,16) r, range(0,16) c
+    ),
+    cells AS (
+      SELECT val,
+             8 * 288230376151711744 +
+             greatest(0, least(CAST(floor((x + 180.0) / 360.0 * 256) AS BIGINT), 255)) * 536870912 +
+             greatest(0, least(CAST(floor((90.0 - y) / 180.0 * 256) AS BIGINT), 255)) AS cell
+      FROM px
+    )
+    SELECT cell, round(sum(val), 6) AS value_sum, count(*) AS px_count,
+           round(sum(val) / count(*), 6) AS value_mean,
+           min(val) AS value_min, max(val) AS value_max
+    FROM cells GROUP BY cell
+"""
 
 
 def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(list_intersect(a.s, b.s)) > 0
             ) WHERE jaccard >= 0.3
         """,
+        "zonal_stats": _ZONAL_ORACLE_SQL,
         "revenue_by_nation": """
             SELECT n.n_name,
                    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *

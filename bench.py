@@ -78,6 +78,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
 
+    # hardware-calibration control (context for the throughput number on
+    # shared/throttled VMs): ideal-parallel pure-JVM compute, 1 task/core
+    from pyspark.sql import functions as F
+
+    def control(k):
+        return spark.range(0, 800_000_000, 1, cpus).select(
+            F.sum(F.sqrt((F.col("id") + k) % 997 + 1.0)).alias("s")
+        )
+
+    control(1).collect()
+    t0 = time.time()
+    control(2).collect()
+    control_sec = round(time.time() - t0, 3)
+
     try:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
@@ -94,6 +108,7 @@ def main() -> None:
                 "pages": n_pages,
                 "result_rows": result_rows,
                 "cpus": cpus,
+                "jvm_control_sec": control_sec,
             }
         )
     )
