@@ -140,13 +140,15 @@ class SnapshotTable:
         sid = self._commit(new_parts)
         return {"snapshot_id": sid, "written": sorted(map(str, todo)), "skipped": sorted(map(str, skipped))}
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Read exactly the files of the current snapshot (snapshot isolation:
-        uncommitted/staging files are invisible)."""
-        parts = self.committed_partitions()
-        files = [str(self.root / f) for p in parts.values() for f in p["files"]]
-        if not files:
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """Read exactly the files of a snapshot (default: current) —
+        snapshot isolation plus Iceberg-style time travel by snapshot id."""
+        m = self.manifest(snapshot_id)
+        if m is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        files = [str(self.root / f) for p in m["partitions"].values() for f in p["files"]]
+        if not files:
+            raise FileNotFoundError(f"snapshot {m['snapshot_id']} has no files")
         return spark.read.parquet(*files)
 
     def rollback(self, snapshot_id: str) -> None:

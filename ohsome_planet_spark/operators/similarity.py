@@ -11,6 +11,7 @@ JVM-side higher-order array expressions (zip_with/aggregate) — no Python.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -111,14 +112,91 @@ def ann_topk(
     )
 
 
-def ann_recall_vs_exact(spark, emb: DataFrame, k: int = 5, **ann_kwargs) -> float:
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_fraction: float = 0.2,
+    seed: int = 17,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer from a sampled candidate subset,
+    vectors assigned to their nearest centroid (inverted lists), queries
+    probe their `nprobe` nearest lists, exact cosine within probed lists.
+
+    The quantizer is deliberately cheap (sampled points as centroids — a
+    k-means++-style seeding without the Lloyd iterations): at 100 TB you
+    train the quantizer on a driver-sized sample and broadcast it; the
+    assignment pass is one vectorized Arrow kernel over the data.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    sample = (
+        candidates.select(vec_col)
+        .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(n_centroids * 50)
+        .toPandas()
+    )
+    vecs = np.stack(sample[vec_col].map(lambda v: np.asarray(v, np.float64)))
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    # k-means++-style spread: greedily pick points far from chosen set
+    rng = np.random.default_rng(seed)
+    chosen = [int(rng.integers(0, len(vecs)))]
+    for _ in range(min(n_centroids, len(vecs)) - 1):
+        sims = vecs @ vecs[chosen].T
+        worst = np.argmin(sims.max(axis=1))
+        chosen.append(int(worst))
+    centroids = vecs[chosen]
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def lists_udf(n_lists: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def assign(v: pd.Series) -> pd.Series:
+            c = bc.value
+            mat = np.stack(v.map(lambda x: np.asarray(x, np.float64)))
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ c.T
+            order = np.argsort(-sims, axis=1)[:, :n_lists]
+            return pd.Series([[int(x) for x in row] for row in order])
+
+        return assign
+
+    c_assigned = candidates.select(
+        F.col(cand_id),
+        _to_double(F.col(vec_col)).alias("cv"),
+        F.element_at(lists_udf(1)(F.col(vec_col)), 1).alias("_list"),
+    )
+    q_assigned = queries.select(
+        F.col(query_id),
+        _to_double(F.col(vec_col)).alias("qv"),
+        F.explode(lists_udf(nprobe)(F.col(vec_col))).alias("_list"),
+    )
+    pairs = q_assigned.join(c_assigned, "_list").where(F.col(query_id) != F.col(cand_id))
+    scored = pairs.select(
+        query_id, cand_id, F.round(cosine_col(F.col("qv"), F.col("cv")), 4).alias("cos_sim")
+    ).dropDuplicates([query_id, cand_id])
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, cand_id, "cos_sim", "rank")
+    )
+
+
+def ann_recall_vs_exact(spark, emb: DataFrame, k: int = 5, method: str = "lsh", **ann_kwargs) -> float:
     """Diagnostic: fraction of exact top-k recovered by ann_topk."""
     q = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
     exact = brute_force_topk(q, c, k=k).select("query_id", "cand_id")
-    approx = ann_topk(q, c, k=k, **ann_kwargs).select("query_id", "cand_id")
+    fn = ivf_topk if method == "ivf" else ann_topk
+    approx = fn(q, c, k=k, **ann_kwargs).select("query_id", "cand_id")
     hits = exact.intersect(approx).count()
     total = exact.count()
     return hits / total if total else 1.0

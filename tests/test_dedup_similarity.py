@@ -129,3 +129,12 @@ def test_ann_recall(spark, sf_dir):
     # would indicate structure; we assert it at least meets coverage.
     recall = S.ann_recall_vs_exact(spark, emb, k=5, planes=3, multiprobe=True)
     assert recall >= 0.5, recall
+
+
+def test_ivf_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    recall = S.ann_recall_vs_exact(
+        spark, emb, k=5, method="ivf", n_centroids=8, nprobe=4
+    )
+    # nprobe=4 of 8 lists ≈ 50% coverage on near-uniform vectors
+    assert recall >= 0.5, recall

@@ -71,6 +71,60 @@ class TestStreaming:
         assert stream_total == batch.count()
 
 
+class TestStatefulSessions:
+    def test_stream_sessions_match_batch_closed_sessions(self, spark, tmp_path, sf_dir):
+        """applyInPandasWithState sessionizer == batch window sessionization
+        on CLOSED sessions (the open tail session per user stays in state)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from ohsome_planet_spark.streaming.sessions import sessionize_stream
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        inp = str(tmp_path / "ev_stream")
+        events.write.mode("overwrite").parquet(inp)
+
+        stream = spark.readStream.schema(events.schema).parquet(inp)
+        q = (
+            sessionize_stream(stream, gap_seconds=3600)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_sessions")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("SELECT * FROM t_sessions").collect()
+        }
+
+        # batch twin: window sessionization, closed sessions only
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev_ts = F.lag("ts").over(w)
+        new_sess = F.when(
+            prev_ts.isNull() | (F.col("ts") - prev_ts > F.expr("INTERVAL 1 HOUR")), 1
+        ).otherwise(0)
+        wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sess = events.withColumn("sid", F.sum(new_sess).over(wcum))
+        agg = sess.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("int").alias("n_events"),
+        )
+        last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+        closed = agg.join(last_sid, "user_id").where(F.col("sid") != F.col("last_sid"))
+        exp = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in closed.collect()
+        }
+        assert got == exp
+        assert len(exp) > 0
+
+
 class TestOsmXml:
     OSM = """<?xml version="1.0"?>
 <osm version="0.6">

@@ -56,6 +56,9 @@ def test_snapshot_isolation_and_rollback(spark, tmp_path):
     assert t.read(spark).count() == 10  # snapshot isolation via manifest files
     manifest = t.manifest()
     assert manifest["partitions"]["0"]["rows"] == 10
+    # time travel: read the newer snapshot by id without changing CURRENT
+    assert t.read(spark, r2["snapshot_id"]).count() == 30
+    assert t.current_snapshot_id() == r1["snapshot_id"]
 
 
 def test_geoparquet_footer_metadata(spark, tmp_path):
