@@ -31,13 +31,22 @@ def zonal_stats(
     zoom: int = 8,
     width: int = 16,
     height: int = 16,
+    cell_kind: str = "zxy",
+    hex_res: int = 8,
 ) -> DataFrame:
     """tiles(tile_x, tile_y, values array<double>, bounds struct<xmin,ymin,
     xmax,ymax>) → per-cell (mean, sum, count, min, max).
 
-    Pixel (r, c) center: x = xmin + (c+0.5)·(xmax−xmin)/W,
-                         y = ymax − (r+0.5)·(ymax−ymin)/H  (row 0 = top).
+    cell_kind: 'zxy' (quadkey) or 'hex' (the raster→H3 shape — pixels binned
+    into hex cells at `hex_res`). Pixel (r, c) center:
+    x = xmin + (c+0.5)·(xmax−xmin)/W, y = ymax − (r+0.5)·(ymax−ymin)/H.
     """
+    from ..functions.cells import hex_cell
+
+    def cell_fn(gx, gy):
+        if cell_kind == "hex":
+            return hex_cell(gy, gx, hex_res)
+        return zxy_cell(gx, gy, zoom)
 
     def per_tile(batches):
         for pdf in batches:
@@ -52,7 +61,7 @@ def zonal_stats(
                 xs = b["xmin"] + (np.arange(width) + 0.5) * (b["xmax"] - b["xmin"]) / width
                 ys = b["ymax"] - (np.arange(height) + 0.5) * (b["ymax"] - b["ymin"]) / height
                 gx, gy = np.meshgrid(xs, ys)
-                cells = zxy_cell(gx.ravel(), gy.ravel(), zoom)
+                cells = cell_fn(gx.ravel(), gy.ravel())
                 flat = vals.ravel()
                 order = np.argsort(cells, kind="stable")
                 sc = cells[order]

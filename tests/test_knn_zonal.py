@@ -68,6 +68,22 @@ def test_knn_no_self_match(spark, points):
     assert got.where((F.col("rank") == 1) & (F.col("dist_sq") <= 0)).count() == 0
 
 
+def test_zonal_stats_hex_cells(spark):
+    """raster→hex zonal: totals conserved, cells are valid hex ids."""
+    from ohsome_planet_spark.functions.cells import hex_cell, hex_decode
+
+    tiles = make_raster_tiles(spark, n_tiles_x=2, n_tiles_y=2, width=16, height=16)
+    got = zonal_stats(tiles, cell_kind="hex", hex_res=8).collect()
+    assert sum(r["px_count"] for r in got) == 2 * 2 * 16 * 16
+    res, _, _ = hex_decode(np.array([r["cell"] for r in got]))
+    assert (res == 8).all()
+    # spot-check one pixel's cell assignment
+    px_x = 0 + 0.5 / 16.0
+    px_y = 1 - 0.5 / 16.0
+    expected_cell = int(hex_cell(np.array([px_y]), np.array([px_x]), 8)[0])
+    assert expected_cell in {r["cell"] for r in got}
+
+
 def test_zonal_stats_closed_form(spark):
     tiles = make_raster_tiles(spark, n_tiles_x=2, n_tiles_y=2, width=16, height=16, tile_deg=1.0)
     # zoom 8: cell size = 360/256 = 1.40625° — tiles (1°) smaller than cells
