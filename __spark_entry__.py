@@ -451,7 +451,11 @@ def _q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies (inverted shingle index — no cross join)."""
     from ohsome_planet_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # cap the corpus: the Spark side is an inverted index (scales), but the
+    # DuckDB oracle is all-pairs (quadratic) — keep the gate tractable
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000).select(
+        "doc_id", "text"
+    )
     copies = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat("text", F.lit(" extra tail words appended here")).alias("text"),
@@ -842,11 +846,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
         "ngram_jaccard_dup": r"""
-            WITH corpus AS (
-              SELECT doc_id, text FROM documents
+            WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+            corpus AS (
+              SELECT doc_id, text FROM base
               UNION ALL
               SELECT doc_id + 100000 AS doc_id, text || ' extra tail words appended here' AS text
-              FROM documents
+              FROM base
             ),
             sh AS (
               SELECT doc_id,
