@@ -439,6 +439,97 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
     )
 
 
+def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
+    """Node contribution view (the TransformerNodes path): no members, point
+    geometry (K1 — empty for invisible/out-of-range), same converter
+    semantics (run collapse, minor versions, validity, deltas, status)."""
+    spark = nodes.sparkSession
+    bc = spark.sparkContext.broadcast(country_index) if country_index is not None else None
+
+    def merge_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        node_id = int(key[0])
+        raw = []
+        for r in pdf.sort_values(["version", "ts"]).itertuples():
+            lon, lat = float(r.lon), float(r.lat)
+            valid = -180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
+            raw.append(
+                {
+                    "ts": pd.Timestamp(r.ts),
+                    "changeset": int(r.changeset),
+                    "user_id": int(r.user_id),
+                    "user": r.user,
+                    "version": int(r.version),
+                    "visible": bool(r.visible),
+                    "tags": dict(r.tags) if r.tags is not None else {},
+                    "refs": [],
+                    # a node is its own single "member": reuse the way
+                    # converter's coordinate plumbing
+                    "members": [
+                        {
+                            "version": int(r.version),
+                            "visible": bool(r.visible) and valid,
+                            "lon": lon,
+                            "lat": lat,
+                        }
+                    ],
+                }
+            )
+        joiner = None
+        if bc is not None:
+            idx = bc.value
+
+            def joiner(geom_t):
+                return idx.join_geom(geom_t[0], geom_t[1])
+
+        rows = convert_contributions("node", node_id, raw, country_join=joiner)
+        for row in rows:
+            if row["geometry"] is None:
+                # nodeGeometry yields an EMPTY POINT for invalid coords
+                # (`ContributionGeometry.java:185-191`), not a linestring
+                row["geometry_type"] = "Point"
+        return pd.DataFrame(rows)
+
+    return nodes.groupBy("id").applyInPandas(merge_fn, CONTRIB_SCHEMA)
+
+
+def with_changeset_metadata(
+    contribs: DataFrame,
+    changesets: DataFrame,
+    changeset_col: str = "changeset",
+) -> DataFrame:
+    """J3 (`util/Utils.java:50-67`): broadcast left join of changeset
+    metadata with the reference's default record on miss (created_at =
+    epoch 0, num_changes = -1, empty tags → empty hashtags/editor)."""
+    from ..functions.text import hashtags_col
+
+    cs = changesets.select(
+        F.col("id").alias("_cs_id"),
+        F.col("created_at").alias("changeset_created_at"),
+        F.col("closed_at").alias("changeset_closed_at"),
+        F.col("num_changes").alias("changeset_num_changes"),
+        F.col("tags").alias("_cs_tags"),
+    )
+    joined = contribs.join(
+        F.broadcast(cs), contribs[changeset_col] == cs["_cs_id"], "left"
+    )
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return (
+        joined.withColumn(
+            "changeset_created_at", F.coalesce("changeset_created_at", epoch0)
+        )
+        .withColumn(
+            "changeset_num_changes",
+            F.coalesce("changeset_num_changes", F.lit(-1)).cast("int"),
+        )
+        .withColumn("changeset_editor", F.col("_cs_tags").getItem("created_by"))
+        .withColumn(
+            "changeset_hashtags",
+            hashtags_col(F.col("_cs_tags").getItem("hashtags"), F.col("_cs_tags").getItem("comment")),
+        )
+        .drop("_cs_id", "_cs_tags")
+    )
+
+
 def filter_by_tag_keys(df: DataFrame, keys: list[str], tags_col: str = "tags") -> DataFrame:
     """F2 (`util/Utils.java:25-32`, `--include-tags`): keep elements having at
     least one of `keys` among their tag keys — pure JVM expression."""

@@ -1,0 +1,102 @@
+"""Node contribution view + changeset metadata enrichment (J3)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ohsome_planet_spark.functions.pip_index import PolygonIndex
+from ohsome_planet_spark.functions.wkb import wkb_loads
+from ohsome_planet_spark.operators.history import (
+    node_contributions,
+    with_changeset_metadata,
+)
+from ohsome_planet_spark.sources.countries import fixture_features
+
+NODE_SCHEMA = (
+    "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+    "user string, visible boolean, tags map<string,string>, lon double, lat double"
+)
+
+
+def ts(s):
+    return pd.Timestamp(s, unit="s").to_pydatetime()
+
+
+@pytest.fixture(scope="module")
+def nodes(spark):
+    return spark.createDataFrame(
+        [
+            # node 1: created, moved, deleted
+            (1, 1, ts(10), 1, 1, "a", True, {"amenity": "cafe"}, 7.0, 12.0),
+            (1, 2, ts(20), 5, 2, "b", True, {"amenity": "cafe"}, 7.1, 12.1),
+            (1, 3, ts(30), 9, 3, "c", False, {}, 7.1, 12.1),
+            # node 2: out-of-range coords → invalid
+            (2, 1, ts(10), 1, 1, "a", True, {}, 999.0, 12.0),
+            # node 3: same version edited twice in one changeset → collapse
+            (3, 1, ts(10), 2, 1, "a", True, {}, 20.0, 15.0),
+            (3, 2, ts(11), 2, 1, "a", True, {}, 20.5, 15.5),
+        ],
+        NODE_SCHEMA,
+    )
+
+
+def test_node_contribution_semantics(spark, nodes):
+    idx = PolygonIndex(fixture_features(), grid_zoom=None)
+    got = {
+        (r["osm_id"], r["osm_edits"]): r
+        for r in node_contributions(nodes, country_index=idx).collect()
+    }
+    n1v1 = got[(1, 1)]
+    assert n1v1["geometry_type"] == "Point"
+    assert n1v1["contrib_type"] == "CREATION"
+    assert n1v1["status"] == "history"
+    assert wkb_loads(bytes(n1v1["geometry"]))[1] == (7.0, 12.0)
+    assert n1v1["countries"] == ["AAA"]
+    n1v2 = got[(1, 2)]
+    assert n1v2["contrib_type"] == "TAG_GEOMETRY"  # tags unchanged quirk + move
+    n1v3 = got[(1, 3)]
+    assert n1v3["status"] == "deleted"
+    assert n1v3["contrib_type"] == "DELETION"
+    assert bytes(n1v3["geometry"]) == bytes(n1v2["geometry"])  # carried
+
+    n2 = got[(2, 1)]
+    assert n2["status"] == "invalid"
+    assert n2["geometry_type"] == "Point" and n2["geometry"] is None
+    assert n2["xz_level"] == -1
+
+    # F6 collapses only same-(version, changeset) runs — node edits bump the
+    # version, so both rows emit even within one changeset
+    # (`ContributionsAvroConverter.java:67-74`)
+    n3a, n3b = got[(3, 1)], got[(3, 2)]
+    assert (n3a["osm_version"], n3b["osm_version"]) == (1, 2)
+    assert n3a["osm_minor_version"] == 0 and n3b["osm_minor_version"] == 0
+    assert pd.Timestamp(n3a["valid_to"]) == pd.Timestamp(n3b["valid_from"])
+    assert wkb_loads(bytes(n3b["geometry"]))[1] == (20.5, 15.5)
+
+
+def test_changeset_metadata_join_defaults(spark, nodes):
+    contribs = node_contributions(nodes)
+    changesets = spark.createDataFrame(
+        [
+            (1, ts(9), ts(12), 4, {"created_by": "EditorX 2.0", "comment": "fix #roads near http://x/#y"}),
+            (5, ts(19), None, 1, {"comment": "#Adding_Buildings"}),
+        ],
+        "id long, created_at timestamp_ntz, closed_at timestamp_ntz, "
+        "num_changes int, tags map<string,string>",
+    )
+    out = {
+        (r["osm_id"], r["changeset"]): r
+        for r in with_changeset_metadata(contribs, changesets).collect()
+    }
+    hit = out[(1, 1)]
+    assert hit["changeset_editor"] == "EditorX 2.0"
+    assert hit["changeset_hashtags"] == ["roads"]
+    assert hit["changeset_num_changes"] == 4
+    hit5 = out[(1, 5)]
+    assert hit5["changeset_hashtags"] == ["Adding_Buildings"]
+    # miss → default record (epoch 0, -1)
+    miss = out[(1, 9)]
+    assert miss["changeset_num_changes"] == -1
+    assert pd.Timestamp(miss["changeset_created_at"]) == pd.Timestamp(0, unit="s")
+    assert miss["changeset_editor"] is None
+    assert miss["changeset_hashtags"] == []
