@@ -362,6 +362,46 @@ def _geom_length(geom_t) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _merge_one_way(way_id: int, ways_pdf: pd.DataFrame, nodes_pdf: pd.DataFrame, joiner):
+    """Merge + convert a single way group (shared by both execution shapes)."""
+    ways_sorted = ways_pdf.sort_values(["version", "ts"])
+    majors = [
+        {
+            "version": int(r.version),
+            "ts": pd.Timestamp(r.ts),
+            "changeset": int(r.changeset),
+            "user_id": int(r.user_id),
+            "user": r.user,
+            "visible": bool(r.visible),
+            "tags": dict(r.tags) if r.tags is not None else {},
+            "refs": [int(x) for x in r.refs],
+        }
+        for r in ways_sorted.itertuples()
+    ]
+    hists: dict[int, _Hist] = {}
+    if nodes_pdf is not None and len(nodes_pdf):
+        for nid, grp in nodes_pdf.sort_values(["node_id", "version", "ts"]).groupby(
+            "node_id", sort=False
+        ):
+            hists[int(nid)] = _Hist(
+                [
+                    {
+                        "ts": pd.Timestamp(r.ts),
+                        "changeset": int(r.changeset),
+                        "user_id": int(r.user_id),
+                        "user": r.user,
+                        "version": int(r.version),
+                        "visible": bool(r.visible),
+                        "lon": float(r.lon),
+                        "lat": float(r.lat),
+                    }
+                    for r in grp.itertuples()
+                ]
+            )
+    raw = merge_contributions(majors, hists)
+    return convert_contributions("way", way_id, raw, country_join=joiner)
+
+
 def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> DataFrame:
     """Distributed temporal merge + conversion.
 
@@ -369,8 +409,15 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
     nodes: id, version, ts, changeset, user_id, user, visible, lon, lat
 
     Plan: explode way refs → distinct (way_id, node_id) ⋈ nodes (shuffle hash
-    join on node id — the RocksDB `minorNodes` analog) → cogroup with ways by
-    way id → applyInPandas merge+convert.
+    join on node id — the RocksDB `minorNodes` analog) → ways ∪ member rows
+    repartitioned by way id → `mapInPandas` with in-kernel pandas groupby.
+
+    The kernel groups WITHIN partitions instead of using per-key
+    applyInPandas: Spark's per-group apply costs ~ms per group, which at one
+    group per OSM element dominates everything (measured 5-20× slower). With
+    partition-level batching the per-group cost is one pandas groupby slice.
+    Partition memory is bounded by spark.sql.shuffle.partitions — size it so
+    elements-per-partition × history length fits (AQE coalescing applies).
     """
     spark = ways.sparkSession
     bc = spark.sparkContext.broadcast(country_index) if country_index is not None else None
@@ -385,43 +432,26 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
         "visible", "lon", "lat",
     )
 
-    def merge_fn(key, ways_pdf: pd.DataFrame, nodes_pdf: pd.DataFrame) -> pd.DataFrame:
-        way_id = int(key[0])
-        ways_sorted = ways_pdf.sort_values(["version", "ts"])
-        majors = [
-            {
-                "version": int(r.version),
-                "ts": pd.Timestamp(r.ts),
-                "changeset": int(r.changeset),
-                "user_id": int(r.user_id),
-                "user": r.user,
-                "visible": bool(r.visible),
-                "tags": dict(r.tags) if r.tags is not None else {},
-                "refs": [int(x) for x in r.refs],
-            }
-            for r in ways_sorted.itertuples()
-        ]
-        hists: dict[int, _Hist] = {}
-        if len(nodes_pdf):
-            for nid, grp in nodes_pdf.sort_values(["node_id", "version", "ts"]).groupby(
-                "node_id"
-            ):
-                hists[int(nid)] = _Hist(
-                    [
-                        {
-                            "ts": pd.Timestamp(r.ts),
-                            "changeset": int(r.changeset),
-                            "user_id": int(r.user_id),
-                            "user": r.user,
-                            "version": int(r.version),
-                            "visible": bool(r.visible),
-                            "lon": float(r.lon),
-                            "lat": float(r.lat),
-                        }
-                        for r in grp.itertuples()
-                    ]
-                )
-        raw = merge_contributions(majors, hists)
+    ways_packed = ways.select(
+        F.col("id").alias("way_id"),
+        F.lit("w").alias("kind"),
+        "version", "ts", "changeset", "user_id", "user", "visible",
+        "tags", "refs",
+        F.lit(None).cast("long").alias("node_id"),
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("double").alias("lat"),
+    )
+    nodes_packed = member_hist.select(
+        "way_id",
+        F.lit("n").alias("kind"),
+        "version", "ts", "changeset", "user_id", "user", "visible",
+        F.lit(None).cast("map<string,string>").alias("tags"),
+        F.lit(None).cast("array<long>").alias("refs"),
+        "node_id", "lon", "lat",
+    )
+    packed = ways_packed.unionByName(nodes_packed).repartition("way_id")
+
+    def partition_fn(batches):
         joiner = None
         if bc is not None:
             idx = bc.value
@@ -429,14 +459,85 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
             def joiner(geom_t):
                 return idx.join_geom(geom_t[0], geom_t[1])
 
-        rows = convert_contributions("way", way_id, raw, country_join=joiner)
-        return pd.DataFrame(rows)
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        # one partition-wide presort + column extraction: per-group work is
+        # then pure-python slice walking (no pandas per group)
+        pdf = pdf.sort_values(
+            ["way_id", "kind", "node_id", "version", "ts"], kind="stable"
+        )
+        way_id_a = pdf["way_id"].to_numpy()
+        kind_a = pdf["kind"].to_numpy()
+        node_id_a = pdf["node_id"].to_numpy()
+        version_a = pdf["version"].to_numpy()
+        ts_a = pdf["ts"].to_list()
+        cs_a = pdf["changeset"].to_numpy()
+        uid_a = pdf["user_id"].to_numpy()
+        user_a = pdf["user"].to_numpy()
+        vis_a = pdf["visible"].to_numpy()
+        tags_a = pdf["tags"].to_numpy()
+        refs_a = pdf["refs"].to_numpy()
+        lon_a = pdf["lon"].to_numpy()
+        lat_a = pdf["lat"].to_numpy()
 
-    return (
-        ways.groupBy("id")
-        .cogroup(member_hist.groupBy("way_id"))
-        .applyInPandas(merge_fn, CONTRIB_SCHEMA)
-    )
+        n = len(pdf)
+        cuts = np.nonzero(way_id_a[1:] != way_id_a[:-1])[0] + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+
+        out_rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            majors = []
+            hists: dict[int, _Hist] = {}
+            cur_nid = None
+            cur_rows: list[dict] | None = None
+            for i in range(s, e):
+                if kind_a[i] == "n":
+                    nid = int(node_id_a[i])
+                    if nid != cur_nid:
+                        cur_rows = []
+                        hists[nid] = _Hist(cur_rows)
+                        cur_nid = nid
+                    cur_rows.append(
+                        {
+                            "ts": pd.Timestamp(ts_a[i]),
+                            "changeset": int(cs_a[i]),
+                            "user_id": int(uid_a[i]),
+                            "user": user_a[i],
+                            "version": int(version_a[i]),
+                            "visible": bool(vis_a[i]),
+                            "lon": float(lon_a[i]),
+                            "lat": float(lat_a[i]),
+                        }
+                    )
+                else:
+                    majors.append(
+                        {
+                            "version": int(version_a[i]),
+                            "ts": pd.Timestamp(ts_a[i]),
+                            "changeset": int(cs_a[i]),
+                            "user_id": int(uid_a[i]),
+                            "user": user_a[i],
+                            "visible": bool(vis_a[i]),
+                            "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
+                            "refs": [int(x) for x in refs_a[i]],
+                        }
+                    )
+            if not majors:
+                continue
+            majors.sort(key=lambda m: (m["version"], m["ts"]))
+            raw = merge_contributions(majors, hists)
+            out_rows.extend(
+                convert_contributions("way", int(way_id_a[s]), raw, country_join=joiner)
+            )
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return packed.mapInPandas(partition_fn, CONTRIB_SCHEMA)
 
 
 def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
@@ -446,34 +547,9 @@ def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
     spark = nodes.sparkSession
     bc = spark.sparkContext.broadcast(country_index) if country_index is not None else None
 
-    def merge_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        node_id = int(key[0])
-        raw = []
-        for r in pdf.sort_values(["version", "ts"]).itertuples():
-            lon, lat = float(r.lon), float(r.lat)
-            valid = -180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
-            raw.append(
-                {
-                    "ts": pd.Timestamp(r.ts),
-                    "changeset": int(r.changeset),
-                    "user_id": int(r.user_id),
-                    "user": r.user,
-                    "version": int(r.version),
-                    "visible": bool(r.visible),
-                    "tags": dict(r.tags) if r.tags is not None else {},
-                    "refs": [],
-                    # a node is its own single "member": reuse the way
-                    # converter's coordinate plumbing
-                    "members": [
-                        {
-                            "version": int(r.version),
-                            "visible": bool(r.visible) and valid,
-                            "lon": lon,
-                            "lat": lat,
-                        }
-                    ],
-                }
-            )
+    repartitioned = nodes.repartition("id")
+
+    def partition_fn(batches):
         joiner = None
         if bc is not None:
             idx = bc.value
@@ -481,15 +557,65 @@ def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
             def joiner(geom_t):
                 return idx.join_geom(geom_t[0], geom_t[1])
 
-        rows = convert_contributions("node", node_id, raw, country_join=joiner)
-        for row in rows:
-            if row["geometry"] is None:
-                # nodeGeometry yields an EMPTY POINT for invalid coords
-                # (`ContributionGeometry.java:185-191`), not a linestring
-                row["geometry_type"] = "Point"
-        return pd.DataFrame(rows)
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["id", "version", "ts"], kind="stable"
+        )
+        id_a = pdf["id"].to_numpy()
+        version_a = pdf["version"].to_numpy()
+        ts_a = pdf["ts"].to_list()
+        cs_a = pdf["changeset"].to_numpy()
+        uid_a = pdf["user_id"].to_numpy()
+        user_a = pdf["user"].to_numpy()
+        vis_a = pdf["visible"].to_numpy()
+        tags_a = pdf["tags"].to_numpy()
+        lon_a = pdf["lon"].to_numpy()
+        lat_a = pdf["lat"].to_numpy()
+        n = len(pdf)
+        cuts = np.nonzero(id_a[1:] != id_a[:-1])[0] + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+        out_rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            raw = []
+            for i in range(s, e):
+                lon, lat = float(lon_a[i]), float(lat_a[i])
+                valid = -180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
+                raw.append(
+                    {
+                        "ts": pd.Timestamp(ts_a[i]),
+                        "changeset": int(cs_a[i]),
+                        "user_id": int(uid_a[i]),
+                        "user": user_a[i],
+                        "version": int(version_a[i]),
+                        "visible": bool(vis_a[i]),
+                        "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
+                        "refs": [],
+                        # a node is its own single "member": reuse the way
+                        # converter's coordinate plumbing
+                        "members": [
+                            {
+                                "version": int(version_a[i]),
+                                "visible": bool(vis_a[i]) and valid,
+                                "lon": lon,
+                                "lat": lat,
+                            }
+                        ],
+                    }
+                )
+            rows = convert_contributions("node", int(id_a[s]), raw, country_join=joiner)
+            for row in rows:
+                if row["geometry"] is None:
+                    # nodeGeometry yields an EMPTY POINT for invalid coords
+                    # (`ContributionGeometry.java:185-191`), not a linestring
+                    row["geometry_type"] = "Point"
+            out_rows.extend(rows)
+        if out_rows:
+            yield pd.DataFrame(out_rows)
 
-    return nodes.groupBy("id").applyInPandas(merge_fn, CONTRIB_SCHEMA)
+    return repartitioned.mapInPandas(partition_fn, CONTRIB_SCHEMA)
 
 
 def with_changeset_metadata(

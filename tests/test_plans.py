@@ -83,4 +83,7 @@ def test_history_merge_is_cogroup_not_join_explosion(spark):
         "user string, visible boolean, lon double, lat double",
     )
     plan = physical(way_contributions(ways, nodes))
-    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+    # one shuffle to the way id, then a partition-level Arrow kernel — no
+    # per-key apply machinery, no row-explosion join of histories
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
