@@ -1,0 +1,111 @@
+"""Property-based kernel tests (hypothesis): codecs round-trip, cell indexes
+are consistent, PIP respects containment invariants."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ohsome_planet_spark.functions import cells as C
+from ohsome_planet_spark.functions import geometry_np as gnp
+from ohsome_planet_spark.functions.wkb import wkb_dumps, wkb_loads
+from ohsome_planet_spark.functions.wkt import wkt_dumps, wkt_loads
+
+lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+coords = st.tuples(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(lambda x: round(x, 6)),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(lambda x: round(x, 6)),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(coords, min_size=2, max_size=30))
+def test_wkb_linestring_roundtrip(pts):
+    geom = ("LineString", np.asarray(pts, np.float64))
+    back = wkb_loads(wkb_dumps(geom))
+    assert back[0] == "LineString"
+    np.testing.assert_array_equal(back[1], np.asarray(pts, np.float64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(coords, min_size=3, max_size=20))
+def test_wkt_polygon_roundtrip(pts):
+    ring = pts + [pts[0]]
+    geom = ("Polygon", [np.asarray(ring, np.float64)])
+    back = wkt_loads(wkt_dumps(geom))
+    assert back[0] == "Polygon"
+    np.testing.assert_allclose(back[1][0], np.asarray(ring, np.float64), rtol=0, atol=0)
+
+
+@settings(max_examples=300, deadline=None)
+@given(lons, lats)
+def test_zxy_cell_contains_point(lon, lat):
+    for z in (4, 10):
+        cell = C.zxy_cell(np.asarray([lon]), np.asarray([lat]), z)
+        x0, y0, x1, y1 = C.zxy_cell_bounds(cell)
+        # tolerance both sides: values within a rounding ulp of a cell edge
+        # legitimately bin to the neighboring cell (FP floor semantics — the
+        # SQL oracle bins identically)
+        assert x0[0] - 1e-9 <= lon <= x1[0] + 1e-9
+        assert y0[0] - 1e-9 <= lat <= y1[0] + 1e-9
+
+
+@settings(max_examples=300, deadline=None)
+@given(lons, lats)
+def test_s2_parent_consistency(lon, lat):
+    la = np.asarray([lat])
+    lo = np.asarray([lon])
+    c20 = C.s2_cell_id(la, lo, 20)
+    for lvl in (4, 10, 16):
+        assert C.s2_parent(c20, lvl)[0] == C.s2_cell_id(la, lo, lvl)[0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=-179.0, max_value=179.0, allow_nan=False),
+    st.floats(min_value=-89.0, max_value=89.0, allow_nan=False),
+    st.floats(min_value=1e-6, max_value=0.5, allow_nan=False),
+    st.floats(min_value=1e-6, max_value=0.5, allow_nan=False),
+)
+def test_xz2_bbox_level_bounds(lon, lat, w, h):
+    level, code = C.xz2_code(
+        np.asarray([lon]), np.asarray([lat]), np.asarray([lon + w]), np.asarray([lat + h])
+    )
+    assert 0 <= level[0] <= 16
+    assert code[0] >= 0
+    # enlarging the box can only coarsen the level
+    level2, _ = C.xz2_code(
+        np.asarray([lon]), np.asarray([lat]),
+        np.asarray([min(lon + 4 * w, 180.0)]), np.asarray([min(lat + 4 * h, 90.0)]),
+    )
+    assert level2[0] <= level[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=-50.0, max_value=50.0),
+    st.floats(min_value=-50.0, max_value=50.0),
+    st.floats(min_value=0.1, max_value=20.0),
+    st.floats(min_value=0.1, max_value=20.0),
+    st.lists(st.tuples(st.floats(-60, 60), st.floats(-60, 60)), min_size=1, max_size=20),
+)
+def test_pip_rectangle_agrees_with_bounds(x0, y0, w, h, pts):
+    rx = np.asarray([x0, x0 + w, x0 + w, x0, x0])
+    ry = np.asarray([y0, y0, y0 + h, y0 + h, y0])
+    px = np.asarray([p[0] for p in pts])
+    py = np.asarray([p[1] for p in pts])
+    got = gnp.points_in_polygon(px, py, [(rx, ry)])
+    exp = (px >= x0) & (px <= x0 + w) & (py >= y0) & (py <= y0 + h)
+    assert (got == exp).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons)
+def test_hex_center_roundtrip_prop(lat, lon):
+    for res in (7, 9):
+        cell = C.hex_cell(np.asarray([lat]), np.asarray([lon]), res)
+        clat, clon = C.hex_center(cell)
+        again = C.hex_cell(clat, clon, res)
+        assert again[0] == cell[0]
