@@ -492,8 +492,11 @@ def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_way_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal minor-version merge (J6/J7 + W1-W9) over micro-histories
-    derived from events — the applyInPandas queue merge is not
-    SQL-expressible; rows-only check (pytest goldens cover semantics)."""
+    derived from events. For THIS input class (per-member edit streams with
+    unique timestamps, single major version) the queue merge provably
+    reduces to run-grouping over the (ts, cs)-sorted union of member edits
+    with cs==major-cs prefix absorption — which the DuckDB oracle replays in
+    SQL, value-checking the engine's priority-queue kernel end to end."""
     from pyspark.sql.window import Window
 
     from ohsome_planet_spark.operators.history import way_contributions
@@ -867,6 +870,81 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               WHERE len(list_intersect(a.s, b.s)) > 0
             ) WHERE jaccard >= 0.3
+        """,
+        "way_history": """
+WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
+nodes AS (
+  SELECT event_id % 100 AS node_id,
+         row_number() OVER (PARTITION BY event_id % 100 ORDER BY ts, event_id) AS version,
+         ts, event_id % 17 AS cs
+  FROM ev
+),
+ways AS (SELECT range AS way_id FROM range(0, 20)),
+refs AS (
+  SELECT way_id, way_id * 2 AS node_id FROM ways
+  UNION ALL SELECT way_id, way_id * 2 + 1 FROM ways
+  UNION ALL SELECT way_id, way_id * 2 + 50 FROM ways
+),
+member_edits AS (
+  SELECT r.way_id, n.node_id, n.version, n.ts, n.cs
+  FROM refs r JOIN nodes n USING (node_id)
+),
+-- as-of absorption at the major version: maximal per-member version prefix
+-- sharing the major's changeset (ContributionsEntity.initMembers:89-93)
+flagged AS (
+  SELECT *, CASE WHEN min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY way_id, node_id ORDER BY version
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 1 ELSE 0 END AS absorbed
+  FROM member_edits
+),
+remaining AS (SELECT * FROM flagged WHERE absorbed = 0),
+-- the priority-queue merge over ts-sorted member streams equals run-grouping
+-- of the (ts, cs)-sorted union (timestamps unique by construction); each run
+-- of equal changeset = one minor version stamped at the run's last edit
+runs AS (
+  SELECT way_id, ts, cs,
+         sum(CASE WHEN cs = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY way_id ORDER BY ts, cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT way_id, ts, cs,
+               lag(cs) OVER (PARTITION BY way_id ORDER BY ts, cs) AS prev_cs
+        FROM remaining)
+),
+run_agg AS (SELECT way_id, run_id, max(ts) AS end_ts, min(cs) AS cs FROM runs GROUP BY way_id, run_id),
+major_snap AS (SELECT way_id, count(DISTINCT node_id) AS n_snap FROM flagged WHERE absorbed = 1 GROUP BY way_id),
+run_snap AS (
+  SELECT ra.way_id, ra.run_id, count(DISTINCT me.node_id) AS n_snap
+  FROM run_agg ra JOIN flagged me
+    ON me.way_id = ra.way_id AND (me.absorbed = 1 OR me.ts <= ra.end_ts)
+  GROUP BY ra.way_id, ra.run_id
+),
+majors AS (
+  SELECT w.way_id, 0 AS run_id, TIMESTAMP '2020-01-01' AS valid_from, 1::BIGINT AS changeset,
+         coalesce(ms.n_snap, 0) AS n_snap
+  FROM ways w LEFT JOIN major_snap ms ON ms.way_id = w.way_id
+),
+minors AS (
+  SELECT ra.way_id, ra.run_id, ra.end_ts AS valid_from, ra.cs::BIGINT AS changeset,
+         coalesce(rs.n_snap, 0) AS n_snap
+  FROM run_agg ra JOIN run_snap rs ON rs.way_id = ra.way_id AND rs.run_id = ra.run_id
+),
+contribs AS (SELECT * FROM majors UNION ALL SELECT * FROM minors),
+numbered AS (
+  SELECT way_id AS osm_id, 1 AS osm_version,
+         CAST(row_number() OVER w - 1 AS INT) AS osm_minor_version,
+         CAST(row_number() OVER w AS INT) AS osm_edits,
+         changeset, valid_from,
+         coalesce(lead(valid_from) OVER w, TIMESTAMP '2222-01-01') AS valid_to,
+         CASE WHEN lead(valid_from) OVER w IS NULL THEN 'latest' ELSE 'history' END AS base_status,
+         n_snap
+  FROM contribs
+  WINDOW w AS (PARTITION BY way_id ORDER BY run_id)
+)
+SELECT osm_id, osm_version, osm_minor_version, osm_edits, changeset, valid_from, valid_to,
+       CASE WHEN n_snap = 0 THEN 'invalid' ELSE base_status END AS status,
+       CASE WHEN n_snap = 1 THEN 'Point' ELSE 'LineString' END AS geometry_type
+FROM numbered
         """,
         "zonal_stats": _ZONAL_ORACLE_SQL,
         "revenue_by_nation": """
