@@ -257,6 +257,69 @@ def _q_xz2_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_xz2_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 full semantics (`util/XZCode.java:34-52`): XZ2 of EXTENDED boxes —
+    extent-driven level selection (l1 vs l1+1 enlargement predicate) plus the
+    quadrant-sequence code, oracle-replayed with unrolled bit arithmetic."""
+    from ohsome_planet_spark.operators.tiling import xz2_bbox_udf
+
+    ev = _t(spark, sf_dir, "events")
+    boxes = ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 900) / 20.0).alias("x0"),
+        ((F.col("event_id") * 104729 % 900) / 20.0).alias("y0"),
+        ((F.col("event_id") % 40) / 8.0).alias("dx"),
+        (((F.col("event_id") / 7).cast("long") % 40) / 8.0).alias("dy"),
+    )
+    xz = xz2_bbox_udf(16)(
+        F.col("x0"), F.col("y0"), F.col("x0") + F.col("dx"), F.col("y0") + F.col("dy")
+    )
+    return boxes.select("event_id", xz.getField("level").alias("level"), xz.getField("code").alias("code"))
+
+
+def _xz2_bbox_oracle_sql(g: int = 16) -> str:
+    n_elem = [(4 ** (g - i) - 1) // 3 for i in range(g)]
+    terms = []
+    for i in range(g):
+        p = 1 << (i + 1)
+        bx = f"(CAST(floor(xn * {p}) AS BIGINT) % 2)"
+        by = f"(CAST(floor(yn * {p}) AS BIGINT) % 2)"
+        terms.append(f"CASE WHEN {i} < length THEN ({bx} + 2 * {by}) * {n_elem[i]} ELSE 0 END")
+    code_expr = " + ".join(terms) + " + length"
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         (event_id * 7919 % 900) / 20.0 AS x0,
+         (event_id * 104729 % 900) / 20.0 AS y0,
+         (event_id % 40) / 8.0 AS dx,
+         ((event_id // 7) % 40) / 8.0 AS dy
+  FROM events
+),
+norm AS (
+  SELECT event_id,
+         (180.0 + x0) / 360.0 AS xn, (90.0 + y0) / 360.0 AS yn,
+         (180.0 + x0 + dx) / 360.0 AS xm, (90.0 + y0 + dy) / 360.0 AS ym
+  FROM pts
+),
+lvl AS (
+  SELECT event_id, xn, yn, xm, ym,
+         CASE WHEN greatest(xm - xn, ym - yn) <= 0 THEN {g}
+              ELSE CAST(floor(ln(greatest(xm - xn, ym - yn)) / ln(0.5)) AS BIGINT) END AS l1
+  FROM norm
+),
+len_sel AS (
+  SELECT event_id, xn, yn,
+         CASE WHEN l1 >= {g} THEN {g}
+              WHEN xm <= floor(xn / pow(0.5, least(l1 + 1, {g}))) * pow(0.5, least(l1 + 1, {g})) + 2 * pow(0.5, least(l1 + 1, {g}))
+                   AND ym <= floor(yn / pow(0.5, least(l1 + 1, {g}))) * pow(0.5, least(l1 + 1, {g})) + 2 * pow(0.5, least(l1 + 1, {g}))
+              THEN least(l1 + 1, {g})
+              ELSE l1 END AS length
+  FROM lvl
+)
+SELECT event_id, CAST(length AS INT) AS level, CAST({code_expr} AS BIGINT) AS code FROM len_sel
+"""
+
+
 def _q_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 (`ChangesetHashtags.java:19-34`): URL-strip, #-extract, len≥2,
     non-numeric, distinct, sorted — one row per (event, tag)."""
@@ -680,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign_zxy": _q_cell_assign_zxy,
         "cell_counts_salted": _q_cell_counts_salted,
         "xz2_points": _q_xz2_points,
+        "xz2_bbox": _q_xz2_bbox,
         "hashtags": _q_hashtags,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
@@ -788,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
             WITH pts AS ({_POINTS_SQL})
             SELECT event_id, {_xz2_oracle_expr(16)} AS xz2_code FROM pts
         """,
+        "xz2_bbox": _xz2_bbox_oracle_sql(16),
         "hashtags": r"""
             SELECT event_id, unnest(tags) AS tag FROM (
               SELECT event_id,

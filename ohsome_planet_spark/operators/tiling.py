@@ -64,6 +64,29 @@ def xz2_point_udf(g: int = 16):
     return _series_udf(lambda lat, lon: C.xz2_point(lon, lat, g))
 
 
+def xz2_bbox_udf(g: int = 16):
+    """(xmin, ymin, xmax, ymax) → struct<level:int, code:long> — the full
+    Böhm XZ2 with extent-driven level selection (`util/XZCode.java:34-52`)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [StructField("level", IntegerType()), StructField("code", LongType())]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.DataFrame:
+        level, code = C.xz2_code(
+            xmin.to_numpy(np.float64),
+            ymin.to_numpy(np.float64),
+            xmax.to_numpy(np.float64),
+            ymax.to_numpy(np.float64),
+            g=g,
+        )
+        return pd.DataFrame({"level": level, "code": code})
+
+    return udf
+
+
 def with_cells(
     df: DataFrame,
     lon_col: str = "lon",

@@ -128,3 +128,48 @@ def read_changeset_xml(spark: SparkSession, path: str | Path) -> DataFrame:
         (r["id"], r["created_at"], r["closed_at"], r["num_changes"], r["tags"]) for r in rows
     ]
     return spark.createDataFrame(data, CHANGESET_SCHEMA)
+
+
+def read_changeset_xml_bz2(spark: SparkSession, path: str | Path) -> DataFrame:
+    """S10 (`PBZ2Reader.java:13-111`): bz2-compressed changeset dumps.
+
+    The reference hand-rolls a parallel BZh-block splitter; Spark's Hadoop
+    bzip2 codec is already splittable, so `spark.read.text` gives distributed
+    decompression for free — tasks then regroup `<changeset ...>` element
+    spans and parse them (elements never nest, so line-spans regroup safely).
+    """
+    lines = spark.read.text(str(path))
+
+    def parse_partition(batches):
+        import pandas as pd
+
+        buf: list[str] = []
+        rows = []
+        inside = False
+        for pdf in batches:
+            for line in pdf["value"]:
+                s = line.strip()
+                if "<changeset" in s:
+                    inside = True
+                    buf = [s]
+                    # self-closing single-line element
+                    if s.endswith("/>"):
+                        rows.extend(parse_changeset_xml("<osm>" + s + "</osm>"))
+                        inside = False
+                    continue
+                if inside:
+                    buf.append(s)
+                    if "</changeset>" in s:
+                        rows.extend(
+                            parse_changeset_xml("<osm>" + "\n".join(buf) + "</osm>")
+                        )
+                        inside = False
+        yield pd.DataFrame(
+            [
+                (r["id"], r["created_at"], r["closed_at"], r["num_changes"], r["tags"])
+                for r in rows
+            ],
+            columns=["id", "created_at", "closed_at", "num_changes", "tags"],
+        )
+
+    return lines.mapInPandas(parse_partition, CHANGESET_SCHEMA)

@@ -179,6 +179,26 @@ class TestOsmXml:
         assert rows[10]["tags"]["created_by"] == "TestEditor 1.0"
         assert hashtags_py(None, rows[10]["tags"]["comment"]) == ["hotosm-task"]
 
+    def test_changeset_bz2_source(self, spark, tmp_path):
+        """S10: bz2 changeset dump read via the splittable Hadoop codec."""
+        import bz2
+
+        from ohsome_planet_spark.sources.osm_xml import read_changeset_xml_bz2
+
+        body = "\n".join(
+            f'<changeset id="{i}" created_at="2020-01-0{1 + i % 9}T00:00:00Z" '
+            f'num_changes="{i}">\n  <tag k="comment" v="edit #{i} #batch{i % 3}x"/>\n</changeset>'
+            for i in range(1, 200)
+        )
+        xml = f"<osm>\n{body}\n</osm>\n"
+        p = tmp_path / "changesets.osm.bz2"
+        p.write_bytes(bz2.compress(xml.encode()))
+        df = read_changeset_xml_bz2(spark, p)
+        rows = {r["id"]: r for r in df.collect()}
+        assert len(rows) == 199
+        assert rows[5]["num_changes"] == 5
+        assert rows[5]["tags"]["comment"] == "edit #5 #batch2x"
+
     def test_xml_feeds_relation_pipeline(self, spark, tmp_path):
         """Reference test-harness flow: data.osm → geometry build (§3.3)."""
         osm = """<?xml version="1.0"?>
