@@ -988,8 +988,22 @@ def relation_contributions(
     )
     members_packed = ways_packed.unionByName(nodes_packed)
 
-    def merge_fn(key, rels_pdf: pd.DataFrame, members_pdf: pd.DataFrame) -> pd.DataFrame:
-        rel_id = int(key[0])
+    # relations ride in the same frame (kind='rel'), so one repartition to
+    # the relation id feeds a partition-level kernel (same shape as the
+    # node/way operators — per-key applyInPandas machinery is the bottleneck)
+    rels_packed = relations.select(
+        F.col("id").alias("rel_id"),
+        F.lit("rel").alias("kind"),
+        F.col("id").alias("member_id"),
+        "version", "ts", "changeset", "user_id", "user", "visible",
+        "tags",
+        F.lit(None).cast("array<long>").alias("refs"),
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("double").alias("lat"),
+        F.col("members").alias("rel_member_list"),
+    )
+
+    def merge_one_relation(rel_id: int, rels_pdf: pd.DataFrame, members_pdf: pd.DataFrame, joiner) -> list[dict]:
         node_hists: dict[int, _Hist] = {}
         way_rows: dict[int, list] = {}
         if len(members_pdf):
@@ -1036,7 +1050,7 @@ def relation_contributions(
                 "tags": dict(r.tags) if r.tags is not None else {},
                 "refs": [
                     (m["type"], int(m["id"]), m["role"] or "")
-                    for m in (r.members if r.members is not None else [])
+                    for m in (r.rel_member_list if r.rel_member_list is not None else [])
                 ],
             }
             for r in rels_pdf.sort_values(["version", "ts"]).itertuples()
@@ -1061,6 +1075,14 @@ def relation_contributions(
                 }
                 for ref, snap in zip(c["refs"], c["members"])
             ]
+        return convert_relation_contributions(rel_id, raw, country_join=joiner)
+
+    all_packed = members_packed.withColumn(
+        "rel_member_list",
+        F.lit(None).cast("array<struct<type:string, id:long, role:string>>"),
+    ).unionByName(rels_packed).repartition("rel_id")
+
+    def partition_fn(batches):
         joiner = None
         if bc is not None:
             idx = bc.value
@@ -1068,11 +1090,20 @@ def relation_contributions(
             def joiner(geom_t):
                 return idx.join_geom(geom_t[0], geom_t[1])
 
-        rows = convert_relation_contributions(rel_id, raw, country_join=joiner)
-        return pd.DataFrame(rows)
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        out_rows: list[dict] = []
+        for rel_id, grp in pdf.groupby("rel_id", sort=False):
+            rels = grp[grp["kind"] == "rel"]
+            if not len(rels):
+                continue
+            members = grp[grp["kind"] != "rel"]
+            out_rows.extend(merge_one_relation(int(rel_id), rels, members, joiner))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
 
-    return (
-        relations.groupBy("id")
-        .cogroup(members_packed.groupBy("rel_id"))
-        .applyInPandas(merge_fn, REL_CONTRIB_SCHEMA)
-    )
+    return all_packed.mapInPandas(partition_fn, REL_CONTRIB_SCHEMA)
