@@ -527,6 +527,43 @@ def _q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, threshold=0.3)
 
 
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5 base hash) per document — the (a·h+b) mod p
+    min-over-shingles arithmetic is replayed exactly in the DuckDB oracle."""
+    from ohsome_planet_spark.operators.dedup import minhash_signature_col
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    sig = minhash_signature_col(F.col("text"), num_hashes=8, shingle_n=3, hash_mode="md5")
+    return docs.select(
+        "doc_id", F.posexplode(sig).alias("h_idx", "sig")
+    ).where(F.col("sig").isNotNull())
+
+
+def _minhash_oracle_sql(num_hashes: int = 8) -> str:
+    from ohsome_planet_spark.operators.dedup import MERSENNE, _hash_params
+
+    params = _hash_params(num_hashes)
+    branches = " UNION ALL ".join(
+        f"""SELECT doc_id, {i} AS h_idx,
+            list_min(list_transform(sh, s ->
+              ({a} * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {MERSENNE}) + {b}) % {MERSENNE}
+            )) AS sig
+            FROM shingled"""
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        shingled AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(w) - 2),
+                                i -> array_to_string(w[i:i+2], ' ')) AS sh
+          FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM docs)
+          WHERE len(w) >= 3
+        )
+        SELECT doc_id, h_idx, sig FROM ({branches}) WHERE sig IS NOT NULL
+    """
+
+
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (Arrow kernel + pigeonhole block join) — no SQL
     oracle (bit-vote kernel not SQL-expressible); rows-only check."""
@@ -752,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign_s2": _q_cell_assign_s2,
         "knn_grid": _q_knn_grid,
         "ngram_jaccard_dup": _q_ngram_jaccard_dup,
+        "minhash_signatures": _q_minhash_signatures,
         "simhash_near_dup": _q_simhash_near_dup,
         "embedding_ann": _q_embedding_ann,
         "way_history": _q_way_history,
@@ -936,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(list_intersect(a.s, b.s)) > 0
             ) WHERE jaccard >= 0.3
         """,
+        "minhash_signatures": _minhash_oracle_sql(8),
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

@@ -59,11 +59,22 @@ def _hash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature_col(text_c: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """array<long> MinHash signature, all-JVM: xxhash64 per shingle, then
-    min over (a*h+b) mod p per hash function."""
+def minhash_signature_col(
+    text_c: Column, num_hashes: int = 32, shingle_n: int = 3, hash_mode: str = "xxhash64"
+) -> Column:
+    """array<long> MinHash signature, all-JVM: a base hash per shingle, then
+    min over (a*h+b) mod p per hash function.
+
+    hash_mode 'xxhash64' (fastest, JVM-native) or 'md5' (engine-portable:
+    int(md5[:15], 16) — DuckDB computes the identical value, enabling an
+    exact cross-engine oracle)."""
     sh = shingles_col(text_c, shingle_n)
-    base = F.transform(sh, lambda s: F.xxhash64(s))
+    if hash_mode == "md5":
+        base = F.transform(
+            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        base = F.transform(sh, lambda s: F.xxhash64(s))
     sigs = []
     for a, b in _hash_params(num_hashes):
         sigs.append(
