@@ -166,6 +166,28 @@ def test_touching_inner_rings_merge_via_difference():
     assert total == pytest.approx(82.0)
 
 
+def test_poly_fixture_700():
+    # reference poly/ fixture (osm-geometry/src/test/resources/poly/):
+    # single closed way 700800 → one-polygon multipolygon
+    way = [(7.01, 1.01), (7.01, 1.04), (7.04, 1.04), (7.04, 1.01), (7.01, 1.01)]
+    got = build_multipolygon([way], [])
+    assert norm_mp(got) == mp_from_wkt(
+        "MULTIPOLYGON(((7.01 1.01,7.01 1.04,7.04 1.04,7.04 1.01,7.01 1.01)))"
+    )
+
+
+def test_polygon_feature_rules():
+    # ConributionGeometryTest.testPolygonFeatureLoading parity
+    from ohsome_planet_spark.functions.waygeom import test_polygon_feature as tpf
+
+    assert tpf("building", "yes")
+    assert tpf("natural", "meadow")
+    assert tpf("waterway", "dock")
+    assert not tpf("surface", "asphalt")
+    assert not tpf("highway", "primary")
+    assert not tpf("natural", "coastline")
+
+
 # -- synthesized cases (FIXTURES.md §5) --------------------------------------
 
 
