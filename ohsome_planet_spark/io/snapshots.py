@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from pathlib import Path
 
@@ -102,43 +103,68 @@ class SnapshotTable:
     ) -> dict:
         """Write df partitioned by `partition_col`; commit a new snapshot.
 
+        SINGLE PASS over df: already-committed partitions are excluded by a
+        pushed-down filter, the remainder is written once with
+        `partitionBy` to a staging root, and the commit loop only moves
+        files (row counts come from parquet footers — no re-read). The
+        upstream DAG therefore executes exactly once, matching the
+        reference's one-pass progress/ → contributions/ finalize
+        (`Transformer.java:168-225`).
+
         only_missing=True → partitions already committed are skipped
         (idempotent resume: a re-run after a failure writes only the
-        remainder). fail_partitions injects failures mid-write for tests.
+        remainder); `skipped` reports the committed partitions that were
+        not recomputed. fail_partitions injects failures mid-commit for
+        tests (nothing is committed on failure — the manifest is atomic).
         Returns {snapshot_id, written, skipped}.
         """
-        spark = df.sparkSession
-        committed = self.committed_partitions() if only_missing else {}
-        values = [r[0] for r in df.select(partition_col).distinct().collect()]
-        todo = [v for v in values if str(v) not in committed]
-        skipped = [v for v in values if str(v) in committed]
+        import pyarrow.parquet as pq
 
-        new_parts: dict[str, dict] = {}
+        committed = self.committed_partitions() if only_missing else {}
         batch = uuid.uuid4().hex[:8]
-        for v in sorted(todo, key=str):
-            if fail_partitions and v in fail_partitions:
-                raise RuntimeError(f"injected failure writing partition {v}")
-            part_dir = self.root / "data" / f"{partition_col}={v}"
-            staging = self.root / "data" / f"_staging-{batch}-{v}"
-            part_df = df.where(F.col(partition_col) == F.lit(v))
-            part_df.write.mode("overwrite").parquet(str(staging))
-            rows = spark.read.parquet(str(staging)).count()
-            part_dir.mkdir(parents=True, exist_ok=True)
-            files = []
-            for f in sorted(staging.glob("*.parquet")):
-                dest = part_dir / f"snap-{batch}-{f.name}"
-                f.rename(dest)
-                files.append(str(dest.relative_to(self.root)))
-            for leftover in staging.glob("*"):
-                leftover.unlink()
-            staging.rmdir()
-            new_parts[str(v)] = {
-                "files": files,
-                "rows": rows,
-                "metrics": (metrics or {}).get(str(v), {}),
-            }
+        staging_root = self.root / "data" / f"_staging-{batch}"
+        part_key = "__snap_part"
+
+        work = df
+        if committed:
+            work = work.where(
+                ~F.col(partition_col).cast("string").isin(*committed.keys())
+            )
+        # duplicate the partition column: partitionBy consumes __snap_part,
+        # so the data files keep the original column (schema parity on read)
+        work = work.withColumn(part_key, F.col(partition_col).cast("string"))
+        work.write.mode("overwrite").partitionBy(part_key).parquet(str(staging_root))
+
+        fail_strs = {str(v) for v in (fail_partitions or ())}
+        new_parts: dict[str, dict] = {}
+        try:
+            for d in sorted(staging_root.glob(f"{part_key}=*")):
+                if not d.is_dir():
+                    continue
+                v = d.name.split("=", 1)[1]
+                if v in fail_strs:
+                    raise RuntimeError(f"injected failure writing partition {v}")
+                part_dir = self.root / "data" / f"{partition_col}={v}"
+                part_dir.mkdir(parents=True, exist_ok=True)
+                files, rows = [], 0
+                for f in sorted(d.glob("*.parquet")):
+                    rows += pq.ParquetFile(f).metadata.num_rows  # footer only
+                    dest = part_dir / f"snap-{batch}-{f.name}"
+                    f.rename(dest)
+                    files.append(str(dest.relative_to(self.root)))
+                new_parts[v] = {
+                    "files": files,
+                    "rows": rows,
+                    "metrics": (metrics or {}).get(v, {}),
+                }
+        finally:
+            shutil.rmtree(staging_root, ignore_errors=True)
         sid = self._commit(new_parts)
-        return {"snapshot_id": sid, "written": sorted(map(str, todo)), "skipped": sorted(map(str, skipped))}
+        return {
+            "snapshot_id": sid,
+            "written": sorted(new_parts),
+            "skipped": sorted(committed),
+        }
 
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
         """Read exactly the files of a snapshot (default: current) —

@@ -35,18 +35,28 @@ from ..sources.gazetteer import gazetteer_df
 
 @F.pandas_udf(BinaryType())
 def point_wkb_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """WKB point (JTS-default big-endian 2D); empty point for invalid coords
-    (the reference stores an empty geometry for invalid nodes —
-    `ContributionGeometry.java:185-191`)."""
-    out = []
-    for x, y in zip(lon, lat):
-        if x is None or y is None or pd.isna(x) or pd.isna(y) or not (
-            -180.0 <= x <= 180.0 and -90.0 <= y <= 90.0
-        ):
-            out.append(wkb_dumps(("Point", None)))
-        else:
-            out.append(wkb_dumps(("Point", (float(x), float(y)))))
-    return pd.Series(out)
+    """WKB point (JTS-default big-endian 2D); empty point (NaN,NaN) for
+    invalid coords (the reference stores an empty geometry for invalid
+    nodes — `ContributionGeometry.java:185-191`).
+
+    Fully vectorized: a point WKB is a fixed 21-byte record
+    (byte-order 0x00, >u4 type=1, >f8 x, >f8 y), so the whole batch is
+    assembled as one (N,21) uint8 matrix — invalid rows masked to NaN —
+    and sliced into per-row bytes. No per-row arithmetic in Python."""
+    import numpy as np
+
+    x = np.asarray(pd.to_numeric(lon, errors="coerce"), dtype=np.float64)
+    y = np.asarray(pd.to_numeric(lat, errors="coerce"), dtype=np.float64)
+    valid = (x >= -180.0) & (x <= 180.0) & (y >= -90.0) & (y <= 90.0)  # NaN→False
+    x = np.where(valid, x, np.nan)
+    y = np.where(valid, y, np.nan)
+    n = x.shape[0]
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0:5] = np.array([0, 0, 0, 0, 1], dtype=np.uint8)  # big-endian, Point
+    buf[:, 5:13] = x.astype(">f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = y.astype(">f8").view(np.uint8).reshape(n, 8)
+    mem = buf.tobytes()
+    return pd.Series([mem[i * 21 : i * 21 + 21] for i in range(n)])
 
 
 def enrich_pages(

@@ -7,6 +7,13 @@ rows route by `status` (latest / history / deleted / invalid), each partition
 directory holds GeoParquet files with the `geo` footer, and a small JSON
 manifest records per-status row counts (the `geoparquet_counts` golden of
 FIXTURES.md §8).
+
+Single pass: the reference routes each row to a per-status writer during ONE
+traversal (`Transformer.java:186-209`); this sink does the same via
+`write_geoparquet(partition_by="status")` — tasks split their Arrow batches
+by status and write into `status=<v>/` directly. Counts come from the
+written parquet footers (metadata only), so the contributions DAG executes
+exactly once regardless of how many statuses exist.
 """
 
 from __future__ import annotations
@@ -15,9 +22,8 @@ import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from ..io.geoparquet import write_geoparquet
+from ..io.geoparquet import partition_row_counts, write_geoparquet
 
 
 def write_contribution_export(
@@ -29,18 +35,14 @@ def write_contribution_export(
     """Write status-partitioned GeoParquet; returns per-status row counts."""
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
-    counts: dict[str, int] = {}
-    for status in statuses:
-        part = contribs.where(F.col("status") == status)
-        n = part.count()
-        counts[status] = n
-        if n == 0:
-            continue
-        write_geoparquet(
-            part,
-            out / f"status={status}",
-            geometry_col=geometry_col,
-            no_dict_columns=(geometry_col, "osm_id"),
-        )
+    write_geoparquet(
+        contribs,
+        out,
+        geometry_col=geometry_col,
+        no_dict_columns=(geometry_col, "osm_id"),
+        partition_by="status",
+    )
+    counts = {s: 0 for s in statuses}
+    counts.update(partition_row_counts(out, "status"))
     (out / "_counts.json").write_text(json.dumps(counts, indent=1, sort_keys=True))
     return counts

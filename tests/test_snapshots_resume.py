@@ -45,6 +45,59 @@ def test_resume_writes_only_missing(spark, tmp_path):
     assert len(t.snapshot_chain()) == 2
 
 
+def test_write_partitions_single_pass(spark, tmp_path):
+    """The upstream DAG must execute exactly once, not once per bucket
+    (VERDICT r1 finding 1): count UDF evaluations with an accumulator."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(x):
+        acc.add(1)
+        return x
+
+    tick_udf = F.udf(tick, "long")
+    n, buckets = 1000, 8
+    df = spark.range(n).select(
+        tick_udf(F.col("id")).alias("id"),
+        (F.col("id") % buckets).cast("int").alias("bucket"),
+    )
+    t = SnapshotTable(tmp_path / "sp")
+    res = t.write_partitions(df, "bucket")
+    assert len(res["written"]) == buckets
+    assert t.read(spark).count() == n
+    # old per-bucket loop would give ~buckets*n evaluations; single pass
+    # gives n (allow 2n headroom for plan-level double-eval, never 8n)
+    assert n <= acc.value <= 2 * n, acc.value
+
+
+def test_export_single_pass_and_rerun_idempotent(spark, tmp_path):
+    """Export writes all statuses in one input pass, and re-running to the
+    same path never appends duplicates (ADVICE r1, geoparquet.py)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(x):
+        acc.add(1)
+        return x
+
+    tick_udf = F.udf(tick, "long")
+    df = spark.range(400).select(
+        tick_udf(F.col("id")).alias("osm_id"),
+        F.expr("element_at(array('latest','history','deleted','invalid'), int(id % 4) + 1)").alias("status"),
+        F.lit(bytearray(b"\x01\x01")).alias("geometry"),
+    )
+    from ohsome_planet_spark.plans.export import write_contribution_export
+
+    out = tmp_path / "exp"
+    counts = write_contribution_export(df, out)
+    assert counts == {"latest": 100, "history": 100, "deleted": 100, "invalid": 100}
+    assert 400 <= acc.value <= 800, acc.value  # one pass, not one per status
+    # re-run: same counts, no appended duplicates
+    counts2 = write_contribution_export(df, out)
+    assert counts2 == counts
+    import pyspark.sql.functions as SF  # noqa: F401
+
+    assert spark.read.parquet(str(out / "status=latest")).count() == 100
+
+
 def test_snapshot_isolation_and_rollback(spark, tmp_path):
     df1 = spark.range(10).select(F.col("id"), F.lit(0).cast("int").alias("bucket"))
     df2 = spark.range(10, 30).select(F.col("id"), F.lit(1).cast("int").alias("bucket"))
