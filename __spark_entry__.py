@@ -565,21 +565,72 @@ def _minhash_oracle_sql(num_hashes: int = 8) -> str:
 
 
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (Arrow kernel + pigeonhole block join) — no SQL
-    oracle (bit-vote kernel not SQL-expressible); rows-only check."""
+    """SimHash near-dups — all-JVM signature (md5 60-bit token hashes, one
+    aggregate() pass of ±1 bit votes) + pigeonhole block join. The DuckDB
+    oracle replays the identical bit arithmetic (md5 base hash is
+    engine-portable, like minhash_signatures) over an all-pairs join on the
+    capped corpus, so pairs AND hamming values are value-checked."""
     from ohsome_planet_spark.operators.dedup import simhash_near_dups
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500).select(
+        "doc_id", "text"
+    )
     copies = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat("text", F.lit(" tail")).alias("text"),
     )
-    return simhash_near_dups(docs.unionByName(copies), max_hamming=6)
+    return simhash_near_dups(
+        docs.unionByName(copies), max_hamming=6, hash_mode="md5"
+    )
+
+
+def _simhash_oracle_sql(num_bits: int = 60, max_hamming: int = 6, blocks: int = 4) -> str:
+    """Unrolled 60-bit SimHash in DuckDB: md5 token hash → per-bit ±1 vote
+    sums → bit assembly; then the same pigeonhole block join + hamming
+    verify as the Spark operator (bits 60-63 of the md5 mode are always 0
+    on both engines)."""
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(num_bits)
+    )
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    block_match = " OR ".join(
+        f"((a.sig >> {i * width}) & {mask}) = ((b.sig >> {i * width}) & {mask})"
+        for i in range(blocks)
+    )
+    return rf"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT doc_id + 100000, text || ' tail' FROM base
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS w
+  FROM corpus
+),
+hsx AS (
+  SELECT doc_id,
+         list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+),
+sigs AS (SELECT doc_id, {sig_terms} AS sig FROM hsx)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE ({block_match})
+  AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
 
 
 def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN (scale path of embedding_topk) —
-    approximate by construction; rows-only check."""
+    """LSH-bucketed approximate NN (scale path of embedding_topk). The
+    hyperplanes are fixed literals, so the DuckDB oracle recomputes the
+    same sign-pattern buckets, the same 1-bit multiprobe (hamming(qb,cb)
+    ≤ 1), and the same round-4 cosine ranking — the approximate operator
+    is value-checked end to end, not rows-only."""
     from ohsome_planet_spark.operators.similarity import ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -588,6 +639,113 @@ def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
     return ann_topk(q, c, k=5, planes=4)
+
+
+def _embedding_ann_oracle_sql(planes: int = 4, dim: int = 64, seed: int = 13, k: int = 5) -> str:
+    """Replay ann_topk's hyperplane buckets in DuckDB: same rng-seeded
+    coefficients as similarity.ann_topk (repr round-trips doubles exactly)."""
+    import numpy as np
+
+    hyper = np.random.default_rng(seed).standard_normal((planes, dim))
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in hyper[p])
+        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding AS v, {bucket_terms} AS bkt FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bkt AS qb FROM b WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS cand_id, v AS cv, bkt AS cb FROM b),
+scored AS (
+  SELECT query_id, cand_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
+  FROM q JOIN c ON query_id <> cand_id AND bit_count(xor(qb, cb)) <= 1
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1–S7 oracle: deterministic nodes derived from `events` are encoded
+    into a real OSM PBF (dense nodes, delta/zigzag/string-table wire format,
+    zlib blobs — sources/pbf.write_osm_pbf), then read back through the
+    distributed source (`read_osm_pbf`: driver scans blob headers, tasks
+    decode blobs). The DuckDB oracle computes the expected rows directly
+    from `events`, so the full encode→blob→decode chain is value-checked
+    cross-engine. Coordinates compare as exact 1e-7 integers (the PBF
+    granularity), timestamps at second precision (date granularity 1000ms).
+    """
+    import pathlib
+
+    from ohsome_planet_spark.sources.pbf import read_osm_pbf, write_osm_pbf
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 5000)
+        .select("event_id", "ts", "user_id", "event_type")
+        .collect()
+    )
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    nodes = []
+    for r in sorted(ev, key=lambda r: r["event_id"]):
+        eid, uid = int(r["event_id"]), int(r["user_id"])
+        secs = int((r["ts"] - epoch).total_seconds())
+        nodes.append(
+            {
+                "id": eid,
+                "version": eid % 5 + 1,
+                "ts_ms": secs * 1000,
+                "changeset": uid,
+                "uid": uid,
+                "user": f"u{uid % 50}",
+                "visible": eid % 7 != 0,
+                "tags": {"k": r["event_type"], "parity": str(eid % 2)},
+                "lon": ((eid * 37) % 3600000000 - 1800000000) / 1e7,
+                "lat": ((eid * 53) % 1800000000 - 900000000) / 1e7,
+            }
+        )
+    cache = pathlib.Path(__file__).resolve().parent / ".cache"
+    cache.mkdir(exist_ok=True)
+    pbf_path = cache / f"pbf_oracle_{pathlib.Path(sf_dir).name}.pbf"
+    write_osm_pbf(pbf_path, nodes, nodes_per_block=512)
+    _, ndf, _, _ = read_osm_pbf(spark, pbf_path)
+    return ndf.select(
+        "id",
+        "version",
+        "ts",
+        "changeset",
+        F.col("user_id").alias("uid"),
+        "user",
+        "visible",
+        F.col("tags")["k"].alias("tag_k"),
+        F.col("tags")["parity"].alias("tag_parity"),
+        F.round(F.col("lon") * 1e7).cast("long").alias("lon_e7"),
+        F.round(F.col("lat") * 1e7).cast("long").alias("lat_e7"),
+    )
+
+
+_PBF_ORACLE_SQL = """
+SELECT event_id AS id,
+       CAST(event_id % 5 + 1 AS INT) AS version,
+       date_trunc('second', ts) AS ts,
+       user_id AS changeset,
+       user_id AS uid,
+       'u' || CAST(user_id % 50 AS VARCHAR) AS user,
+       event_id % 7 <> 0 AS visible,
+       event_type AS tag_k,
+       CAST(event_id % 2 AS VARCHAR) AS tag_parity,
+       (event_id * 37) % 3600000000 - 1800000000 AS lon_e7,
+       (event_id * 53) % 1800000000 - 900000000 AS lat_e7
+FROM events WHERE event_id < 5000
+"""
 
 
 def _q_way_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +790,195 @@ def _q_way_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "osm_id", "osm_version", "osm_minor_version", "osm_edits", "changeset",
         "valid_from", "valid_to", "status", "geometry_type",
     )
+
+
+def _q_relation_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 oracle: the relation pipeline's transitive two-level merge
+    (relation → member ways → member nodes, history.relation_contributions)
+    over the same derived input class as way_history (single-major entities,
+    unique member-edit timestamps). For THIS class the nested priority-queue
+    merge provably reduces to: per-way run-grouping of node edits (the
+    way_history reduction), then per-relation prefix absorption of each
+    member way's stream (ts ≤ rel-major ts OR cs == rel cs), then
+    run-grouping of the merged remainder — which the DuckDB oracle replays
+    in SQL, value-checking minor versions, validity windows, changesets and
+    the empty-collection invalid rule (`ContributionsRelationTest.java:66-231`
+    semantics) end to end."""
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.history import relation_contributions
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    nodes = ev.select(
+        (F.col("event_id") % 100).alias("id"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("event_id") % 100).orderBy("ts", "event_id"))
+        .alias("version"),
+        F.col("ts"),
+        (F.col("event_id") % 17).alias("changeset"),
+        F.col("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        ((F.col("event_id") * 7 % 360) - 180.0).alias("lon"),
+        ((F.col("event_id") * 11 % 180) - 90.0).alias("lat"),
+    )
+    ways = spark.range(20).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        F.array(F.col("id") * 2, F.col("id") * 2 + 1, F.col("id") * 2 + 50).alias("refs"),
+    )
+    relations = spark.range(10).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.lit("2020-01-02 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.create_map(F.lit("type"), F.lit("route")).alias("tags"),
+        F.array(
+            F.struct(
+                F.lit("way").alias("type"), F.col("id").alias("id"), F.lit("").alias("role")
+            ),
+            F.struct(
+                F.lit("way").alias("type"), (F.col("id") + 10).alias("id"), F.lit("").alias("role")
+            ),
+        ).alias("members"),
+    )
+    out = relation_contributions(relations, ways, nodes)
+    return out.select(
+        "osm_id", "osm_version", "osm_minor_version", "osm_edits", "changeset",
+        "valid_from", "valid_to", "status", "geometry_type",
+    )
+
+
+_REL_HISTORY_ORACLE_SQL = """
+WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
+nodes AS (
+  SELECT event_id % 100 AS node_id,
+         row_number() OVER (PARTITION BY event_id % 100 ORDER BY ts, event_id) AS version,
+         ts, event_id % 17 AS cs
+  FROM ev
+),
+ways AS (SELECT range AS way_id FROM range(0, 20)),
+refs AS (
+  SELECT way_id, way_id * 2 AS node_id FROM ways
+  UNION ALL SELECT way_id, way_id * 2 + 1 FROM ways
+  UNION ALL SELECT way_id, way_id * 2 + 50 FROM ways
+),
+member_edits AS (
+  SELECT r.way_id, n.node_id, n.version, n.ts, n.cs
+  FROM refs r JOIN nodes n USING (node_id)
+),
+-- way-level: cs==way-major-cs prefix absorption per member node (as in
+-- the way_history oracle), then run-grouping = way minor versions
+flagged AS (
+  SELECT *, CASE WHEN min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY way_id, node_id ORDER BY version
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 1 ELSE 0 END AS absorbed
+  FROM member_edits
+),
+remaining AS (SELECT * FROM flagged WHERE absorbed = 0),
+runs AS (
+  SELECT way_id, ts, cs,
+         sum(CASE WHEN cs = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY way_id ORDER BY ts, cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT way_id, ts, cs,
+               lag(cs) OVER (PARTITION BY way_id ORDER BY ts, cs) AS prev_cs
+        FROM remaining)
+),
+run_agg AS (SELECT way_id, run_id, max(ts) AS end_ts, min(cs) AS cs FROM runs GROUP BY way_id, run_id),
+major_snap AS (SELECT way_id, count(DISTINCT node_id) AS n_snap FROM flagged WHERE absorbed = 1 GROUP BY way_id),
+run_snap AS (
+  SELECT ra.way_id, ra.run_id, count(DISTINCT me.node_id) AS n_snap
+  FROM run_agg ra JOIN flagged me
+    ON me.way_id = ra.way_id AND (me.absorbed = 1 OR me.ts <= ra.end_ts)
+  GROUP BY ra.way_id, ra.run_id
+),
+way_stream AS (
+  SELECT w.way_id, 0 AS run_id, TIMESTAMP '2020-01-01' AS valid_from, 1::BIGINT AS changeset,
+         coalesce(ms.n_snap, 0) AS n_snap
+  FROM ways w LEFT JOIN major_snap ms ON ms.way_id = w.way_id
+  UNION ALL
+  SELECT ra.way_id, ra.run_id, ra.end_ts, ra.cs::BIGINT, coalesce(rs.n_snap, 0)
+  FROM run_agg ra JOIN run_snap rs ON rs.way_id = ra.way_id AND rs.run_id = ra.run_id
+),
+rels AS (SELECT range AS rel_id FROM range(0, 10)),
+rel_member AS (
+  SELECT rel_id, rel_id AS way_id FROM rels
+  UNION ALL SELECT rel_id, rel_id + 10 FROM rels
+),
+-- relation-level: per-member prefix absorption at the relation major
+-- (consume while ts <= rel-major ts OR cs == rel-major cs)
+way_absorb AS (
+  SELECT rm.rel_id, ws.way_id, ws.run_id, ws.valid_from, ws.changeset, ws.n_snap,
+         CASE WHEN min(CASE WHEN ws.valid_from <= TIMESTAMP '2020-01-02' OR ws.changeset = 1
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY rm.rel_id, ws.way_id ORDER BY ws.run_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 1 ELSE 0 END AS absorbed
+  FROM rel_member rm JOIN way_stream ws ON ws.way_id = rm.way_id
+),
+rel_remaining AS (SELECT * FROM way_absorb WHERE absorbed = 0),
+-- merged member streams run-group on changeset = relation minor versions
+rel_runs AS (
+  SELECT rel_id, valid_from, changeset,
+         sum(CASE WHEN changeset = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY rel_id ORDER BY valid_from, changeset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT rel_id, valid_from, changeset,
+               lag(changeset) OVER (PARTITION BY rel_id ORDER BY valid_from, changeset) AS prev_cs
+        FROM rel_remaining)
+),
+rel_run_agg AS (
+  SELECT rel_id, run_id, max(valid_from) AS end_ts, min(changeset) AS cs
+  FROM rel_runs GROUP BY rel_id, run_id
+),
+rel_contribs AS (
+  SELECT rel_id, 0 AS run_id, TIMESTAMP '2020-01-02' AS valid_from, 1::BIGINT AS changeset FROM rels
+  UNION ALL
+  SELECT rel_id, run_id, end_ts, cs::BIGINT FROM rel_run_agg
+),
+-- member way state at each relation row = the member's latest stream row
+-- among (rel-absorbed OR ts <= row ts); empty collection rule from n_snap
+member_state AS (
+  SELECT rel_id, rrun, way_id, n_snap FROM (
+    SELECT rc.rel_id, rc.run_id AS rrun, wa.way_id, wa.n_snap,
+           row_number() OVER (PARTITION BY rc.rel_id, rc.run_id, wa.way_id
+                              ORDER BY wa.run_id DESC) AS rk
+    FROM rel_contribs rc
+    JOIN way_absorb wa ON wa.rel_id = rc.rel_id
+       AND (wa.absorbed = 1 OR wa.valid_from <= rc.valid_from)
+  ) WHERE rk = 1
+),
+validity AS (
+  SELECT rel_id, rrun AS run_id, max(CASE WHEN n_snap >= 1 THEN 1 ELSE 0 END) AS any_geom
+  FROM member_state GROUP BY rel_id, rrun
+),
+numbered AS (
+  SELECT rc.rel_id AS osm_id, 1 AS osm_version,
+         CAST(row_number() OVER w - 1 AS INT) AS osm_minor_version,
+         CAST(row_number() OVER w AS INT) AS osm_edits,
+         rc.changeset, rc.valid_from,
+         coalesce(lead(rc.valid_from) OVER w, TIMESTAMP '2222-01-01') AS valid_to,
+         CASE WHEN lead(rc.valid_from) OVER w IS NULL THEN 'latest' ELSE 'history' END AS base_status,
+         coalesce(v.any_geom, 0) AS any_geom
+  FROM rel_contribs rc LEFT JOIN validity v ON v.rel_id = rc.rel_id AND v.run_id = rc.run_id
+  WINDOW w AS (PARTITION BY rc.rel_id ORDER BY rc.run_id)
+)
+SELECT osm_id, osm_version, osm_minor_version, osm_edits, changeset, valid_from, valid_to,
+       CASE WHEN any_geom = 0 THEN 'invalid' ELSE base_status END AS status,
+       'GeometryCollection' AS geometry_type
+FROM numbered
+"""
 
 
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,7 +1139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "simhash_near_dup": _q_simhash_near_dup,
         "embedding_ann": _q_embedding_ann,
+        "pbf_roundtrip": _q_pbf_roundtrip,
         "way_history": _q_way_history,
+        "relation_history": _q_relation_history,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -975,6 +1324,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE jaccard >= 0.3
         """,
         "minhash_signatures": _minhash_oracle_sql(8),
+        "simhash_near_dup": _simhash_oracle_sql(),
+        "embedding_ann": _embedding_ann_oracle_sql(),
+        "pbf_roundtrip": _PBF_ORACLE_SQL,
+        "relation_history": _REL_HISTORY_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

@@ -251,24 +251,28 @@ class PolygonIndex:
                     return True
                 touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
                 if touch.any():
-                    # conservative exact-touch check on flagged pairs
+                    # exact-touch check over ALL flagged pairs, vectorized
+                    # elementwise (no truncation — a touch past any cap
+                    # would silently drop a country hit)
                     ii, jj = np.nonzero(touch)
-                    from .geometry_np import points_on_segments
-
-                    for i, j in zip(ii[:64], jj[:64]):
-                        if (
-                            points_on_segments(
-                                np.asarray([bx1[j]]), np.asarray([by1[j]]),
-                                ax1[i : i + 1], ay1[i : i + 1], ax2[i : i + 1], ay2[i : i + 1],
-                            )[0]
-                            or points_on_segments(
-                                np.asarray([bx2[j]]), np.asarray([by2[j]]),
-                                ax1[i : i + 1], ay1[i : i + 1], ax2[i : i + 1], ay2[i : i + 1],
-                            )[0]
-                            or points_on_segments(
-                                np.asarray([ax1[i]]), np.asarray([ay1[i]]),
-                                bx1[j : j + 1], by1[j : j + 1], bx2[j : j + 1], by2[j : j + 1],
-                            )[0]
-                        ):
-                            return True
+                    a1x, a1y, a2x, a2y = ax1[ii], ay1[ii], ax2[ii], ay2[ii]
+                    b1x, b1y, b2x, b2y = bx1[jj], by1[jj], bx2[jj], by2[jj]
+                    if (
+                        _on_segment(b1x, b1y, a1x, a1y, a2x, a2y).any()
+                        or _on_segment(b2x, b2y, a1x, a1y, a2x, a2y).any()
+                        or _on_segment(a1x, a1y, b1x, b1y, b2x, b2y).any()
+                    ):
+                        return True
         return False
+
+
+def _on_segment(px, py, x1, y1, x2, y2) -> np.ndarray:
+    """Elementwise: point i exactly on segment i (collinear + within bbox)."""
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    return (
+        (cross == 0.0)
+        & (px >= np.minimum(x1, x2))
+        & (px <= np.maximum(x1, x2))
+        & (py >= np.minimum(y1, y2))
+        & (py <= np.maximum(y1, y2))
+    )

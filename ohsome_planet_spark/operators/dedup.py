@@ -12,7 +12,7 @@ Scale notes:
 - LSH banding turns the quadratic pair space into per-band buckets: only
   same-bucket pairs are verified (the classic shingle→minhash→band→bucket
   join), so the shuffle is O(docs × bands), not O(docs²);
-- SimHash is an Arrow-batched kernel (bit loops don't vectorize well in SQL);
+- SimHash is all-JVM too (one aggregate() pass of ±1 bit votes per token);
 - pair verification recomputes exact n-gram Jaccard with array intersection —
   JVM-side.
 """
@@ -20,10 +20,8 @@ Scale notes:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 # 2^31-1: keeps a*h+b < 2^62 inside JVM longs under ANSI overflow checking
 MERSENNE = (1 << 31) - 1
@@ -114,10 +112,13 @@ def minhash_lsh_pairs(
         F.hash(F.slice("_sig", i * rows_per_band + 1, rows_per_band), F.lit(i)).alias("_b")
         for i in range(bands)
     ]
+    # ids ONLY ride through the band self-join (r1 finding 5: carrying the
+    # shingle arrays multiplied the heaviest column by bands × fan-out);
+    # the shingle table is re-joined on the deduplicated candidate pairs.
     banded = sig.select(
-        "_id", "_sh", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_bucket")
+        "_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_bucket")
     )
-    cand = (
+    cand_ids = (
         banded.alias("l")
         .join(
             banded.alias("r"),
@@ -125,13 +126,14 @@ def minhash_lsh_pairs(
             & (F.col("l._bucket") == F.col("r._bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_tbl = sig.select("_id", "_sh")
+    cand = cand_ids.join(
+        sh_tbl.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(
+        sh_tbl.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -149,65 +151,119 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold via an inverted shingle
     index (explode → self-join on shingle → count ∩ per pair) — no O(n²)
-    cross join; pairs sharing zero shingles never materialize."""
+    cross join; pairs sharing zero shingles never materialize.
+
+    max_doc_freq (the 100 TB guard): a shingle appearing in d documents
+    contributes O(d²) candidate pairs, so one boilerplate shingle can
+    explode the join. With a cap, shingles with document frequency > cap
+    are dropped from CANDIDATE GENERATION only (their count is logged);
+    surviving pairs are re-verified with exact array intersection on the
+    full shingle sets, so reported jaccard values stay exact — the only
+    approximation is that a pair sharing nothing but super-frequent
+    shingles is never proposed (such a pair is boilerplate, not a dup).
+    """
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
     ).cache()
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_s"))
-    pair_inter = (
-        inv.alias("l")
-        .join(inv.alias("r"), (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
-        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .agg(F.count("*").alias("_inter"))
+    if max_doc_freq is None:
+        # exact intersection counts straight off the inverted index
+        sizes = sh.select("_id", F.size("_sh").alias("_n"))
+        pair_inter = (
+            inv.alias("l")
+            .join(inv.alias("r"), (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
+            .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+            .agg(F.count("*").alias("_inter"))
+        )
+        joined = (
+            pair_inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+            .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        )
+        jac = F.col("_inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+        return (
+            joined.withColumn("jaccard", F.round(jac, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # capped path: stop-shingles out of candidate generation, exact verify
+    import logging
+
+    hot = inv.groupBy("_s").agg(F.count("*").alias("_df")).where(
+        F.col("_df") > max_doc_freq
     )
-    joined = (
-        pair_inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+    n_hot = hot.count()
+    logging.getLogger(__name__).info(
+        "ngram_jaccard_pairs: dropping %d shingles with doc-freq > %d from "
+        "candidate generation (pairs re-verified exactly)", n_hot, max_doc_freq
     )
-    jac = F.col("_inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    inv_capped = inv.join(hot.select("_s"), "_s", "left_anti")
+    cand_ids = (
+        inv_capped.alias("l")
+        .join(inv_capped.alias("r"), (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_ids.join(
+        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(
+        sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
     return (
-        joined.withColumn("jaccard", F.round(jac, 6))
+        cand.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
-def simhash_udf(num_bits: int = 64):
-    """Arrow-batched SimHash over whitespace tokens (FNV-1a per token,
-    ±1 bit voting)."""
-
-    @F.pandas_udf(LongType())
-    def simhash(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            if t is None:
-                continue
-            tokens = str(t).lower().split()
-            if not tokens:
-                continue
-            votes = np.zeros(num_bits, dtype=np.int64)
-            mask = (1 << 64) - 1
-            for tok in tokens:
-                h = 14695981039346656037
-                for ch in tok.encode("utf-8"):
-                    h ^= ch
-                    h = (h * 1099511628211) & mask
-                bits = np.asarray([(h >> b) & 1 for b in range(num_bits)], dtype=np.int64)
-                votes += 2 * bits - 1
-            sig = 0
-            for b in range(num_bits):
-                if votes[b] > 0:
-                    sig |= 1 << b
-            # reinterpret the unsigned 64-bit pattern as signed
-            out[i] = np.uint64(sig).astype(np.int64)
-        return pd.Series(out)
-
-    return simhash
+def simhash_col(text_c: Column, num_bits: int = 64, hash_mode: str = "xxhash64") -> Column:
+    """64-bit SimHash over whitespace tokens — ALL JVM expressions, no
+    Python in the path (r1 verdict finding 4 replaced the per-char FNV
+    kernel): per-token base hash (xxhash64, or the md5 60-bit value DuckDB
+    reproduces exactly for the cross-engine oracle), then one aggregate()
+    pass accumulating ±1 votes per bit, then bit assembly via bitwiseOR.
+    """
+    toks = F.filter(words_col(text_c), lambda t: t != F.lit(""))
+    if hash_mode == "md5":
+        base = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        base = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        base,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+                    ).cast("long")
+                    for b in range(num_bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    powers = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(num_bits)
+        ]
+    )
+    sig_terms = F.zip_with(
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    sig = F.aggregate(sig_terms, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+    return F.coalesce(sig, F.lit(0).cast("long"))  # null text → 0, like empty
 
 
 def simhash_near_dups(
@@ -216,11 +272,15 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: block the 64-bit signature into `blocks`
     16-bit keys (pigeonhole: hamming ≤ blocks-1 ⇒ some block equal), join on
     any equal block, verify hamming distance ≤ max_hamming JVM-side."""
-    sig = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_sig"))
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        simhash_col(F.col(text_col), hash_mode=hash_mode).alias("_sig"),
+    )
     width = 64 // blocks
     mask = (1 << width) - 1
     block_cols = [

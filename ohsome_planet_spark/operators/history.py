@@ -724,8 +724,14 @@ def _relation_geometry(tags: dict, members: list) -> tuple:
             coords = _way_coords_from_members(m["snapshot"].get("members"))
             if coords.shape[0] == 0:
                 continue
-            role = m.get("role") or ""
-            (inners if role == "inner" else outers).append([tuple(p) for p in coords])
+            # only 'outer'/blank roles are outers; 'inner' is a hole; any
+            # other role (subarea, exclave, …) is dropped entirely
+            # (ContributionGeometry.relGeometryMultiPolygon:89-98)
+            role = (m.get("role") or "").strip()
+            if role == "inner":
+                inners.append([tuple(p) for p in coords])
+            elif role in ("", "outer"):
+                outers.append([tuple(p) for p in coords])
         try:
             geom = build_multipolygon(outers, inners)
             if geom[1]:
@@ -733,16 +739,45 @@ def _relation_geometry(tags: dict, members: list) -> tuple:
         except MultiPolygonBuildError:
             pass
         return ("MultiPolygon", None)  # empty → invalid status upstream
-    # GeometryCollection: bbox of all member geometries
-    all_pts = []
-    for m in members:
-        snap = m["snapshot"]
+    # GeometryCollection: typed member geometries (relGeometryCollection)
+    geoms = _member_geometries(members)
+    if not geoms:
+        return ("GeometryCollection", None)
+    return ("GeometryCollection", geoms)  # payload = [(kind, data), ...]
+
+
+def _member_geometries(members: list) -> list[tuple]:
+    """Member geometries of a relation, mirroring
+    `ContributionGeometry.relGeometryCollection:110-117`: each resolved
+    member's own geometry (ways through the full wayGeometry rule —
+    Polygon if isArea, else LineString/Point), empties filtered out.
+    Unresolved members (snapshot None, e.g. nested relations) are skipped,
+    matching the reference's `filter(Objects::nonNull)`."""
+    from ..functions.waygeom import way_geometry
+
+    geoms: list[tuple] = []
+    for m in members or []:
+        snap = m.get("snapshot")
         if snap is None:
             continue
         if m["type"] == "way":
-            coords = _way_coords_from_members(snap.get("members"))
-            if coords.size:
-                all_pts.append(coords)
+            mems = snap.get("members") or []
+            refs = snap.get("refs") or []
+            lons = np.asarray(
+                [x["lon"] if x is not None else np.nan for x in mems], np.float64
+            )
+            lats = np.asarray(
+                [x["lat"] if x is not None else np.nan for x in mems], np.float64
+            )
+            vis = np.asarray(
+                [bool(x["visible"]) if x is not None else False for x in mems], bool
+            )
+            kind, data = way_geometry(
+                lons, lats, vis, snap.get("tags") or {},
+                refs[0] if refs else -1, refs[-1] if refs else -2, len(refs),
+            )
+            if data is not None:
+                geoms.append((kind, data))
         elif m["type"] == "node":
             lon, lat = snap.get("lon"), snap.get("lat")
             if (
@@ -752,11 +787,94 @@ def _relation_geometry(tags: dict, members: list) -> tuple:
                 and -180.0 <= lon <= 180.0
                 and -90.0 <= lat <= 90.0
             ):
-                all_pts.append(np.asarray([[lon, lat]], np.float64))
-    if not all_pts:
-        return ("GeometryCollection", None)
-    stacked = np.vstack(all_pts)
-    return ("GeometryCollection", stacked)  # payload = member points (bbox source)
+                geoms.append(("Point", (float(lon), float(lat))))
+    return geoms
+
+
+def _gc_all_coords(geoms: list[tuple]) -> np.ndarray:
+    parts = []
+    for kind, data in geoms:
+        if kind == "Point":
+            parts.append(np.asarray([data], np.float64))
+        elif kind == "LineString":
+            parts.append(np.asarray(data, np.float64))
+        elif kind == "Polygon":
+            parts.append(np.vstack(data))
+    return np.vstack(parts) if parts else np.empty((0, 2), np.float64)
+
+
+def _gc_centroid(geoms: list[tuple]) -> tuple[float, float]:
+    """JTS `Geometry.getCentroid()` over a collection: dimension-priority —
+    area-weighted if any polygonal area, else length-weighted over line
+    segments (polygon rings included as the degenerate fallback), else the
+    point average (org.locationtech.jts.algorithm.Centroid semantics,
+    referenced from ContributionsAvroConverter.setBBoxCentroidAndXZ:178-192).
+    """
+    area_w = cg_x = cg_y = 0.0
+    tlen = lcx = lcy = 0.0
+    npt = 0
+    pcx = pcy = 0.0
+
+    def add_seq(r: np.ndarray) -> None:
+        """JTS Centroid.addLineSegments: zero-length sequences degrade to
+        their first point."""
+        nonlocal tlen, lcx, lcy, npt, pcx, pcy
+        r = np.asarray(r, np.float64)
+        if r.shape[0] >= 2:
+            seg = np.hypot(np.diff(r[:, 0]), np.diff(r[:, 1]))
+            s = float(seg.sum())
+            if s > 0.0:
+                mx = (r[:-1, 0] + r[1:, 0]) * 0.5
+                my = (r[:-1, 1] + r[1:, 1]) * 0.5
+                tlen += s
+                lcx += float((seg * mx).sum())
+                lcy += float((seg * my).sum())
+                return
+        if r.shape[0] > 0:
+            npt += 1
+            pcx += float(r[0, 0])
+            pcy += float(r[0, 1])
+
+    for kind, data in geoms:
+        if kind == "Point":
+            npt += 1
+            pcx += float(data[0])
+            pcy += float(data[1])
+        elif kind == "LineString":
+            add_seq(data)
+        elif kind == "Polygon":
+            for i, ring in enumerate(data):
+                ring = np.asarray(ring, np.float64)
+                a = abs(gnp.ring_signed_area(ring[:, 0], ring[:, 1]))
+                cx, cy = gnp.centroid_polygon([(ring[:, 0], ring[:, 1])])
+                w = a if i == 0 else -a
+                area_w += w
+                cg_x += w * cx
+                cg_y += w * cy
+                add_seq(ring)
+    if abs(area_w) > 0.0:
+        return cg_x / area_w, cg_y / area_w
+    if tlen > 0.0:
+        return lcx / tlen, lcy / tlen
+    if npt > 0:
+        return pcx / npt, pcy / npt
+    return float("nan"), float("nan")
+
+
+def _envelope_geom(bx: tuple[float, float, float, float]) -> tuple:
+    """JTS GeometryFactory.toGeometry(Envelope): point/line for degenerate
+    envelopes, else the bbox polygon (the stored geometry of collection-type
+    rows, `ContributionsAvroConverter.java:114-117`)."""
+    xmin, ymin, xmax, ymax = bx
+    if xmin == xmax and ymin == ymax:
+        return ("Point", (xmin, ymin))
+    if xmin == xmax or ymin == ymax:
+        return ("LineString", np.asarray([[xmin, ymin], [xmax, ymax]], np.float64))
+    ring = np.asarray(
+        [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]],
+        np.float64,
+    )
+    return ("Polygon", [ring])
 
 
 def convert_relation_contributions(
@@ -791,16 +909,11 @@ def convert_relation_contributions(
         if c["visible"]:
             kind, data = _relation_geometry(c["tags"], c["rel_members"])
             if kind == "GeometryCollection" and data is not None:
-                # bbox polygon is the stored geometry
-                bx = gnp.bbox(data[:, 0], data[:, 1])
-                ring = np.asarray(
-                    [
-                        [bx[0], bx[1]], [bx[2], bx[1]], [bx[2], bx[3]],
-                        [bx[0], bx[3]], [bx[0], bx[1]],
-                    ],
-                    np.float64,
-                )
-                geom_t = ("GeometryCollection", data, wkb_dumps(("Polygon", [ring])))
+                # collection rows store only the envelope geometry
+                # (point/line for degenerate bboxes — toGeometry(env))
+                pts = _gc_all_coords(data)
+                bx = gnp.bbox(pts[:, 0], pts[:, 1])
+                geom_t = ("GeometryCollection", data, wkb_dumps(_envelope_geom(bx)))
             elif data is not None:
                 geom_t = (kind, data, wkb_dumps((kind, data)))
             else:
@@ -840,7 +953,7 @@ def convert_relation_contributions(
             if kind == "MultiPolygon":
                 coords = np.vstack([np.vstack(rings) for rings in data])
             else:
-                coords = data
+                coords = _gc_all_coords(data)
             bx = gnp.bbox(coords[:, 0], coords[:, 1])
             lvl, code = xz2_code(
                 np.array([bx[0]]), np.array([bx[1]]), np.array([bx[2]]), np.array([bx[3]])
@@ -862,7 +975,8 @@ def convert_relation_contributions(
                     for rings in data
                 )
             else:
-                cx, cy = gnp.centroid_points(coords[:, 0], coords[:, 1])
+                # JTS getCentroid on the collection: dimension-priority
+                cx, cy = _gc_centroid(data)
             row.update(
                 geometry_type=kind,
                 geometry=wkb_bytes,
@@ -892,6 +1006,22 @@ def convert_relation_contributions(
                 xz_level=-1, xz_code=0,
                 countries=[],
             )
+            # invalid rows still get bbox/centroid/xz from the non-empty
+            # member collection (ContributionsAvroConverter.java:128-131)
+            mem_geoms = _member_geometries(c["rel_members"])
+            if mem_geoms:
+                pts = _gc_all_coords(mem_geoms)
+                bx = gnp.bbox(pts[:, 0], pts[:, 1])
+                cx, cy = _gc_centroid(mem_geoms)
+                lvl, code = xz2_code(
+                    np.array([bx[0]]), np.array([bx[1]]),
+                    np.array([bx[2]]), np.array([bx[3]]),
+                )
+                row.update(
+                    xmin=bx[0], ymin=bx[1], xmax=bx[2], ymax=bx[3],
+                    centroid_x=cx, centroid_y=cy,
+                    xz_level=int(lvl[0]), xz_code=int(code[0]),
+                )
             status = "invalid"
 
         row["status"] = status

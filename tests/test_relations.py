@@ -165,4 +165,91 @@ def test_invalid_mp_empty_geometry(spark):
     got = relation_contributions(relations, ways, nodes).collect()
     assert got[0]["status"] == "invalid"
     assert got[0]["geometry"] is None
-    assert got[0]["xz_level"] == -1
+    # bbox/centroid/xz still come from the non-empty member collection
+    # (ContributionsAvroConverter.java:128-131)
+    assert (got[0]["xmin"], got[0]["ymin"], got[0]["xmax"], got[0]["ymax"]) == (0.0, 0.0, 3.0, 3.0)
+    assert (got[0]["centroid_x"], got[0]["centroid_y"]) == (1.5, 1.5)
+    assert got[0]["xz_level"] >= 0
+
+
+def test_non_outer_roles_dropped_from_multipolygon(spark):
+    """Only 'outer'/blank roles are outers; 'subarea' etc. are dropped
+    (ContributionGeometry.relGeometryMultiPolygon:89-98, ADVICE r1)."""
+    nodes = spark.createDataFrame(
+        [
+            (1, 1, ts(1), 1, 1, "a", True, 0.0, 0.0),
+            (2, 1, ts(1), 1, 1, "a", True, 2.0, 0.0),
+            (3, 1, ts(1), 1, 1, "a", True, 2.0, 2.0),
+            (4, 1, ts(1), 1, 1, "a", True, 0.0, 2.0),
+            # far-away square that must NOT join the geometry
+            (5, 1, ts(1), 1, 1, "a", True, 50.0, 50.0),
+            (6, 1, ts(1), 1, 1, "a", True, 52.0, 50.0),
+            (7, 1, ts(1), 1, 1, "a", True, 52.0, 52.0),
+            (8, 1, ts(1), 1, 1, "a", True, 50.0, 52.0),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (401, 1, ts(1), 1, 1, "a", True, {}, [1, 2, 3, 4, 1]),
+            (402, 1, ts(1), 1, 1, "a", True, {}, [5, 6, 7, 8, 5]),
+        ],
+        WAY_SCHEMA,
+    )
+    relations = spark.createDataFrame(
+        [(4001, 1, ts(5), 1, 1, "a", True, {"type": "multipolygon"},
+          [("way", 401, "outer"), ("way", 402, "subarea")])],
+        REL_SCHEMA,
+    )
+    got = relation_contributions(relations, ways, nodes).collect()
+    assert got[0]["geometry_type"] == "MultiPolygon"
+    # bbox covers only the outer ring — the subarea way is dropped
+    assert (got[0]["xmin"], got[0]["ymin"], got[0]["xmax"], got[0]["ymax"]) == (0.0, 0.0, 2.0, 2.0)
+    kind, polys = wkb_loads(bytes(got[0]["geometry"]))
+    assert kind == "MultiPolygon" and len(polys) == 1
+
+
+def test_gc_centroid_dimension_priority(spark):
+    """JTS getCentroid over a collection: lines dominate points
+    (length-weighted), polygons dominate lines (area-weighted) — ADVICE r1."""
+    nodes = spark.createDataFrame(
+        [
+            (1, 1, ts(1), 1, 1, "a", True, 0.0, 0.0),
+            (2, 1, ts(1), 1, 1, "a", True, 10.0, 0.0),
+            # stray point member far away — must not shift the centroid
+            (9, 1, ts(1), 1, 1, "a", True, 100.0, 80.0),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [(501, 1, ts(1), 1, 1, "a", True, {}, [1, 2])],
+        WAY_SCHEMA,
+    )
+    relations = spark.createDataFrame(
+        [(5001, 1, ts(5), 1, 1, "a", True, {"type": "route"},
+          [("way", 501, ""), ("node", 9, "")])],
+        REL_SCHEMA,
+    )
+    got = relation_contributions(relations, ways, nodes).collect()
+    assert got[0]["geometry_type"] == "GeometryCollection"
+    # length-weighted: midpoint of the line, point member ignored
+    assert (got[0]["centroid_x"], got[0]["centroid_y"]) == (5.0, 0.0)
+    # bbox still covers everything
+    assert (got[0]["xmax"], got[0]["ymax"]) == (100.0, 80.0)
+
+
+def test_gc_degenerate_envelope_stored_as_point(spark):
+    """Single-node collection → envelope degenerates → stored WKB is a
+    Point (GeometryFactory.toGeometry(Envelope) semantics)."""
+    nodes = spark.createDataFrame(
+        [(9, 1, ts(1), 1, 1, "a", True, 7.0, 8.0)], NODE_SCHEMA
+    )
+    ways = spark.createDataFrame([], WAY_SCHEMA)
+    relations = spark.createDataFrame(
+        [(6001, 1, ts(5), 1, 1, "a", True, {"type": "site"}, [("node", 9, "")])],
+        REL_SCHEMA,
+    )
+    got = relation_contributions(relations, ways, nodes).collect()
+    kind, data = wkb_loads(bytes(got[0]["geometry"]))
+    assert kind == "Point" and data == (7.0, 8.0)
+    assert (got[0]["centroid_x"], got[0]["centroid_y"]) == (7.0, 8.0)
