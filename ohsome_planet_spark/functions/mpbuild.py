@@ -27,12 +27,12 @@ ohsome/osm/geometry/GeometryBuilder.java:25-286`, `NodeSegments.java:7-136`,
    without a common node, overlapping rings, or line-overlaps are errors
    (`handleIntersectingAndTouchingPolygons:119-158`).
 
-DEVIATION (documented): the reference salvages two exotic cases with JTS
-boolean ops — inner rings that split the outer into parts (mod/722,
-`buildMultiPolygon:78-107`) and same-role overlapping rings subtracted from
-each other. Without GEOS in this container those raise
-MultiPolygonBuildError here (⇒ empty geometry), while the reference emits a
-repaired geometry. All other golden cases match.
+The reference salvages inner rings that split the outer into parts with a
+JTS difference (mod/722, `buildMultiPolygon:78-107`); here the same repair
+is `difference_faces` below — a planar face trace replacing the JTS boolean
+op (no GEOS in this container), golden-tested by
+test_mpbuild.test_722_inners_split_outer. Same-role fully-overlapping rings
+remain an error (⇒ empty geometry) — the one residual deviation.
 """
 
 from __future__ import annotations

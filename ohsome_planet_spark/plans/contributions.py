@@ -1,0 +1,90 @@
+"""The reference's main entry, one call: PBF → contributions GeoParquet.
+
+Mirrors `Contributions2Parquet.call` (`/root/reference/ohsome-contributions/
+src/main/java/org/heigit/ohsome/contributions/Contributions2Parquet.java:93-146`):
+read the PBF, build node + way + relation contribution streams (temporal
+merge, minor versions, geometry, XZ2), optionally join changeset metadata
+(J3) and country sets (J4/G3), optionally apply the tag filters (F1/F2),
+and write the status-partitioned GeoParquet layout (latest / history /
+deleted / invalid) with the per-status count manifest — all in ONE pass per
+entity pipeline (the writer routes statuses task-side; no per-status scans).
+
+Spark-first shape: the three entity pipelines are independent DataFrame
+DAGs unioned by name; the changeset dimension broadcasts; the polygon index
+broadcasts into the merge kernels (countries are computed where the
+geometry already is — no extra shuffle).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.history import (
+    filter_by_tag_keys,
+    filter_untagged,
+    node_contributions,
+    relation_contributions,
+    way_contributions,
+    with_changeset_metadata,
+)
+from .export import write_contribution_export
+
+
+def contributions(
+    spark: SparkSession,
+    pbf_path: str | Path,
+    changesets: DataFrame | None = None,
+    country_features=None,
+    include_tag_keys: list[str] | None = None,
+    keep_untagged: bool = True,
+    entity_types: tuple[str, ...] = ("node", "way", "relation"),
+) -> DataFrame:
+    """PBF → unified contributions DataFrame (all entity types).
+
+    country_features: polygon feature list for the broadcast PIP index
+    (sources.countries.fixture_features shape). include_tag_keys /
+    keep_untagged: the reference's --include-tags / untagged filters applied
+    to the ENTITY history before the merge (`Contributions2Parquet.java:
+    117-125` filters entities, so dropped elements never merge).
+    """
+    from ..operators.spatial_join import build_index
+    from ..sources.pbf import read_osm_pbf
+
+    _, nodes, ways, rels = read_osm_pbf(spark, pbf_path)
+    index = build_index(country_features) if country_features is not None else None
+
+    def entity_filter(df: DataFrame) -> DataFrame:
+        if not keep_untagged:
+            df = filter_untagged(df)
+        if include_tag_keys:
+            df = filter_by_tag_keys(df, include_tag_keys)
+        return df
+
+    parts: list[DataFrame] = []
+    if "node" in entity_types:
+        parts.append(node_contributions(entity_filter(nodes), index))
+    if "way" in entity_types:
+        # member nodes are NOT tag-filtered — only the way history is
+        parts.append(way_contributions(entity_filter(ways), nodes, index))
+    if "relation" in entity_types:
+        parts.append(relation_contributions(entity_filter(rels), ways, nodes, index))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    if changesets is not None:
+        out = with_changeset_metadata(out, changesets)
+    return out
+
+
+def contributions_to_parquet(
+    spark: SparkSession,
+    pbf_path: str | Path,
+    out_dir: str | Path,
+    **kwargs,
+) -> dict[str, int]:
+    """One-call end-to-end job; returns the per-status row counts manifest."""
+    contribs = contributions(spark, pbf_path, **kwargs)
+    return write_contribution_export(contribs, out_dir)

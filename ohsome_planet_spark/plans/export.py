@@ -22,8 +22,98 @@ import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..io.geoparquet import partition_row_counts, write_geoparquet
+
+
+def avsc_view(contribs: DataFrame, build_time_ms: int = 0) -> DataFrame:
+    """Reshape the engine's flat contribution columns into the reference's
+    output record shape (`ohsome-contributions/src/main/avro/contrib.avsc:
+    1-373`): nested user / changeset / bbox / centroid / xzcode structs,
+    members array, and the build_time stamp. Field names and order match
+    the avsc so downstream consumers of the reference's GeoParquet can read
+    this engine's output unchanged. Semantics are identical either way —
+    this is a zero-shuffle projection over CONTRIB_SCHEMA.
+
+    build_time_ms: the job's wall-clock stamp (`contrib.avsc:367-371`);
+    pass e.g. int(time.time() * 1000) from the job driver.
+    """
+    cols = set(contribs.columns)
+
+    def opt(name, default):
+        return F.col(name) if name in cols else default
+
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    changeset_struct = F.struct(
+        F.col("changeset").alias("id"),
+        opt("changeset_created_at", epoch0).alias("created_at"),
+        opt("changeset_closed_at", F.lit(None).cast("timestamp_ntz")).alias("closed_at"),
+        opt("changeset_tags", F.create_map().cast("map<string,string>")).alias("tags"),
+        opt("changeset_hashtags", F.array().cast("array<string>")).alias("hashtags"),
+        opt("changeset_editor", F.lit(None).cast("string")).alias("editor"),
+        opt("changeset_num_changes", F.lit(-1).cast("int")).alias("numChanges"),
+    )
+    members = (
+        F.when(
+            F.col("member_types").isNotNull(),
+            F.zip_with(
+                F.arrays_zip("member_types", "member_ids"),
+                F.col("member_roles"),
+                lambda ti, role: F.struct(
+                    ti["member_types"].alias("type"),
+                    ti["member_ids"].alias("id"),
+                    role.alias("role"),
+                    F.lit(None).cast("string").alias("geometry_type"),
+                    F.lit(None).cast("binary").alias("geometry"),
+                ),
+            ),
+        )
+        if "member_types" in cols
+        else F.lit(None).cast(
+            "array<struct<type:string,id:long,role:string,"
+            "geometry_type:string,geometry:binary>>"
+        )
+    )
+    return contribs.select(
+        "status",
+        "valid_from",
+        "valid_to",
+        "osm_type",
+        "osm_id",
+        "osm_version",
+        "osm_minor_version",
+        "osm_edits",
+        "osm_last_edit",
+        F.struct(
+            F.col("user_id").cast("int").alias("id"), F.col("user").alias("name")
+        ).alias("user"),
+        "tags",
+        "tags_before",
+        changeset_struct.alias("changeset"),
+        F.when(
+            F.col("xmin").isNotNull(),
+            F.struct("xmin", "ymin", "xmax", "ymax"),
+        ).alias("bbox"),
+        F.when(
+            F.col("centroid_x").isNotNull(),
+            F.struct(F.col("centroid_x").alias("x"), F.col("centroid_y").alias("y")),
+        ).alias("centroid"),
+        F.struct(
+            F.col("xz_level").alias("level"), F.col("xz_code").alias("code")
+        ).alias("xzcode"),
+        "geometry_type",
+        "geometry",
+        "area",
+        "area_delta",
+        "length",
+        "length_delta",
+        "contrib_type",
+        (F.col("refs") if "refs" in cols else F.lit(None).cast("array<long>")).alias("refs"),
+        members.alias("members"),
+        "countries",
+        F.lit(build_time_ms).cast("long").alias("build_time"),
+    )
 
 
 def write_contribution_export(

@@ -224,3 +224,21 @@ class TestOsmXml:
         assert len(got) == 1
         assert got[0]["geometry_type"] == "MultiPolygon"
         assert got[0]["status"] == "latest"
+
+
+def test_jdbc_changeset_scan_options():
+    """S12 wiring: range-partitioned JDBC scan options (ChangesetDb.java:24-45
+    analog). No PostgreSQL in the sandbox — the option plan is what's
+    testable; join semantics are oracle-checked via changeset_join_default."""
+    from ohsome_planet_spark.sources.changeset_db import _auth, jdbc_scan_options
+
+    opts = jdbc_scan_options(
+        "jdbc:postgresql://db/osm", "osm_changeset", "id", 0, 1_000_000, 64, 10_000
+    )
+    assert opts["partitionColumn"] == "id"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "10000"
+    auth = _auth("u", "p")
+    assert auth["driver"] == "org.postgresql.Driver"
+    assert auth["user"] == "u" and auth["password"] == "p"

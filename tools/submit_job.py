@@ -33,11 +33,29 @@ def main() -> None:
         print(build_zip())
         return
 
+    from pyspark.sql import SparkSession
+
+    if "--contributions" in sys.argv:
+        # the reference's main job: PBF → status-partitioned GeoParquet
+        # (Contributions2Parquet.call analog). Usage:
+        #   submit_job.py --contributions <osm.pbf> <out_dir> [countries.csv]
+        args = [a for a in sys.argv[1:] if a != "--contributions"]
+        pbf_path, out_dir = args[0], args[1]
+        spark = SparkSession.builder.appName("ohsome-planet-spark-contributions").getOrCreate()
+        from ohsome_planet_spark.plans.contributions import contributions_to_parquet
+        from ohsome_planet_spark.sources.countries import read_countries_csv
+
+        features = read_countries_csv(args[2]) if len(args) > 2 else None
+        counts = contributions_to_parquet(
+            spark, pbf_path, out_dir, country_features=features
+        )
+        print(" ".join(f"{k}={v}" for k, v in sorted(counts.items())))
+        spark.stop()
+        return
+
     pages_dir = sys.argv[1]
     out_dir = sys.argv[2]
     n_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 0
-
-    from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("ohsome-planet-spark-enrich").getOrCreate()
     from ohsome_planet_spark.plans.checkpointed import run_checkpointed
