@@ -56,6 +56,22 @@ def main() -> None:
     flagship_sec = time.time() - t0
     pages_per_sec = n_pages / flagship_sec
 
+    # full-row enrichment WITH WKB geometry (the run_checkpointed
+    # configuration — r1 verdict item 3: the vectorized point_wkb path must
+    # stay within ~10% of geometry-off full-row materialization)
+    from ohsome_planet_spark.plans.enrich import enrich_pages
+
+    t0 = time.time()
+    enrich_pages(spark, pages, with_geometry=False).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    geom_off_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    enrich_pages(spark, pages, with_geometry=True).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    geom_on_sec = round(time.time() - t0, 3)
+
     headline = [
         "pip_countries",
         "cell_assign_zxy",
@@ -67,7 +83,11 @@ def main() -> None:
         "embedding_topk",
         "hashtags",
     ]
-    qtimes: dict[str, float] = {"enrich_pipeline": round(flagship_sec, 3)}
+    qtimes: dict[str, float] = {
+        "enrich_pipeline": round(flagship_sec, 3),
+        "enrich_rows_geom_off": geom_off_sec,
+        "enrich_rows_geom_on": geom_on_sec,
+    }
     qs = entrymod.queries()
     for name in headline:
         fn = qs.get(name)
