@@ -65,8 +65,13 @@ def write_geoparquet(
     """
     out_dir = Path(path)
     out_dir.mkdir(parents=True, exist_ok=True)
-    # overwrite semantics: clear any part files from a previous run
-    for old in out_dir.rglob("part-*.parquet"):
+    # overwrite semantics: clear part files from a previous run — only in
+    # this sink's own layout (root + hive partition dirs); underscore-
+    # prefixed scratch dirs (e.g. _entities) are not touched
+    stale = list(out_dir.glob("part-*.parquet"))
+    if partition_by:
+        stale += list(out_dir.glob(f"{partition_by}=*/part-*.parquet"))
+    for old in stale:
         old.unlink()
     meta_json = json.dumps(geo_metadata(geometry_col, geometry_types))
     out_str = str(out_dir)
@@ -117,9 +122,10 @@ def write_geoparquet(
             yield  # generator with no output rows
 
     df.mapInArrow(write_partition, "dummy int").count()
-    return sorted(
-        str(p.relative_to(out_dir)) for p in out_dir.rglob("part-*.parquet")
-    )
+    written = list(out_dir.glob("part-*.parquet"))
+    if partition_by:
+        written += list(out_dir.glob(f"{partition_by}=*/part-*.parquet"))
+    return sorted(str(p.relative_to(out_dir)) for p in written)
 
 
 def read_geo_metadata(file_path: str | Path) -> dict | None:

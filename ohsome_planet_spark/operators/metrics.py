@@ -24,6 +24,8 @@ class StageMetrics:
         self.stages: list[dict] = []
 
     def record(self, name: str, df: DataFrame | None = None, **extra) -> DataFrame | None:
+        """Opt-in diagnostics: one extra `count()` action per stage. For
+        zero-extra-action row counts on the hot path, use `observe` below."""
         t0 = time.time()
         rows = df.count() if df is not None else None
         self.stages.append(
@@ -35,6 +37,28 @@ class StageMetrics:
             }
         )
         return df
+
+    def observe(self, name: str, df: DataFrame) -> DataFrame:
+        """Free row counts: piggyback a named `Observation` on the stage —
+        the count materializes as a side effect of whatever action the
+        caller already runs (no extra pass over the DAG). `harvest()` after
+        the action to pull the numbers into the stage log."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        out = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        self._observations = getattr(self, "_observations", [])
+        self._observations.append((name, obs))
+        return out
+
+    def harvest(self) -> None:
+        """Collect all pending observation results (call after the action)."""
+        for name, obs in getattr(self, "_observations", []):
+            try:
+                self.stages.append({"stage": name, "rows": obs.get["rows"]})
+            except Exception:  # action never ran — nothing observed
+                self.stages.append({"stage": name, "rows": None})
+        self._observations = []
 
     def time_stage(self, name: str):
         """Context manager: with metrics.time_stage('pip_join'): ..."""

@@ -57,12 +57,18 @@ def run_checkpointed(
         fp_in = metrics.text_fingerprint(pages)
 
     with metrics.time_stage("snapshot_write"):
+        to_write = (
+            enriched.drop("countries_set") if "countries_set" in enriched.columns else enriched
+        )
+        # observed row count rides the write action — no extra pass
+        to_write = metrics.observe("enriched_rows", to_write)
         result = table.write_partitions(
-            enriched.drop("countries_set") if "countries_set" in enriched.columns else enriched,
+            to_write,
             "cell_bucket",
             only_missing=True,
             fail_partitions=fail_partitions,
         )
+        metrics.harvest()
 
     with metrics.time_stage("fingerprint_out"):
         # invariant: the url→text mapping reachable from the committed output

@@ -41,6 +41,7 @@ def contributions(
     include_tag_keys: list[str] | None = None,
     keep_untagged: bool = True,
     entity_types: tuple[str, ...] = ("node", "way", "relation"),
+    entity_scratch: str | Path | None = None,
 ) -> DataFrame:
     """PBF → unified contributions DataFrame (all entity types).
 
@@ -49,11 +50,27 @@ def contributions(
     keep_untagged: the reference's --include-tags / untagged filters applied
     to the ENTITY history before the merge (`Contributions2Parquet.java:
     117-125` filters entities, so dropped elements never merge).
+
+    entity_scratch: directory for a one-pass entity materialization. The
+    node table feeds THREE pipeline branches (its own, the way member join,
+    the relation transitive join) — without materialization each branch
+    re-decodes every PBF blob. With a scratch dir the blobs decode exactly
+    once into columnar parquet (the Spark analog of the reference's single
+    PBF pass into its RocksDB stores, `Contributions2Parquet.java:98-112`)
+    and every downstream branch gets pruned, pushdown-friendly scans.
+    Recommended for anything bigger than a fixture.
     """
     from ..operators.spatial_join import build_index
     from ..sources.pbf import read_osm_pbf
 
     _, nodes, ways, rels = read_osm_pbf(spark, pbf_path)
+    if entity_scratch is not None:
+        scratch = Path(entity_scratch)
+        for name, df in (("nodes", nodes), ("ways", ways), ("relations", rels)):
+            df.write.mode("overwrite").parquet(str(scratch / name))
+        nodes = spark.read.parquet(str(scratch / "nodes"))
+        ways = spark.read.parquet(str(scratch / "ways"))
+        rels = spark.read.parquet(str(scratch / "relations"))
     index = build_index(country_features) if country_features is not None else None
 
     def entity_filter(df: DataFrame) -> DataFrame:
@@ -85,6 +102,11 @@ def contributions_to_parquet(
     out_dir: str | Path,
     **kwargs,
 ) -> dict[str, int]:
-    """One-call end-to-end job; returns the per-status row counts manifest."""
+    """One-call end-to-end job; returns the per-status row counts manifest.
+
+    Entities materialize once under <out_dir>/_entities (decode-once; see
+    `contributions`) unless the caller overrides entity_scratch.
+    """
+    kwargs.setdefault("entity_scratch", Path(out_dir) / "_entities")
     contribs = contributions(spark, pbf_path, **kwargs)
     return write_contribution_export(contribs, out_dir)

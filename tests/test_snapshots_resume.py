@@ -170,3 +170,23 @@ def test_run_checkpointed_resume_end_to_end(spark, tmp_path):
     # byte-identity: output-covered urls fingerprint equals full input only if
     # all urls survived (every page has ≥1 mention here)
     assert inv["fp_in"] == inv["fp_out_subset"]
+
+
+def test_observe_metrics_no_extra_action(spark):
+    """StageMetrics.observe rides the existing action (no extra count)."""
+    from ohsome_planet_spark.operators.metrics import StageMetrics
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(x):
+        acc.add(1)
+        return x
+
+    tick_udf = F.udf(tick, "long")
+    m = StageMetrics()
+    df = m.observe("mid", spark.range(500).select(tick_udf(F.col("id")).alias("id")))
+    df.write.format("noop").mode("overwrite").save()  # the one action
+    m.harvest()
+    stage = next(s for s in m.stages if s["stage"] == "mid")
+    assert stage["rows"] == 500
+    assert acc.value == 500  # observed count did not re-run the DAG
