@@ -254,3 +254,82 @@ def test_unclosed_dangling_way_invalid():
         build_multipolygon(
             [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)], [(5, 5), (6, 6)]], []
         )
+
+
+# --- synthesized hardening cases (VERDICT r1 missing #3) --------------------
+
+
+def test_identical_shared_edge_dissolves():
+    """Two outers sharing an identical edge: the duplicated segment is
+    set-deduped + redundant-filtered (NodeSegments.add:11-18,
+    filterOutRedundantSegments:41-58), so the rings dissolve into one."""
+    a = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    b = [(1, 0), (2, 0), (2, 1), (1, 1), (1, 0)]
+    kind, polys = build_multipolygon([a, b], [])
+    assert len(polys) == 1
+    xs = [p[0] for p in polys[0][0]]
+    assert min(xs) == 0.0 and max(xs) == 2.0  # dissolved 2x1 rectangle
+
+
+def test_collinear_overlap_without_common_node_invalid():
+    """Outer edges overlapping collinearly with no shared node → error
+    (handleIntersectingAndTouchingPolygons:131-136)."""
+    a = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+    b = [(2, 1), (4, 1), (4, 3), (2, 3), (2, 1)]
+    with pytest.raises(MultiPolygonBuildError):
+        build_multipolygon([a, b], [])
+
+
+def test_point_touch_without_common_node_invalid():
+    """Corner touching the middle of another outer's edge → error
+    ('Touching polygons without common node')."""
+    a = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+    c = [(2, 1), (3, 0.5), (3, 2), (2, 1)]
+    with pytest.raises(MultiPolygonBuildError):
+        build_multipolygon([a, c], [])
+
+
+def test_inner_touching_outer_at_single_common_node():
+    """Inner sharing exactly ONE vertex with the outer stays a plain hole
+    (Point intersection at a common node is allowed, :87-105)."""
+    o = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    i = [(0, 0), (1, 0.5), (0.5, 1), (0, 0)]
+    kind, polys = build_multipolygon([o], [i])
+    assert len(polys) == 1 and len(polys[0]) == 2  # shell + hole
+
+
+def test_inner_role_ring_outside_outer_becomes_part():
+    """Nesting is purely geometric (area-desc containment,
+    buildMultiPolygon:33-49): an inner-role ring contained by no outer
+    becomes its own polygon part."""
+    o = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    far = [(10, 10), (11, 10), (11, 11), (10, 11), (10, 10)]
+    kind, polys = build_multipolygon([o], [far])
+    assert len(polys) == 2
+    assert all(len(p) == 1 for p in polys)  # neither has holes
+
+
+def test_two_disjoint_outers_each_with_inner():
+    o1 = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    i1 = [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]
+    o2 = [(10, 0), (14, 0), (14, 4), (10, 4), (10, 0)]
+    i2 = [(11, 1), (12, 1), (12, 2), (11, 2), (11, 1)]
+    kind, polys = build_multipolygon([o1, o2], [i1, i2])
+    assert len(polys) == 2
+    # each hole landed in ITS containing outer
+    for shell, *holes in polys:
+        assert len(holes) == 1
+        sx = [p[0] for p in shell]
+        hx = [p[0] for p in holes[0]]
+        assert min(sx) <= min(hx) <= max(hx) <= max(sx)
+
+
+def test_outer_from_three_fragments_mixed_orientation():
+    """Ring assembly from open fragments in arbitrary direction order."""
+    f1 = [(0, 0), (2, 0), (2, 1)]
+    f2 = [(2, 2), (2, 1)]          # reversed orientation
+    f3 = [(2, 2), (0, 2), (0, 0)]
+    kind, polys = build_multipolygon([f1, f2, f3], [])
+    assert len(polys) == 1
+    shell = polys[0][0]
+    assert len(shell) == 6  # 5 distinct vertices + closure
