@@ -1,18 +1,26 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real — schemas, Arrow batch shapes, partitioning,
-mapInPandas kernels — while the actual codec work is stubbed behind
-DECODERS (this container has no image/audio libraries). On a real cluster
-the stub is replaced by PIL/torchaudio/decord calls with the same
-(bytes → features) signature; nothing else changes.
+Two decode tiers:
 
-Deterministic fake decode: features derived from the byte content (length,
-checksum-seeded pseudo-stats) so tests are exact and re-runs reproducible.
+- RAW formats are decoded FOR REAL, in NumPy, inside Arrow kernels: raw
+  grayscale pixel buffers (image), 16-bit PCM (audio, incl. a real rFFT
+  spectral centroid), and fixed-size frame-packed video. These cover the
+  preprocessed-tensor layout a training pipeline actually stores at scale
+  (decode-once upstream, raw arrays in parquet/lance afterwards).
+- COMPRESSED formats (jpeg/png/mp3/...) need codec libraries this container
+  doesn't ship; `COMPRESSED_DECODERS` is the explicit swap point — each
+  entry raises NotImplementedError here and is replaced by a
+  PIL/torchaudio/decord call with the same (bytes, meta) → ndarray
+  signature in deployment. Nothing else changes: schemas, batch shapes,
+  partitioning and the feature frames are identical either way.
+
+Scale shape: binary payloads never shuffle after the decode stage — only
+the small feature rows do; frame sampling plans JVM-side so unsampled
+frames are never materialized.
 """
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 
 import numpy as np
@@ -21,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
-    "media_id long, kind string, content binary, "
+    "media_id long, kind string, format string, content binary, "
     "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
 )
 
@@ -30,47 +38,145 @@ FEATURE_SCHEMA = (
     "features array<float>, decoded boolean"
 )
 
+THUMB = 8  # thumbnail side for image features
+
 
 def make_media_df(spark: SparkSession, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table (binary payloads with typed metadata)."""
+    """Deterministic raw-format media table (binary payloads + typed meta).
+
+    Payload layout is REAL: images are width×height uint8 grayscale
+    buffers, audio is little-endian int16 PCM, video is n_frames packed
+    width×height frames — so the decode kernels below exercise true
+    byte-to-tensor math, not a placeholder.
+    """
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=128 + (i * 37) % 512, dtype=np.uint8).tobytes()
-        meta = {
-            "width": 64 + i % 256 if kind != "audio" else None,
-            "height": 48 + i % 128 if kind != "audio" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "duration_ms": 1000 + i * 13 if kind != "image" else None,
-        }
-        rows.append((i, kind, bytearray(payload), meta))
+        if kind == "image":
+            w, h = 16 + i % 16, 12 + i % 8
+            payload = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+            meta = {"width": w, "height": h, "sample_rate": None, "duration_ms": None}
+        elif kind == "audio":
+            dur = 40 + (i * 13) % 200  # ms
+            sr = 16000
+            n_samp = sr * dur // 1000
+            pcm = (rng.standard_normal(n_samp) * 3000).astype("<i2")
+            payload = pcm.tobytes()
+            meta = {"width": None, "height": None, "sample_rate": sr, "duration_ms": dur}
+        else:
+            w, h = 8, 6
+            n_frames = 2 + i % 4
+            payload = rng.integers(0, 256, size=n_frames * w * h, dtype=np.uint8).tobytes()
+            meta = {
+                "width": w, "height": h, "sample_rate": None,
+                "duration_ms": n_frames * 500,
+            }
+        rows.append((i, kind, "raw", bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(kind: str, content: bytes, dim: int) -> np.ndarray:
-    """STUB decode: deterministic feature vector from payload bytes.
-
-    Replace with a real decoder (PIL.Image.open → resize → pixel stats,
-    torchaudio.load → spectrogram stats, ...) in deployment. Raises
-    NotImplementedError for unknown kinds — the real/fake split is explicit.
-    """
-    if kind not in ("image", "audio", "video"):
-        raise NotImplementedError(f"no decoder for media kind {kind!r}")
-    digest = hashlib.sha256(content).digest()
-    seed = int.from_bytes(digest[:8], "big") % (2**32)
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+# --- real raw decoders ------------------------------------------------------
 
 
-def decode_features(media: DataFrame, dim: int = 16, batch_hint: int = 256) -> DataFrame:
+def decode_image_raw(content: bytes, width: int, height: int) -> np.ndarray:
+    """bytes → (height, width) uint8 grayscale; truncate/zero-pad to fit."""
+    buf = np.frombuffer(content, dtype=np.uint8)
+    need = width * height
+    if buf.size < need:
+        buf = np.pad(buf, (0, need - buf.size))
+    return buf[:need].reshape(height, width)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real nearest-neighbor resize (pure index math, no libs)."""
+    h, w = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """[mean, std, 8-bin histogram (density), 8×8 thumbnail/255] — 74 dims."""
+    hist = np.bincount(img.ravel() >> 5, minlength=8).astype(np.float64)
+    hist /= max(1, img.size)
+    thumb = resize_nearest(img, THUMB, THUMB).astype(np.float64) / 255.0
+    return np.concatenate(
+        [[img.mean(), img.std()], hist, thumb.ravel()]
+    ).astype(np.float32)
+
+
+def decode_audio_pcm16(content: bytes) -> np.ndarray:
+    buf = content[: len(content) // 2 * 2]
+    return np.frombuffer(buf, dtype="<i2").astype(np.float64)
+
+
+def audio_features(pcm: np.ndarray, sample_rate: int) -> np.ndarray:
+    """[rms, zero-crossing rate, spectral centroid (real rFFT), duration_s]."""
+    if pcm.size == 0:
+        return np.zeros(4, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(pcm**2)))
+    zcr = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+    spec = np.abs(np.fft.rfft(pcm))
+    freqs = np.fft.rfftfreq(pcm.size, d=1.0 / sample_rate)
+    centroid = float((freqs * spec).sum() / spec.sum()) if spec.sum() > 0 else 0.0
+    return np.asarray(
+        [rms, zcr, centroid, pcm.size / sample_rate], dtype=np.float32
+    )
+
+
+def decode_video_raw(content: bytes, width: int, height: int) -> np.ndarray:
+    """bytes → (n_frames, height, width) uint8; trailing partial frame dropped."""
+    frame = width * height
+    buf = np.frombuffer(content, dtype=np.uint8)
+    n = buf.size // frame
+    return buf[: n * frame].reshape(n, height, width)
+
+
+def video_features(frames: np.ndarray) -> np.ndarray:
+    """[n_frames, global mean, global std, mean |frame delta|]."""
+    if frames.shape[0] == 0:
+        return np.zeros(4, dtype=np.float32)
+    delta = (
+        float(np.mean(np.abs(np.diff(frames.astype(np.int16), axis=0))))
+        if frames.shape[0] > 1
+        else 0.0
+    )
+    return np.asarray(
+        [frames.shape[0], frames.mean(), frames.std(), delta], dtype=np.float32
+    )
+
+
+# --- compressed-codec swap point (container ships no codec libraries) -------
+
+
+def _needs_codec(fmt: str):
+    def decode(content: bytes, meta) -> np.ndarray:
+        raise NotImplementedError(
+            f"{fmt} decode needs a codec library (PIL/torchaudio/decord); "
+            "swap this entry in COMPRESSED_DECODERS on a real cluster"
+        )
+
+    return decode
+
+
+COMPRESSED_DECODERS = {
+    "jpeg": _needs_codec("jpeg"),
+    "png": _needs_codec("png"),
+    "mp3": _needs_codec("mp3"),
+    "h264": _needs_codec("h264"),
+}
+
+
+def decode_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """mapInPandas feature extraction over binary media columns.
 
-    The kernel sees Arrow batches of (media_id, kind, content); per batch it
-    decodes vectorized-per-row (codecs are inherently per-item) and emits a
-    compact feature frame. Binary payloads never shuffle after this stage —
-    only the small feature rows do.
+    The kernel sees Arrow batches of (media_id, kind, format, content,
+    meta); raw formats decode with the real NumPy kernels above, compressed
+    formats dispatch through COMPRESSED_DECODERS (NotImplementedError here
+    — the documented swap point). Binary payloads never shuffle after this
+    stage — only the compact feature rows do.
     """
 
     def extract(batches):
@@ -78,7 +184,23 @@ def decode_features(media: DataFrame, dim: int = 16, batch_hint: int = 256) -> D
             feats = []
             for row in pdf.itertuples():
                 content = bytes(row.content)
-                vec = _fake_decode(row.kind, content, dim)
+                meta = row.meta
+                if row.format != "raw":
+                    COMPRESSED_DECODERS[row.format](content, meta)  # raises here
+                if row.kind == "image":
+                    vec = image_features(
+                        decode_image_raw(content, int(meta["width"]), int(meta["height"]))
+                    )
+                elif row.kind == "audio":
+                    vec = audio_features(
+                        decode_audio_pcm16(content), int(meta["sample_rate"])
+                    )
+                elif row.kind == "video":
+                    vec = video_features(
+                        decode_video_raw(content, int(meta["width"]), int(meta["height"]))
+                    )
+                else:
+                    raise NotImplementedError(f"no decoder for media kind {row.kind!r}")
                 feats.append(
                     (
                         int(row.media_id),
@@ -94,12 +216,14 @@ def decode_features(media: DataFrame, dim: int = 16, batch_hint: int = 256) -> D
                 columns=["media_id", "kind", "n_bytes", "checksum", "features", "decoded"],
             )
 
-    return media.select("media_id", "kind", "content").mapInPandas(extract, FEATURE_SCHEMA)
+    return media.select("media_id", "kind", "format", "content", "meta").mapInPandas(
+        extract, FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plumbing: one output row per planned frame
-    timestamp (JVM-side sequence — the decode itself is the stub above)."""
+    timestamp (JVM-side sequence — unsampled frames never materialize)."""
     video = media.where(F.col("kind") == "video")
     n_frames = F.greatest(
         F.lit(1), (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int")

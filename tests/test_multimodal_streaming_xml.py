@@ -15,23 +15,67 @@ from ohsome_planet_spark.sources.osm_xml import read_changeset_xml, read_osm_xml
 class TestMultimodal:
     def test_decode_features_deterministic(self, spark):
         media = make_media_df(spark, 30)
-        f1 = decode_features(media, dim=8).orderBy("media_id").collect()
-        f2 = decode_features(media, dim=8).orderBy("media_id").collect()
+        f1 = decode_features(media).orderBy("media_id").collect()
+        f2 = decode_features(media).orderBy("media_id").collect()
         assert len(f1) == 30
+        dims = {"image": 2 + 8 + 64, "audio": 4, "video": 4}
         for a, b in zip(f1, f2):
             assert a["features"] == b["features"]
             assert a["checksum"] == b["checksum"]
             assert a["decoded"] is True
-            assert len(a["features"]) == 8
+            assert len(a["features"]) == dims[a["kind"]]
+
+    def test_image_decode_is_real(self, spark):
+        """The raw image path does true byte→pixel math: a constant-value
+        buffer yields mean == that value, std == 0, one-hot histogram."""
+        img = bytearray([200] * (10 * 10))
+        media = spark.createDataFrame(
+            [(1, "image", "raw", img, {"width": 10, "height": 10,
+                                        "sample_rate": None, "duration_ms": None})],
+            "media_id long, kind string, format string, content binary, "
+            "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+        )
+        row = decode_features(media).first()
+        feats = row["features"]
+        assert feats[0] == pytest.approx(200.0)  # mean
+        assert feats[1] == pytest.approx(0.0)    # std
+        hist = feats[2:10]
+        assert hist[200 >> 5] == pytest.approx(1.0)  # all pixels in one bin
+        thumb = feats[10:]
+        assert all(t == pytest.approx(200 / 255) for t in thumb)
+
+    def test_audio_spectral_centroid_real_fft(self, spark):
+        """A pure sine at 1 kHz must centroid near 1 kHz (real rFFT)."""
+        sr = 16000
+        t = np.arange(sr) / sr
+        pcm = (np.sin(2 * np.pi * 1000 * t) * 10000).astype("<i2")
+        media = spark.createDataFrame(
+            [(1, "audio", "raw", bytearray(pcm.tobytes()),
+              {"width": None, "height": None, "sample_rate": sr, "duration_ms": 1000})],
+            "media_id long, kind string, format string, content binary, "
+            "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+        )
+        feats = decode_features(media).first()["features"]
+        assert feats[2] == pytest.approx(1000.0, rel=0.02)  # centroid Hz
+        assert feats[3] == pytest.approx(1.0, rel=1e-6)     # duration s
 
     def test_unknown_kind_raises(self, spark):
         bad = spark.createDataFrame(
-            [(1, "hologram", bytearray(b"xx"), None)],
-            "media_id long, kind string, content binary, "
+            [(1, "hologram", "raw", bytearray(b"xx"), None)],
+            "media_id long, kind string, format string, content binary, "
             "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
         )
         with pytest.raises(Exception, match="hologram"):
             decode_features(bad).collect()
+
+    def test_compressed_format_is_explicit_swap_point(self, spark):
+        jpg = spark.createDataFrame(
+            [(1, "image", "jpeg", bytearray(b"\xff\xd8\xff"), None)],
+            "media_id long, kind string, format string, content binary, "
+            "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+        )
+        with pytest.raises(Exception, match="codec library"):
+            decode_features(jpg).collect()
 
     def test_frame_sample_plan(self, spark):
         media = make_media_df(spark, 12)
