@@ -673,6 +673,47 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dups (dedup.embedding_near_dups) with a
+    planted duplicate per 50th vector; the DuckDB oracle recomputes the same
+    12-plane sign buckets and in-bucket exact cosines from literals."""
+    from ohsome_planet_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dups(emb.unionByName(dups), threshold=0.95)
+
+
+def _embedding_near_dup_oracle_sql(
+    planes: int = 12, dim: int = 64, seed: int = 11, threshold: float = 0.95
+) -> str:
+    import numpy as np
+
+    hyper = np.random.default_rng(seed).standard_normal((planes, dim))
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in hyper[p])
+        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+b AS (SELECT vec_id, v, {bucket_terms} AS bkt FROM corpus)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         round(list_dot_product(a.v, b2.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cos_sim
+  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+) WHERE cos_sim >= {threshold}
+"""
+
+
 def _q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1–S7 oracle: deterministic nodes derived from `events` are encoded
     into a real OSM PBF (dense nodes, delta/zigzag/string-table wire format,
@@ -1139,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "simhash_near_dup": _q_simhash_near_dup,
         "embedding_ann": _q_embedding_ann,
+        "embedding_near_dup": _q_embedding_near_dup,
         "pbf_roundtrip": _q_pbf_roundtrip,
         "way_history": _q_way_history,
         "relation_history": _q_relation_history,
@@ -1326,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle_sql(8),
         "simhash_near_dup": _simhash_oracle_sql(),
         "embedding_ann": _embedding_ann_oracle_sql(),
+        "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "pbf_roundtrip": _PBF_ORACLE_SQL,
         "relation_history": _REL_HISTORY_ORACLE_SQL,
         "way_history": """
