@@ -259,7 +259,19 @@ def test_converter_polygon_area_and_invalid():
     rows = convert_contributions("way", 10, raw)
     assert rows[0]["geometry_type"] == "Polygon"
     assert 1.2e6 < rows[0]["area"] < 1.25e6
-    assert rows[0]["xz_level"] > 0
+    # xz is filled from bbox by with_xz2_from_bbox AFTER the kernel (batched);
+    # the kernel emits the bbox and the placeholder
+    assert rows[0]["xz_level"] == -1
+    assert rows[0]["xmin"] == 0.0 and rows[0]["xmax"] == 0.01
+    import numpy as np
+
+    from ohsome_planet_spark.functions.cells import xz2_code
+
+    lvl, code = xz2_code(
+        np.array([rows[0]["xmin"]]), np.array([rows[0]["ymin"]]),
+        np.array([rows[0]["xmax"]]), np.array([rows[0]["ymax"]]),
+    )
+    assert lvl[0] > 0
     # invisible-only members → empty geometry → invalid
     ghost = {1: [node(1, 1, 1, lon=1.0, visible=False)]}
     majors2 = [way(1, 1, 1, [1])]
