@@ -98,9 +98,44 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
 
+    # the history merge (the reference's one custom operator): 10k ways ×
+    # 3-node refs over 20-version node histories derived from events
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.history import way_contributions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m_nodes = ev.select(
+        (F.col("event_id") % 30000).alias("id"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("event_id") % 30000).orderBy("ts", "event_id"))
+        .alias("version"),
+        F.col("ts"),
+        (F.col("event_id") % 17).alias("changeset"),
+        F.col("user_id"), F.lit("u").alias("user"), F.lit(True).alias("visible"),
+        ((F.col("event_id") * 7 % 360) - 180.0).alias("lon"),
+        ((F.col("event_id") * 11 % 180) - 90.0).alias("lat"),
+    )
+    m_ways = spark.range(10000).select(
+        F.col("id"), F.lit(1).alias("version"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"), F.lit(True).alias("visible"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        F.array(
+            F.col("id") * 3 % 30000, (F.col("id") * 3 + 1) % 30000, (F.col("id") * 3 + 2) % 30000
+        ).alias("refs"),
+    )
+    merge_df = way_contributions(m_ways, m_nodes)
+    merge_df.count()  # warm
+    t0 = time.time()
+    merge_rows = merge_df.count()
+    qtimes["way_merge_10k"] = round(time.time() - t0, 3)
+
     # hardware-calibration control (context for the throughput number on
     # shared/throttled VMs): ideal-parallel pure-JVM compute, 1 task/core
-    from pyspark.sql import functions as F
 
     def control(k):
         return spark.range(0, 800_000_000, 1, cpus).select(
@@ -127,6 +162,7 @@ def main() -> None:
                 "sf": sf,
                 "pages": n_pages,
                 "result_rows": result_rows,
+                "merge_contrib_rows": merge_rows,
                 "cpus": cpus,
                 "jvm_control_sec": control_sec,
             }
