@@ -673,6 +673,50 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+def _q_rasterize_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster (the inverse of zonal_stats): event-derived bboxes
+    exploded into all covered zxy z=8 cells — pure JVM sequence+explode;
+    the oracle replays the same index ranges with generate_series."""
+    from ohsome_planet_spark.operators.tiling import cover_cells
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    boxes = ev.select(
+        "event_id",
+        (((F.col("event_id") * 7) % 340) - 170.0).alias("xmin"),
+        (((F.col("event_id") * 11) % 160) - 80.0).alias("ymin"),
+    ).select(
+        "event_id",
+        "xmin",
+        "ymin",
+        (F.col("xmin") + (F.col("event_id") % 5).cast("double")).alias("xmax"),
+        (F.col("ymin") + (F.col("event_id") % 3).cast("double")).alias("ymax"),
+    )
+    return cover_cells(boxes, zoom=8).select("event_id", "cell")
+
+
+_RASTERIZE_ORACLE_SQL = """
+WITH boxes AS (
+  SELECT event_id,
+         (event_id * 7) % 340 - 170.0 AS xmin,
+         (event_id * 11) % 160 - 80.0 AS ymin,
+         (event_id * 7) % 340 - 170.0 + (event_id % 5) AS xmax,
+         (event_id * 11) % 160 - 80.0 + (event_id % 3) AS ymax
+  FROM events WHERE event_id < 3000
+),
+idx AS (
+  SELECT event_id,
+         greatest(0, least(CAST(floor((xmin + 180.0) / 360.0 * 256) AS BIGINT), 255)) AS ix0,
+         greatest(0, least(CAST(floor((xmax + 180.0) / 360.0 * 256) AS BIGINT), 255)) AS ix1,
+         greatest(0, least(CAST(floor((90.0 - ymax) / 180.0 * 256) AS BIGINT), 255)) AS iy0,
+         greatest(0, least(CAST(floor((90.0 - ymin) / 180.0 * 256) AS BIGINT), 255)) AS iy1
+  FROM boxes
+),
+x AS (SELECT event_id, unnest(generate_series(ix0, ix1)) AS ix, iy0, iy1 FROM idx),
+xy AS (SELECT event_id, ix, unnest(generate_series(iy0, iy1)) AS iy FROM x)
+SELECT event_id, 8 * 288230376151711744 + ix * 536870912 + iy AS cell FROM xy
+"""
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH embedding near-dups (dedup.embedding_near_dups) with a
     planted duplicate per 50th vector; the DuckDB oracle recomputes the same
@@ -1181,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "embedding_ann": _q_embedding_ann,
         "embedding_near_dup": _q_embedding_near_dup,
+        "rasterize_cells": _q_rasterize_cells,
         "pbf_roundtrip": _q_pbf_roundtrip,
         "way_history": _q_way_history,
         "relation_history": _q_relation_history,
@@ -1369,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_oracle_sql(),
         "embedding_ann": _embedding_ann_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "rasterize_cells": _RASTERIZE_ORACLE_SQL,
         "pbf_roundtrip": _PBF_ORACLE_SQL,
         "relation_history": _REL_HISTORY_ORACLE_SQL,
         "way_history": """

@@ -118,3 +118,45 @@ def cell_counts(df: DataFrame, cell_col: str, salted: bool = False, salt_buckets
     from .skew import salted_count
 
     return salted_count(df, [cell_col], out_col="n", salt_buckets=salt_buckets)
+
+
+def cover_cells(
+    df: DataFrame,
+    zoom: int,
+    xmin: str = "xmin",
+    ymin: str = "ymin",
+    xmax: str = "xmax",
+    ymax: str = "ymax",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Vector→raster: explode each bbox into every zxy cell it covers.
+
+    The rasterization half of the raster↔vector pair (zonal_stats is the
+    other direction): one output row per (input row, covered cell), packed
+    like zxy_cell_col ((z<<58)|(ix<<29)|iy). All JVM — two index-range
+    sequences and a double explode, so Catalyst keeps it in codegen and the
+    fan-out is bounded by the bbox extent (callers pick the zoom so a
+    feature covers O(1..100) cells; a planet-sized bbox at z=16 is the
+    caller's bug, not a shuffle surprise). Boxes are clamped to world
+    bounds; antimeridian-crossing boxes (xmin > xmax) are the caller's
+    concern (split first). Degenerate (point) boxes cover exactly 1 cell.
+    """
+    n = F.lit(1 << zoom)
+    nmax = F.lit((1 << zoom) - 1)
+    zero = F.lit(0).cast("long")
+
+    def clamp(c):
+        return F.greatest(zero, F.least(c.cast("long"), nmax.cast("long")))
+
+    ix0 = clamp(F.floor((F.col(xmin) + F.lit(180.0)) / F.lit(360.0) * n))
+    ix1 = clamp(F.floor((F.col(xmax) + F.lit(180.0)) / F.lit(360.0) * n))
+    # y flips: ymax (north) → smaller iy
+    iy0 = clamp(F.floor((F.lit(90.0) - F.col(ymax)) / F.lit(180.0) * n))
+    iy1 = clamp(F.floor((F.lit(90.0) - F.col(ymin)) / F.lit(180.0) * n))
+    base = F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long")
+    return (
+        df.withColumn("_ix", F.explode(F.sequence(ix0, ix1)))
+        .withColumn("_iy", F.explode(F.sequence(iy0, iy1)))
+        .withColumn(out_col, base + F.shiftleft(F.col("_ix"), 29) + F.col("_iy"))
+        .drop("_ix", "_iy")
+    )

@@ -110,3 +110,27 @@ def test_zonal_stats_closed_form(spark):
         assert r["value_mean"] == pytest.approx(np.mean(vals))
         assert r["value_min"] == min(vals)
         assert r["value_max"] == max(vals)
+
+
+def test_cover_cells_rasterize(spark):
+    """Vector→raster: bbox explodes into exactly its covered z-cell grid."""
+    from ohsome_planet_spark.functions.cells import zxy_cell
+    from ohsome_planet_spark.operators.tiling import cover_cells
+
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, -1.0, -1.0, 1.0, 1.0), (2, 10.0, 10.0, 10.0, 10.0)],
+        "id long, xmin double, ymin double, xmax double, ymax double",
+    )
+    out = {r["id"]: set() for r in df.collect()}
+    for r in cover_cells(df, 8).collect():
+        out[r["id"]].add(r["cell"])
+    # point bbox covers exactly the cell of that point
+    assert out[2] == {int(zxy_cell(np.array([10.0]), np.array([10.0]), 8)[0])}
+    # 2-degree box at z=8 (1.40625° cells): 2 x-cells × 4 y-cells
+    assert len(out[1]) == 8
+    # every corner's cell is covered
+    for lon, lat in [(-1, -1), (-1, 1), (1, -1), (1, 1)]:
+        c = int(zxy_cell(np.array([float(lon)]), np.array([float(lat)]), 8)[0])
+        assert c in out[1]
