@@ -673,6 +673,43 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs (iterative min-label
+    propagation + pointer jumping, per-round lineage truncation); the
+    oracle computes the same components with a recursive CTE (min reachable
+    id per node). Input: 20-long near-dup chains (A~B~C~…) — the shape real
+    transitive dedup produces — so multi-hop closure is what's checked."""
+    from ohsome_planet_spark.operators.dedup import dedup_clusters
+
+    pairs = _t(spark, sf_dir, "events").where(
+        (F.col("event_id") < 4000) & (F.col("event_id") % 20 != 19)
+    ).select(
+        F.col("event_id").alias("id_a"),
+        (F.col("event_id") + 1).alias("id_b"),
+    )
+    return dedup_clusters(pairs)
+
+
+_DEDUP_CLUSTERS_ORACLE_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT event_id AS a, event_id + 1 AS b
+  FROM events WHERE event_id < 4000 AND event_id % 20 <> 19
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def _q_rasterize_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector→raster (the inverse of zonal_stats): event-derived bboxes
     exploded into all covered zxy z=8 cells — pure JVM sequence+explode;
@@ -1226,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann": _q_embedding_ann,
         "embedding_near_dup": _q_embedding_near_dup,
         "rasterize_cells": _q_rasterize_cells,
+        "dedup_clusters": _q_dedup_clusters,
         "pbf_roundtrip": _q_pbf_roundtrip,
         "way_history": _q_way_history,
         "relation_history": _q_relation_history,
@@ -1415,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann": _embedding_ann_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "rasterize_cells": _RASTERIZE_ORACLE_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE_SQL,
         "pbf_roundtrip": _PBF_ORACLE_SQL,
         "relation_history": _REL_HISTORY_ORACLE_SQL,
         "way_history": """

@@ -356,3 +356,93 @@ def embedding_near_dups(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 200,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (node, cluster_id).
+
+    The step after every pair generator above: near-dup PAIRS must become
+    duplicate CLUSTERS (keep one doc per component). cluster_id is the
+    component's minimum node id — deterministic, so downstream "keep the
+    canonical doc" filters are stable across runs.
+
+    Distributed shape: iterative min-label propagation + pointer jumping
+    over the undirected edge list — each round is two shuffle joins + a min
+    aggregate, with lineage truncated per round via localCheckpoint (without
+    it, iteration k replays rounds 1..k-1; the classic iterative-Spark
+    trap). Propagation alone needs O(diameter) rounds; the jump contracts
+    label chains exponentially, so near-dup chains (the realistic cluster
+    shape) close in O(log d) rounds. Convergence is detected by the
+    monotone sum of labels (one cheap aggregate — a new-vs-old self-join
+    would silently compare an attribute with itself after truncation).
+    At adversarial scale (billion-node meshes) swap the loop body for
+    large-star/small-star (Kiveris et al.) — same join primitives.
+    """
+    edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges_fwd.union(
+            edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # every round joins edges — never recompute them
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    # labels only ever DECREASE, so sum(label) strictly decreases until the
+    # fixpoint — one cheap aggregate per round is the convergence test (a
+    # new-vs-old self-join would silently compare an attribute with itself
+    # after lineage truncation: the classic iterative-DataFrame trap)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        # (1) propagate: min over neighbors' labels
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(
+                    labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()  # jump below self-joins labels: checkpoint
+            # first, or the self-join doubles the un-truncated plan
+        )
+        # (2) pointer-jump: label ← label's own current label. Propagation
+        # alone is O(diameter) rounds — a CHAIN of near-dups (A~B~C~…) makes
+        # that unbounded; jumping contracts paths exponentially. The jump
+        # side deliberately routes through a (semantically no-op) aggregate:
+        # joining a checkpointed frame with a PURE re-aliasing of itself
+        # makes per-round wall time double (measured 0.5s→0.7→1.1→2.3→5→13→
+        # 36→97s — a Spark plan/exchange-reuse pathology); the aggregate
+        # gives the right side its own plan and rounds stay flat.
+        jump = labels.groupBy("node").agg(F.min("label").alias("j_label")).select(
+            F.col("node").alias("j_node"), "j_label"
+        )
+        labels = (
+            labels.join(jump, labels["label"] == jump["j_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("j_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("cluster_id"))

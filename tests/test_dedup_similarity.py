@@ -138,3 +138,31 @@ def test_ivf_recall(spark, sf_dir):
     )
     # nprobe=4 of 8 lists ≈ 50% coverage on near-uniform vectors
     assert recall >= 0.5, recall
+
+
+def test_dedup_clusters_chains_and_e2e(spark):
+    """Connected components over pairs: chains close transitively, and the
+    minhash→pairs→clusters flow canonicalizes planted duplicates."""
+    import ohsome_planet_spark.operators.dedup as D
+
+    # 60-long chain + two islands: pointer jumping must close the chain
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)] + [(100, 101), (200, 201)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
+    assert all(got[i] == 0 for i in range(61))
+    assert got[100] == got[101] == 100 and got[200] == got[201] == 200
+
+    # end to end: near-dup pairs from minhash → clusters
+    rows = []
+    for i in range(20):
+        text = " ".join(f"w{i}x{j}" for j in range(12))  # disjoint vocab per i
+        rows.append((i, text))
+        rows.append((100 + i, text + " tail"))  # near-dup of i
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    clusters = {r["node"]: r["cluster_id"] for r in D.dedup_clusters(p).collect()}
+    for i in range(20):
+        if i in clusters and 100 + i in clusters:
+            assert clusters[100 + i] == clusters[i] == i
