@@ -673,6 +673,30 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+def _q_doc_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token-count estimate per document (GPT-2-ish pre-tokenizer
+    classes as a JVM regexp count) next to the whitespace count — the token
+    budgeting pass of a training-data pipeline, value-checked in DuckDB via
+    the identical RE2-compatible pattern."""
+    from ohsome_planet_spark.functions.text import token_count_bpe_col, token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_bpe_col(F.col("text")).alias("n_bpe_tokens"),
+        token_count_col(F.col("text")).cast("int").alias("n_ws_tokens"),
+    )
+
+
+_DOC_TOKENS_BPE_ORACLE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_ws_tokens
+FROM documents
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs (iterative min-label
     propagation + pointer jumping, per-round lineage truncation); the
@@ -1264,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "rasterize_cells": _q_rasterize_cells,
         "dedup_clusters": _q_dedup_clusters,
+        "doc_tokens_bpe": _q_doc_tokens_bpe,
         "pbf_roundtrip": _q_pbf_roundtrip,
         "way_history": _q_way_history,
         "relation_history": _q_relation_history,
@@ -1454,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "rasterize_cells": _RASTERIZE_ORACLE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE_SQL,
+        "doc_tokens_bpe": _DOC_TOKENS_BPE_ORACLE_SQL,
         "pbf_roundtrip": _PBF_ORACLE_SQL,
         "relation_history": _REL_HISTORY_ORACLE_SQL,
         "way_history": """

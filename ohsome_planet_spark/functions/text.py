@@ -121,6 +121,23 @@ def token_count_col(text_c: Column) -> Column:
     )
 
 
+# GPT-2-ish pre-tokenizer classes: letter runs, single digits, punctuation
+# singles. Deliberately restricted to a regex subset with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB), so the count is
+# cross-engine oracle-able.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe_col(text_c: Column) -> Column:
+    """BPE-style token-count estimate (pre-tokenizer classes) — pure JVM.
+
+    A whitespace count underestimates LLM token usage badly on punctuated
+    or numeric text; counting pre-tokenizer matches tracks real BPE token
+    counts within a constant factor, which is what corpus budgeting needs.
+    """
+    return F.size(F.regexp_extract_all(text_c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
 def quality_cols(text_c: Column) -> dict[str, Column]:
     """Length / punctuation-ratio / stopword-ratio quality features."""
     length = F.length(text_c)

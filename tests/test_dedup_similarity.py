@@ -166,3 +166,29 @@ def test_dedup_clusters_chains_and_e2e(spark):
     for i in range(20):
         if i in clusters and 100 + i in clusters:
             assert clusters[100 + i] == clusters[i] == i
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """Capped path: boilerplate shingles leave candidate generation, but
+    surviving pairs keep EXACT jaccard (re-verified on full shingle sets)."""
+    import ohsome_planet_spark.operators.dedup as D
+
+    boiler = "all rights reserved contact us for more"
+    rows = []
+    for i in range(10):
+        uniq = " ".join(f"u{i}q{j}" for j in range(8))
+        rows.append((i, uniq + " " + boiler))
+        rows.append((100 + i, uniq + " " + boiler + " tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.15).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in D.ngram_jaccard_pairs(docs, threshold=0.15, max_doc_freq=5).collect()}
+    # real dup pairs (i, 100+i) share unique shingles → survive the cap,
+    # with IDENTICAL jaccard values
+    for i in range(10):
+        assert capped[(i, 100 + i)] == exact[(i, 100 + i)]
+    # boilerplate-only pairs (i, j) existed in the exact result but are
+    # pruned by the cap (they share only the hot shingles)
+    assert any((a, b) in exact and (a, b) not in capped
+               for a in range(10) for b in range(10) if a < b)

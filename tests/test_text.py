@@ -57,3 +57,19 @@ def test_fingerprint_deterministic():
     c = doc_fingerprint_py("different document " * 20)
     assert a == b
     assert a != c
+
+
+def test_token_count_bpe(spark):
+    from ohsome_planet_spark.functions.text import token_count_bpe_col
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "it's 2024, ok?!"), (3, ""), (4, "a1b2")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", token_count_bpe_col(F.col("text")).alias("n")).collect()}
+    # "hello","world" → 2 ; "it","'","s","2","0","2","4",",","ok","?","!" → 11
+    # "" → 0 ; "a","1","b","2" → 4
+    assert got == {1: 2, 2: 11, 3: 0, 4: 4}
