@@ -1158,36 +1158,9 @@ def relation_contributions(
         F.col("members").alias("rel_member_list"),
     )
 
-    def merge_one_relation(rel_id: int, rels_pdf: pd.DataFrame, members_pdf: pd.DataFrame, joiner) -> list[dict]:
-        node_hists: dict[int, _Hist] = {}
-        way_rows: dict[int, list] = {}
-        if len(members_pdf):
-            nd = members_pdf[members_pdf["kind"] == "node"]
-            for nid, grp in nd.sort_values(["member_id", "version", "ts"]).groupby("member_id"):
-                node_hists[int(nid)] = _Hist(
-                    [
-                        {
-                            "ts": pd.Timestamp(r.ts), "changeset": int(r.changeset),
-                            "user_id": int(r.user_id), "user": r.user,
-                            "version": int(r.version), "visible": bool(r.visible),
-                            "lon": float(r.lon), "lat": float(r.lat),
-                        }
-                        for r in grp.itertuples()
-                    ]
-                )
-            wd = members_pdf[members_pdf["kind"] == "way"]
-            for wid, grp in wd.sort_values(["member_id", "version", "ts"]).groupby("member_id"):
-                way_rows[int(wid)] = [
-                    {
-                        "version": int(r.version), "ts": pd.Timestamp(r.ts),
-                        "changeset": int(r.changeset), "user_id": int(r.user_id),
-                        "user": r.user, "visible": bool(r.visible),
-                        "tags": dict(r.tags) if r.tags is not None else {},
-                        "refs": [int(x) for x in r.refs] if r.refs is not None else [],
-                    }
-                    for r in grp.itertuples()
-                ]
-
+    def merge_one_relation(
+        rel_id: int, node_hists: dict, way_rows: dict, majors: list, joiner
+    ) -> list[dict]:
         # way member histories = their own merged contribution streams; each
         # way merge gets FRESH node cursors over the shared row lists (the
         # reference allocates per-entity Contributions objects)
@@ -1197,19 +1170,6 @@ def relation_contributions(
             raw_way = merge_contributions(way_majors, fresh)
             way_hists[wid] = _Hist(raw_way)
 
-        majors = [
-            {
-                "version": int(r.version), "ts": pd.Timestamp(r.ts),
-                "changeset": int(r.changeset), "user_id": int(r.user_id),
-                "user": r.user, "visible": bool(r.visible),
-                "tags": dict(r.tags) if r.tags is not None else {},
-                "refs": [
-                    (m["type"], int(m["id"]), m["role"] or "")
-                    for m in (r.rel_member_list if r.rel_member_list is not None else [])
-                ],
-            }
-            for r in rels_pdf.sort_values(["version", "ts"]).itertuples()
-        ]
         # adapt: merge_contributions keys member histories by the ref value —
         # here refs are (type, id, role) triples
         hists: dict = {}
@@ -1251,13 +1211,88 @@ def relation_contributions(
         pdf = pd.concat(chunks, ignore_index=True)
         if not len(pdf):
             return
+        # one partition-wide presort + column extraction (same shape as the
+        # way kernel): per-group pandas slicing/itertuples was ~60% of the
+        # relation kernel's profile at ~19 itertuples() calls per relation
+        pdf = pdf.sort_values(
+            ["rel_id", "kind", "member_id", "version", "ts"], kind="stable"
+        )
+        rel_a = pdf["rel_id"].to_numpy()
+        kind_a = pdf["kind"].to_numpy()
+        mid_a = pdf["member_id"].to_numpy()
+        ver_a = pdf["version"].to_numpy()
+        ts_a = pdf["ts"].to_list()
+        cs_a = pdf["changeset"].to_numpy()
+        uid_a = pdf["user_id"].to_numpy()
+        user_a = pdf["user"].to_numpy()
+        vis_a = pdf["visible"].to_numpy()
+        tags_a = pdf["tags"].to_numpy()
+        refs_a = pdf["refs"].to_numpy()
+        lon_a = pdf["lon"].to_numpy()
+        lat_a = pdf["lat"].to_numpy()
+        rml_a = pdf["rel_member_list"].to_numpy()
+
+        n = len(pdf)
+        cuts = np.nonzero(rel_a[1:] != rel_a[:-1])[0] + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+
         out_rows: list[dict] = []
-        for rel_id, grp in pdf.groupby("rel_id", sort=False):
-            rels = grp[grp["kind"] == "rel"]
-            if not len(rels):
+        for s, e in zip(starts, ends):
+            node_lists: dict[int, list] = {}
+            way_rows: dict[int, list] = {}
+            majors: list[dict] = []
+            for i in range(s, e):
+                k = kind_a[i]
+                if k == "node":
+                    node_lists.setdefault(int(mid_a[i]), []).append(
+                        {
+                            "ts": pd.Timestamp(ts_a[i]),
+                            "changeset": int(cs_a[i]),
+                            "user_id": int(uid_a[i]),
+                            "user": user_a[i],
+                            "version": int(ver_a[i]),
+                            "visible": bool(vis_a[i]),
+                            "lon": float(lon_a[i]),
+                            "lat": float(lat_a[i]),
+                        }
+                    )
+                elif k == "way":
+                    way_rows.setdefault(int(mid_a[i]), []).append(
+                        {
+                            "version": int(ver_a[i]),
+                            "ts": pd.Timestamp(ts_a[i]),
+                            "changeset": int(cs_a[i]),
+                            "user_id": int(uid_a[i]),
+                            "user": user_a[i],
+                            "visible": bool(vis_a[i]),
+                            "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
+                            "refs": [int(x) for x in refs_a[i]] if refs_a[i] is not None else [],
+                        }
+                    )
+                else:  # rel major
+                    rml = rml_a[i]
+                    majors.append(
+                        {
+                            "version": int(ver_a[i]),
+                            "ts": pd.Timestamp(ts_a[i]),
+                            "changeset": int(cs_a[i]),
+                            "user_id": int(uid_a[i]),
+                            "user": user_a[i],
+                            "visible": bool(vis_a[i]),
+                            "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
+                            "refs": [
+                                (m["type"], int(m["id"]), m["role"] or "")
+                                for m in (rml if rml is not None else [])
+                            ],
+                        }
+                    )
+            if not majors:
                 continue
-            members = grp[grp["kind"] != "rel"]
-            out_rows.extend(merge_one_relation(int(rel_id), rels, members, joiner))
+            node_hists = {nid: _Hist(rows) for nid, rows in node_lists.items()}
+            out_rows.extend(
+                merge_one_relation(int(rel_a[s]), node_hists, way_rows, majors, joiner)
+            )
         if out_rows:
             yield pd.DataFrame(out_rows)
 
