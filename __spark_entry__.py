@@ -673,6 +673,29 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: md5-bucket thresholds per
+    language stratum — identical surviving rows on every run AND every
+    engine, which the DuckDB oracle proves by recomputing the same buckets."""
+    from ohsome_planet_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(
+        docs, "doc_id", rate_by={"en": 0.5, "de": 0.25}, stratum_col="lang"
+    )
+
+
+_HASH_SAMPLE_ORACLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS bucket
+  FROM documents
+)
+WHERE (lang = 'en' AND bucket < 500000)
+   OR (lang = 'de' AND bucket < 250000)
+"""
+
+
 def _q_doc_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style token-count estimate per document (GPT-2-ish pre-tokenizer
     classes as a JVM regexp count) next to the whitespace count — the token
@@ -876,6 +899,71 @@ def _q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lon") * 1e7).cast("long").alias("lon_e7"),
         F.round(F.col("lat") * 1e7).cast("long").alias("lat_e7"),
     )
+
+
+def _q_pbf_roundtrip_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4–S7 way-path oracle: deterministic ways (with a DESCENDING ref pair
+    to exercise signed zigzag deltas) encoded into PBF way groups and read
+    back distributed; refs compare as joined strings so list ordering is
+    part of the check."""
+    import pathlib
+
+    from ohsome_planet_spark.sources.pbf import read_osm_pbf, write_osm_pbf
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select("event_id", "ts", "user_id", "event_type")
+        .collect()
+    )
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    ways = []
+    for r in sorted(ev, key=lambda r: r["event_id"]):
+        eid, uid = int(r["event_id"]), int(r["user_id"])
+        secs = int((r["ts"] - epoch).total_seconds())
+        ways.append(
+            {
+                "id": eid,
+                "version": eid % 7 + 1,
+                "ts_ms": secs * 1000,
+                "changeset": uid,
+                "uid": uid,
+                "user": f"u{uid % 50}",
+                "visible": True,
+                "tags": {"highway": r["event_type"]},
+                # descending pair id+5 → id exercises negative deltas
+                "refs": [eid + 5, eid, eid + 1, eid * 2],
+            }
+        )
+    cache = pathlib.Path(__file__).resolve().parent / ".cache"
+    cache.mkdir(exist_ok=True)
+    pbf_path = cache / f"pbf_ways_oracle_{pathlib.Path(sf_dir).name}.pbf"
+    write_osm_pbf(pbf_path, [], ways=ways)
+    _, _, wdf, _ = read_osm_pbf(spark, pbf_path)
+    return wdf.select(
+        "id",
+        "version",
+        "ts",
+        "changeset",
+        F.col("user_id").alias("uid"),
+        "user",
+        F.col("tags")["highway"].alias("tag_highway"),
+        F.array_join(F.col("refs"), ",").alias("refs_str"),
+    )
+
+
+_PBF_WAYS_ORACLE_SQL = """
+SELECT event_id AS id,
+       CAST(event_id % 7 + 1 AS INT) AS version,
+       date_trunc('second', ts) AS ts,
+       user_id AS changeset,
+       user_id AS uid,
+       'u' || CAST(user_id % 50 AS VARCHAR) AS user,
+       event_type AS tag_highway,
+       CAST(event_id + 5 AS VARCHAR) || ',' || CAST(event_id AS VARCHAR) || ',' ||
+       CAST(event_id + 1 AS VARCHAR) || ',' || CAST(event_id * 2 AS VARCHAR) AS refs_str
+FROM events WHERE event_id < 2000
+"""
 
 
 _PBF_ORACLE_SQL = """
@@ -1289,7 +1377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_cells": _q_rasterize_cells,
         "dedup_clusters": _q_dedup_clusters,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
+        "hash_sample": _q_hash_sample,
         "pbf_roundtrip": _q_pbf_roundtrip,
+        "pbf_roundtrip_ways": _q_pbf_roundtrip_ways,
         "way_history": _q_way_history,
         "relation_history": _q_relation_history,
         "zonal_stats": _q_zonal_stats,
@@ -1480,7 +1570,9 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_cells": _RASTERIZE_ORACLE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE_SQL,
         "doc_tokens_bpe": _DOC_TOKENS_BPE_ORACLE_SQL,
+        "hash_sample": _HASH_SAMPLE_ORACLE_SQL,
         "pbf_roundtrip": _PBF_ORACLE_SQL,
+        "pbf_roundtrip_ways": _PBF_WAYS_ORACLE_SQL,
         "relation_history": _REL_HISTORY_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),

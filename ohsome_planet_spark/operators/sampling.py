@@ -1,0 +1,55 @@
+"""Deterministic corpus sampling — reproducible by construction.
+
+Training-data pipelines need samples that are (a) stratified (per-language /
+per-source mixing ratios), (b) reproducible across runs and engines, and
+(c) cheap at 100 TB. Random `sample()` fails (b): executors draw different
+randomness per retry/partition split. Hash sampling keys the decision on a
+stable hash of the row's id, so the SAME rows are kept on every run, every
+engine, every cluster size — and it's one JVM expression, no shuffle at all
+(the filter pushes into the scan's row-group pruning where stats allow).
+
+The hash is the md5-derived 60-bit integer used across this engine's
+oracles (DuckDB computes the identical value), bucketed to 1e6 so rates
+have micro precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1_000_000
+
+
+def hash_bucket_col(id_c: Column) -> Column:
+    """Stable per-row bucket in [0, 1e6) from md5 of the id's string form."""
+    h = F.conv(F.substring(F.md5(id_c.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float | None = None,
+    rate_by: dict[str, float] | None = None,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows (or per-stratum rates).
+
+    rate_by + stratum_col: per-stratum rates (e.g. {'en': 0.1, 'de': 0.5});
+    strata not listed are dropped — the corpus-mixing contract. Exactly the
+    same rows survive on every run (retry/speculation/cluster-size safe).
+    """
+    bucket = hash_bucket_col(F.col(id_col))
+    if rate_by is not None:
+        if stratum_col is None:
+            raise ValueError("rate_by requires stratum_col")
+        thresholds = F.create_map(
+            *[x for k, v in sorted(rate_by.items())
+              for x in (F.lit(k), F.lit(int(round(v * BUCKETS))))]
+        )
+        thr = thresholds.getItem(F.col(stratum_col))
+        return df.where(thr.isNotNull() & (bucket < thr))
+    if rate is None:
+        raise ValueError("pass rate or rate_by")
+    return df.where(bucket < F.lit(int(round(rate * BUCKETS))))

@@ -73,3 +73,23 @@ def test_token_count_bpe(spark):
     # "hello","world" → 2 ; "it","'","s","2","0","2","4",",","ok","?","!" → 11
     # "" → 0 ; "a","1","b","2" → 4
     assert got == {1: 2, 2: 11, 3: 0, 4: 4}
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from ohsome_planet_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)], "doc_id long, lang string"
+    )
+    s1 = hash_sample(df, "doc_id", rate_by={"en": 0.5, "de": 0.1}, stratum_col="lang")
+    s2 = hash_sample(df, "doc_id", rate_by={"en": 0.5, "de": 0.1}, stratum_col="lang")
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids2 = {r["doc_id"] for r in s2.collect()}
+    assert ids1 == ids2  # identical rows on every run
+    got = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    assert abs(got["en"] / 2000 - 0.5) < 0.05
+    assert abs(got["de"] / 1000 - 0.1) < 0.05
+    # flat-rate variant + strata not listed are dropped
+    assert hash_sample(df.where("lang = 'de'"), "doc_id", rate=1.0).count() == 1000
+    only_en = hash_sample(df, "doc_id", rate_by={"en": 1.0}, stratum_col="lang")
+    assert only_en.where("lang = 'de'").count() == 0
