@@ -711,7 +711,8 @@ def filter_untagged(df: DataFrame, tags_col: str = "tags") -> DataFrame:
 
 REL_CONTRIB_SCHEMA = CONTRIB_SCHEMA.replace(
     "refs array<long>",
-    "member_types array<string>, member_ids array<long>, member_roles array<string>",
+    "member_types array<string>, member_ids array<long>, member_roles array<string>, "
+    "member_geom_types array<string>, member_geoms array<binary>",
 )
 
 MEMBERS_THRESHOLD = 500  # ContributionGeometry.java:24
@@ -822,6 +823,37 @@ def _member_geometries(members: list) -> list[tuple]:
             ):
                 geoms.append(("Point", (float(lon), float(lat))))
     return geoms
+
+
+def _member_geometry_one(m: dict) -> tuple:
+    """(geometry_type, wkb) for ONE relation member — the per-member output
+    fields of `ContributionsAvroConverter.member():194-209`: resolved
+    members carry their own geometry (ways through the full wayGeometry
+    rule, nodes as points, empty geometries included with their type);
+    unresolved members (snapshot None) carry (None, None)."""
+    snap = m.get("snapshot")
+    if snap is None:
+        return None, None
+    if m["type"] == "way":
+        mems = snap.get("members") or []
+        refs = snap.get("refs") or []
+        lons = np.asarray([x["lon"] if x is not None else np.nan for x in mems], np.float64)
+        lats = np.asarray([x["lat"] if x is not None else np.nan for x in mems], np.float64)
+        vis = np.asarray([bool(x["visible"]) if x is not None else False for x in mems], bool)
+        kind, data = way_geometry(
+            lons, lats, vis, snap.get("tags") or {},
+            refs[0] if refs else -1, refs[-1] if refs else -2, len(refs),
+        )
+        return kind, wkb_dumps((kind, data))
+    if m["type"] == "node":
+        lon, lat = snap.get("lon"), snap.get("lat")
+        if (
+            lon is not None and lat is not None and snap.get("visible", False)
+            and -180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
+        ):
+            return "Point", wkb_dumps(("Point", (float(lon), float(lat))))
+        return "Point", wkb_dumps(("Point", None))  # empty point
+    return None, None  # nested relations are not resolved (contrib null)
 
 
 def _gc_all_coords(geoms: list[tuple]) -> np.ndarray:
@@ -978,6 +1010,9 @@ def convert_relation_contributions(
             "member_ids": [int(m["id"]) for m in c["rel_members"]],
             "member_roles": [m.get("role") or "" for m in c["rel_members"]],
         }
+        mg = [_member_geometry_one(m) for m in c["rel_members"]]
+        row["member_geom_types"] = [g[0] for g in mg]
+        row["member_geoms"] = [g[1] for g in mg]
 
         area = 0.0
         length = 0.0

@@ -54,8 +54,27 @@ def avsc_view(contribs: DataFrame, build_time_ms: int = 0) -> DataFrame:
         opt("changeset_editor", F.lit(None).cast("string")).alias("editor"),
         opt("changeset_num_changes", F.lit(-1).cast("int")).alias("numChanges"),
     )
-    members = (
-        F.when(
+    if "member_types" in cols and "member_geom_types" in cols:
+        # per-member geometries ride along (ContributionsAvroConverter.
+        # member():194-209 emits each resolved member's own geometry)
+        members = F.when(
+            F.col("member_types").isNotNull(),
+            F.transform(
+                F.arrays_zip(
+                    "member_types", "member_ids", "member_roles",
+                    "member_geom_types", "member_geoms",
+                ),
+                lambda z: F.struct(
+                    z["member_types"].alias("type"),
+                    z["member_ids"].alias("id"),
+                    z["member_roles"].alias("role"),
+                    z["member_geom_types"].alias("geometry_type"),
+                    z["member_geoms"].alias("geometry"),
+                ),
+            ),
+        )
+    elif "member_types" in cols:
+        members = F.when(
             F.col("member_types").isNotNull(),
             F.zip_with(
                 F.arrays_zip("member_types", "member_ids"),
@@ -69,12 +88,11 @@ def avsc_view(contribs: DataFrame, build_time_ms: int = 0) -> DataFrame:
                 ),
             ),
         )
-        if "member_types" in cols
-        else F.lit(None).cast(
+    else:
+        members = F.lit(None).cast(
             "array<struct<type:string,id:long,role:string,"
             "geometry_type:string,geometry:binary>>"
         )
-    )
     return contribs.select(
         "status",
         "valid_from",

@@ -253,3 +253,31 @@ def test_gc_degenerate_envelope_stored_as_point(spark):
     kind, data = wkb_loads(bytes(got[0]["geometry"]))
     assert kind == "Point" and data == (7.0, 8.0)
     assert (got[0]["centroid_x"], got[0]["centroid_y"]) == (7.0, 8.0)
+
+
+def test_member_geometries_emitted(spark):
+    """Per-member geometry_type + WKB land in the relation output
+    (ContributionsAvroConverter.member():194-209)."""
+    nodes = spark.createDataFrame(
+        [
+            (1, 1, ts(1), 1, 1, "a", True, 0.0, 0.0),
+            (2, 1, ts(1), 1, 1, "a", True, 2.0, 0.0),
+            (9, 1, ts(1), 1, 1, "a", True, 7.0, 8.0),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [(701, 1, ts(1), 1, 1, "a", True, {}, [1, 2])], WAY_SCHEMA
+    )
+    relations = spark.createDataFrame(
+        [(7001, 1, ts(5), 1, 1, "a", True, {"type": "route"},
+          [("way", 701, ""), ("node", 9, "stop"), ("relation", 42, "sub")])],
+        REL_SCHEMA,
+    )
+    got = relation_contributions(relations, ways, nodes).collect()[0]
+    assert got["member_geom_types"] == ["LineString", "Point", None]
+    line = wkb_loads(bytes(got["member_geoms"][0]))
+    assert line[0] == "LineString" and [tuple(p) for p in line[1]] == [(0.0, 0.0), (2.0, 0.0)]
+    pt = wkb_loads(bytes(got["member_geoms"][1]))
+    assert pt == ("Point", (7.0, 8.0))
+    assert got["member_geoms"][2] is None  # unresolved nested relation
