@@ -1026,6 +1026,120 @@ def _q_way_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_node_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/W1-W9 node path oracle over the DECLARATIVE node_contributions
+    (the planet-scale default — pure window ops): run collapse, minor
+    versions, raw-neighbor validity windows, deleted-geometry carry, the
+    invalid override for out-of-range coords, and the quirky contrib_type
+    rules, all replayed in DuckDB SQL. Inputs derive versions with repeats
+    (2 rows per version), scattered deletions, and out-of-range longitudes
+    so every branch executes."""
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.history import node_contributions
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    rn = F.row_number().over(
+        Window.partitionBy(F.col("event_id") % 100).orderBy("ts", "event_id")
+    )
+    nodes = ev.select(
+        (F.col("event_id") % 100).alias("id"),
+        F.ceil(rn / 2.0).cast("int").alias("version"),
+        F.col("ts"),
+        # block-wise changesets: consecutive events of a node differ by 100
+        # in event_id, so //300 gives equal changesets for ~2/3 of adjacent
+        # pairs — the run collapse actually executes
+        (F.floor(F.col("event_id") / 300) % 5).cast("long").alias("changeset"),
+        F.col("user_id"),
+        F.lit("u").alias("user"),
+        (F.col("event_id") % 31 != 0).alias("visible"),
+        F.create_map(F.lit("k"), F.col("event_type")).alias("tags"),
+        ((F.col("event_id") * 7 % 400) - 200.0).alias("lon"),
+        ((F.col("event_id") * 11 % 180) - 90.0).alias("lat"),
+    )
+    return node_contributions(nodes).select(
+        "osm_id", "osm_version", "osm_minor_version", "osm_edits", "changeset",
+        "valid_from", "valid_to", "status", "contrib_type",
+    )
+
+
+_NODE_HISTORY_ORACLE_SQL = """
+WITH raw0 AS (
+  SELECT event_id % 100 AS id,
+         row_number() OVER (PARTITION BY event_id % 100 ORDER BY ts, event_id) AS rn,
+         ts, CAST(floor(event_id / 300.0) AS BIGINT) % 5 AS cs, user_id,
+         (event_id % 31 <> 0) AS visible,
+         event_type AS tagv,
+         (event_id * 7) % 400 - 200.0 AS lon,
+         (event_id * 11) % 180 - 90.0 AS lat
+  FROM events WHERE event_id < 2000
+),
+raw AS (
+  SELECT id, CAST(ceil(rn / 2.0) AS INT) AS version, ts, cs, user_id, visible, tagv,
+         lon, lat,
+         (lon BETWEEN -180.0 AND 180.0) AND (lat BETWEEN -90.0 AND 90.0) AS cv
+  FROM raw0
+),
+w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id, version ORDER BY version, ts) - 1 AS mv,
+         lag(ts)  OVER rw AS last_edit,
+         lead(ts) OVER rw AS valid_to_raw,
+         lag(visible) OVER rw AS before_visible,
+         lag(tagv) OVER rw AS tags_before,
+         (lag(id) OVER rw IS NULL) AS is_first,
+         NOT COALESCE(lead(version) OVER rw = version
+                      AND lead(cs) OVER rw = cs, FALSE) AS keep
+  FROM raw
+  WINDOW rw AS (PARTITION BY id ORDER BY version, ts)
+),
+emitted AS (
+  SELECT *,
+         row_number() OVER ew AS edits,
+         lead(ts) OVER ew AS nxt,
+         last_value(CASE WHEN visible THEN cv END IGNORE NULLS) OVER ec AS lvv,
+         last_value(CASE WHEN visible AND cv THEN lon END IGNORE NULLS) OVER ec AS glon,
+         last_value(CASE WHEN visible AND cv THEN lat END IGNORE NULLS) OVER ec AS glat
+  FROM w WHERE keep
+  WINDOW ew AS (PARTITION BY id ORDER BY version, ts),
+         ec AS (PARTITION BY id ORDER BY version, ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+sigd AS (
+  SELECT *,
+         COALESCE(lvv, FALSE) AS eff,
+         CASE WHEN lvv IS NULL THEN NULL
+              WHEN NOT lvv THEN 'EMPTY'
+              ELSE 'P:' || CAST(glon AS VARCHAR) || ',' || CAST(glat AS VARCHAR) END AS gsig
+  FROM emitted
+),
+typed AS (
+  SELECT *,
+         (NOT (gsig IS NOT DISTINCT FROM lag(gsig) OVER ew)) AS geom_changed
+  FROM sigd
+  WINDOW ew AS (PARTITION BY id ORDER BY version, ts)
+)
+SELECT id AS osm_id,
+       version AS osm_version,
+       CAST(mv AS INT) AS osm_minor_version,
+       CAST(edits AS INT) AS osm_edits,
+       cs AS changeset,
+       ts AS valid_from,
+       COALESCE(nxt, TIMESTAMP '2222-01-01') AS valid_to,
+       CASE WHEN NOT eff THEN 'invalid'
+            WHEN NOT visible THEN 'deleted'
+            WHEN nxt IS NOT NULL THEN 'history'
+            ELSE 'latest' END AS status,
+       CASE WHEN NOT visible THEN 'DELETION'
+            WHEN is_first OR NOT before_visible THEN 'CREATION'
+            ELSE concat_ws('_',
+                   CASE WHEN tagv IS NOT DISTINCT FROM tags_before THEN 'TAG' END,
+                   CASE WHEN geom_changed THEN 'GEOMETRY' END)
+            END AS contrib_type
+FROM typed
+"""
+
+
 def _q_relation_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 oracle: the relation pipeline's transitive two-level merge
     (relation → member ways → member nodes, history.relation_contributions)
@@ -1381,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pbf_roundtrip": _q_pbf_roundtrip,
         "pbf_roundtrip_ways": _q_pbf_roundtrip_ways,
         "way_history": _q_way_history,
+        "node_history": _q_node_history,
         "relation_history": _q_relation_history,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1573,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_ORACLE_SQL,
         "pbf_roundtrip": _PBF_ORACLE_SQL,
         "pbf_roundtrip_ways": _PBF_WAYS_ORACLE_SQL,
+        "node_history": _NODE_HISTORY_ORACLE_SQL,
         "relation_history": _REL_HISTORY_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),

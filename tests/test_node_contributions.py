@@ -100,3 +100,102 @@ def test_changeset_metadata_join_defaults(spark, nodes):
     assert pd.Timestamp(miss["changeset_created_at"]) == pd.Timestamp(0, unit="s")
     assert miss["changeset_editor"] is None
     assert miss["changeset_hashtags"] == []
+
+
+def test_declarative_matches_kernel_adversarial(spark):
+    """node_contributions (window ops) must be row-identical to the original
+    imperative kernel on adversarial histories: collapsed runs, deleted-first
+    versions, invalid coords, carries across multiple deletions."""
+    import pandas as pd
+
+    from ohsome_planet_spark.operators.history import (
+        node_contributions,
+        node_contributions_kernel,
+    )
+
+    def t(s):
+        return pd.Timestamp(s, unit="s").to_pydatetime()
+
+    rows = []
+    # node 1: plain 3-version history with a move and a tag change
+    rows += [
+        (1, 1, t(10), 5, 1, "a", True, {"k": "v"}, 1.0, 1.0),
+        (1, 2, t(20), 6, 2, "b", True, {"k": "v"}, 2.0, 1.0),   # GEOMETRY+TAG
+        (1, 3, t(30), 7, 2, "b", True, {"k": "w"}, 2.0, 1.0),   # tag change only
+    ]
+    # node 2: run collapse — two rows same (version, changeset)
+    rows += [
+        (2, 1, t(10), 5, 1, "a", True, {}, 0.0, 0.0),
+        (2, 1, t(15), 5, 1, "a", True, {}, 0.5, 0.0),  # collapses into this
+        (2, 2, t(25), 9, 1, "a", True, {}, 1.0, 0.0),
+    ]
+    # node 3: deleted-first (no geometry to carry → invalid), then recreated
+    rows += [
+        (3, 1, t(10), 5, 1, "a", False, {}, None, None),
+        (3, 2, t(20), 6, 1, "a", True, {}, 3.0, 3.0),
+        (3, 3, t(30), 7, 1, "a", False, {}, None, None),  # deleted w/ carry
+        (3, 4, t(40), 8, 1, "a", False, {}, None, None),  # still carrying
+    ]
+    # node 4: visible with INVALID coords (empty geometry → invalid), then
+    # a deleted row carrying the invalid state
+    rows += [
+        (4, 1, t(10), 5, 1, "a", True, {}, 999.0, 0.0),
+        (4, 2, t(20), 6, 1, "a", False, {}, None, None),
+        (4, 3, t(30), 7, 1, "a", True, {}, 4.0, 4.0),  # valid again
+    ]
+    # node 5: single deleted version only
+    rows += [(5, 1, t(10), 5, 1, "a", False, {}, None, None)]
+    nodes = spark.createDataFrame(
+        rows,
+        "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+        "user string, visible boolean, tags map<string,string>, lon double, lat double",
+    )
+    cols = None
+    a = node_contributions(nodes)
+    b = node_contributions_kernel(nodes)
+    assert a.columns == b.columns
+    key = ["osm_id", "osm_edits"]
+    pa = a.orderBy(*key).toPandas()
+    pb = b.orderBy(*key).toPandas()
+    assert len(pa) == len(pb)
+    for col in a.columns:
+        va, vb = pa[col].tolist(), pb[col].tolist()
+        for i, (x, y) in enumerate(zip(va, vb)):
+            if isinstance(x, bytes) or isinstance(y, bytes):
+                assert (bytes(x) if x is not None else None) == (
+                    bytes(y) if y is not None else None
+                ), (col, i)
+            elif x is pd.NaT or (isinstance(x, float) and x != x):  # NaT/NaN
+                assert y is pd.NaT or (isinstance(y, float) and y != y), (col, i)
+            elif hasattr(x, "__len__") and not isinstance(x, (str, bytes, dict)):
+                assert list(x) == list(y), (col, i, x, y)
+            else:
+                assert x == y, (col, i, x, y)
+
+
+def test_declarative_matches_kernel_with_countries(spark):
+    from ohsome_planet_spark.operators.history import (
+        node_contributions,
+        node_contributions_kernel,
+    )
+    from ohsome_planet_spark.operators.spatial_join import build_index
+    from ohsome_planet_spark.sources.countries import fixture_features
+
+    import pandas as pd
+
+    idx = build_index(fixture_features())
+    rows = [
+        (i, v, pd.Timestamp(10 * i + v, unit="s").to_pydatetime(), v, 1, "a",
+         True, {}, float((i * 13) % 50 - 10), float((i * 7) % 30 - 5))
+        for i in range(40) for v in (1, 2)
+    ]
+    nodes = spark.createDataFrame(
+        rows,
+        "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+        "user string, visible boolean, tags map<string,string>, lon double, lat double",
+    )
+    a = node_contributions(nodes, idx).select("osm_id", "osm_edits", "countries")
+    b = node_contributions_kernel(nodes, idx).select("osm_id", "osm_edits", "countries")
+    pa = {(r["osm_id"], r["osm_edits"]): list(r["countries"]) for r in a.collect()}
+    pb = {(r["osm_id"], r["osm_edits"]): list(r["countries"]) for r in b.collect()}
+    assert pa == pb
