@@ -134,6 +134,15 @@ def main() -> None:
     merge_rows = merge_df.count()
     qtimes["way_merge_10k"] = round(time.time() - t0, 3)
 
+    # declarative node pipeline (the planet-dominant path, pure window ops)
+    from ohsome_planet_spark.operators.history import node_contributions
+
+    n_df = node_contributions(m_nodes.withColumn("tags", F.create_map().cast("map<string,string>")))
+    n_df.count()  # warm
+    t0 = time.time()
+    node_rows = n_df.count()
+    qtimes["node_history_all"] = round(time.time() - t0, 3)
+
     # hardware-calibration control (context for the throughput number on
     # shared/throttled VMs): ideal-parallel pure-JVM compute, 1 task/core
 
@@ -163,6 +172,7 @@ def main() -> None:
                 "pages": n_pages,
                 "result_rows": result_rows,
                 "merge_contrib_rows": merge_rows,
+                "node_contrib_rows": node_rows,
                 "cpus": cpus,
                 "jvm_control_sec": control_sec,
             }
