@@ -1082,7 +1082,7 @@ raw AS (
 ),
 w AS (
   SELECT *,
-         row_number() OVER (PARTITION BY id, version ORDER BY version, ts) - 1 AS mv,
+         lag(version) OVER rw AS before_version,
          lag(ts)  OVER rw AS last_edit,
          lead(ts) OVER rw AS valid_to_raw,
          lag(visible) OVER rw AS before_visible,
@@ -1099,11 +1099,21 @@ emitted AS (
          lead(ts) OVER ew AS nxt,
          last_value(CASE WHEN visible THEN cv END IGNORE NULLS) OVER ec AS lvv,
          last_value(CASE WHEN visible AND cv THEN lon END IGNORE NULLS) OVER ec AS glon,
-         last_value(CASE WHEN visible AND cv THEN lat END IGNORE NULLS) OVER ec AS glat
+         last_value(CASE WHEN visible AND cv THEN lat END IGNORE NULLS) OVER ec AS glat,
+         -- minor_version reset: raw predecessor absent or different version;
+         -- a collapsed first run keeps counting (converter :86-90 quirk)
+         sum(CASE WHEN is_first OR before_version IS DISTINCT FROM version
+                  THEN 1 ELSE 0 END) OVER ec AS mv_grp
   FROM w WHERE keep
   WINDOW ew AS (PARTITION BY id ORDER BY version, ts),
          ec AS (PARTITION BY id ORDER BY version, ts
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+mved AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id, mv_grp ORDER BY version, ts) - 1
+           + CASE WHEN mv_grp = 0 THEN 1 ELSE 0 END AS mv
+  FROM emitted
 ),
 sigd AS (
   SELECT *,
@@ -1111,7 +1121,7 @@ sigd AS (
          CASE WHEN lvv IS NULL THEN NULL
               WHEN NOT lvv THEN 'EMPTY'
               ELSE 'P:' || CAST(glon AS VARCHAR) || ',' || CAST(glat AS VARCHAR) END AS gsig
-  FROM emitted
+  FROM mved
 ),
 typed AS (
   SELECT *,
@@ -1125,10 +1135,10 @@ SELECT id AS osm_id,
        CAST(edits AS INT) AS osm_edits,
        cs AS changeset,
        ts AS valid_from,
-       COALESCE(nxt, TIMESTAMP '2222-01-01') AS valid_to,
+       COALESCE(valid_to_raw, TIMESTAMP '2222-01-01') AS valid_to,
        CASE WHEN NOT eff THEN 'invalid'
             WHEN NOT visible THEN 'deleted'
-            WHEN nxt IS NOT NULL THEN 'history'
+            WHEN valid_to_raw IS NOT NULL THEN 'history'
             ELSE 'latest' END AS status,
        CASE WHEN NOT visible THEN 'DELETION'
             WHEN is_first OR NOT before_visible THEN 'CREATION'

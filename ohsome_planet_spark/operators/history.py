@@ -617,9 +617,7 @@ def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
         {
             # RAW-neighbor columns (computed before the collapse filter:
             # valid_to/last_edit/tags_before come from raw neighbors)
-            "_mv": F.row_number().over(
-                Window.partitionBy("id", "version").orderBy("version", "ts")
-            ) - 1,
+            "_before_version": F.lag("version").over(w_raw),
             "_last_edit": F.lag("ts").over(w_raw),
             "_valid_to": F.lead("ts").over(w_raw),
             "_tags_before": F.lag("tags").over(w_raw),
@@ -638,14 +636,26 @@ def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
     lv_valid = F.last(F.when(F.col("visible"), F.col("_cv")), ignorenulls=True).over(w_carry)
     lv_lon = F.last(F.when(F.col("visible") & F.col("_cv"), F.col("lon")), ignorenulls=True).over(w_carry)
     lv_lat = F.last(F.when(F.col("visible") & F.col("_cv"), F.col("lat")), ignorenulls=True).over(w_carry)
+    # minor_version (converter :86-90, with its quirks): per EMITTED row,
+    # reset to 0 when the RAW predecessor is absent or a different version;
+    # otherwise previous emitted value + 1. So a new version whose first run
+    # collapsed raw rows does NOT reset (its raw predecessor shares the
+    # version) — it keeps counting from the previous version's value, and a
+    # collapsed FIRST run starts at 1, not 0.
+    reset = F.col("_is_first") | ~F.col("_before_version").eqNullSafe(F.col("version"))
+    emitted = emitted.withColumn(
+        "_mv_grp", F.sum(reset.cast("int")).over(w_carry)
+    )
     emitted = emitted.withColumns(
         {
+            "_mv": F.row_number().over(
+                Window.partitionBy("id", "_mv_grp").orderBy("version", "ts")
+            ) - 1 + F.when(F.col("_mv_grp") == 0, 1).otherwise(0),
             "_eff": lv_valid.eqNullSafe(F.lit(True)),  # non-empty geometry exists
             "_had_vis": lv_valid.isNotNull(),
             "_glon": lv_lon,
             "_glat": lv_lat,
             "_edits": F.row_number().over(w_emit),
-            "_nxt": F.lead("ts").over(w_emit),
         }
     )
     # geometry bytes used for the GEOMETRY contrib flag: the kernel compares
@@ -691,7 +701,7 @@ def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
         )
     )
     base_status = F.when(~F.col("visible"), F.lit("deleted")).when(
-        F.col("_nxt").isNotNull(), F.lit("history")
+        F.col("_valid_to").isNotNull(), F.lit("history")
     ).otherwise(F.lit("latest"))
     status = F.when(~F.col("_eff"), F.lit("invalid")).otherwise(base_status)
     geometry = F.when(F.col("_eff"), F.col("_cmp"))
@@ -704,7 +714,7 @@ def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
         F.col("_edits").cast("int").alias("osm_edits"),
         F.col("_last_edit").alias("osm_last_edit"),
         F.col("ts").alias("valid_from"),
-        F.coalesce("_nxt", F.lit(str(VALID_TO_SENTINEL)).cast("timestamp_ntz")).alias("valid_to"),
+        F.coalesce("_valid_to", F.lit(str(VALID_TO_SENTINEL)).cast("timestamp_ntz")).alias("valid_to"),
         "user_id",
         "user",
         "changeset",

@@ -199,3 +199,76 @@ def test_declarative_matches_kernel_with_countries(spark):
     pa = {(r["osm_id"], r["osm_edits"]): list(r["countries"]) for r in a.collect()}
     pb = {(r["osm_id"], r["osm_edits"]): list(r["countries"]) for r in b.collect()}
     assert pa == pb
+
+
+def test_declarative_matches_kernel_randomized(spark):
+    """Bulk randomized parity: 200 nodes with random version repeats,
+    changeset runs, deletions and invalid coords — declarative == kernel
+    on every column of every row."""
+    import numpy as np
+    import pandas as pd
+
+    from ohsome_planet_spark.operators.history import (
+        node_contributions,
+        node_contributions_kernel,
+    )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    t = 0
+    for nid in range(200):
+        n_rows = int(rng.integers(1, 9))
+        version = 0
+        for k in range(n_rows):
+            t += 1
+            if k == 0 or rng.random() < 0.6:
+                version += 1  # 40% chance of same-version repeat rows
+            visible = rng.random() > 0.25
+            invalid = rng.random() < 0.2
+            lon = float(rng.uniform(-179, 179)) if not invalid else 250.0
+            lat = float(rng.uniform(-89, 89))
+            rows.append(
+                (nid, version, pd.Timestamp(t, unit="s").to_pydatetime(),
+                 int(rng.integers(0, 4)), 1, "u", bool(visible),
+                 {"k": str(int(rng.integers(0, 3)))},
+                 lon if visible else None, lat if visible else None)
+            )
+    nodes = spark.createDataFrame(
+        rows,
+        "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+        "user string, visible boolean, tags map<string,string>, lon double, lat double",
+    )
+    key = ["osm_id", "osm_edits"]
+    pa = node_contributions(nodes).orderBy(*key).toPandas()
+    pb = node_contributions_kernel(nodes).orderBy(*key).toPandas()
+    assert len(pa) == len(pb) and len(pa) > 400
+    for col in pa.columns:
+        for i, (x, y) in enumerate(zip(pa[col].tolist(), pb[col].tolist())):
+            if isinstance(x, bytes) or isinstance(y, bytes):
+                assert (bytes(x) if x is not None else None) == (
+                    bytes(y) if y is not None else None
+                ), (col, i)
+            elif x is pd.NaT or (isinstance(x, float) and x != x):
+                assert y is pd.NaT or (isinstance(y, float) and y != y), (col, i)
+            elif hasattr(x, "__len__") and not isinstance(x, (str, bytes, dict)):
+                assert list(x) == list(y), (col, i, x, y)
+            else:
+                assert x == y, (col, i, x, y)
+
+
+def test_node_declarative_plan_shape(spark):
+    """Plan guard: the declarative node path must stay window-ops + Arrow
+    kernels — no BatchEvalPython (row-at-a-time Python) anywhere."""
+    import pandas as pd
+
+    from ohsome_planet_spark.operators.history import node_contributions
+
+    nodes = spark.createDataFrame(
+        [(1, 1, pd.Timestamp(1, unit="s").to_pydatetime(), 1, 1, "u", True, {}, 1.0, 2.0)],
+        "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+        "user string, visible boolean, tags map<string,string>, lon double, lat double",
+    )
+    plan = node_contributions(nodes)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # only ArrowEvalPython kernels
+    assert "Window" in plan
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
