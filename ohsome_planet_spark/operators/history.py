@@ -23,10 +23,11 @@ reference's quirks):
   * missing members behave as empty histories (`EmptyContributions`).
 - `ContributionsAvroConverter` (`ContributionsAvroConverter.java:57-176`):
   * same-(version, changeset) runs collapse, keeping the LAST row (`:67-74`)
-    — but valid_to/last_edit come from the RAW neighbors and minor_version
-    counts RAW predecessors of the same version;
-  * minorVersion resets on version change else increments (`:86-90`) — note
-    a collapsed first run yields minor_version ≥ 1 by design;
+    — but valid_to/last_edit come from the RAW neighbors of the kept row;
+  * minorVersion resets when the RAW predecessor has a different version,
+    else increments from the previous EMITTED value (`:85-90`) — so a
+    collapsed first run yields minor_version ≥ 1, and a new version whose
+    first run collapsed keeps counting from the previous version's value;
   * deleted rows reuse the previous emitted geometry (`:106`);
   * area/length deltas are vs the previous EMITTED row (`:143-148`);
   * contrib_type: DELETION | CREATION | TAG/GEOMETRY combos — faithfully
