@@ -1,0 +1,64 @@
+"""North-rule deployment shape: the job ships as a zip via spark-submit
+--py-files and runs end to end from the CLI (no repo on the executors'
+path — only the zip)."""
+
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_contributions_cli(tmp_path):
+    # build the fixture PBF with the repo available (driver side only)
+    sys.path.insert(0, str(REPO))
+    from ohsome_planet_spark.sources.pbf import write_osm_pbf
+
+    nodes = [
+        {"id": i, "version": 1, "ts_ms": (i + 1) * 1000, "changeset": i % 5,
+         "uid": 1, "user": "u", "visible": True, "tags": {},
+         "lon": float(i % 100) / 10.0, "lat": float(i % 80) / 10.0}
+        for i in range(500)
+    ]
+    ways = [
+        {"id": w, "version": 1, "ts_ms": 600000 + w, "changeset": 7, "uid": 1,
+         "user": "u", "visible": True, "tags": {"highway": "x"},
+         "refs": [w * 5 + k for k in range(5)]}
+        for w in range(20)
+    ]
+    pbf = tmp_path / "mini.osm.pbf"
+    write_osm_pbf(pbf, nodes, ways)
+
+    # package the engine as the north rule prescribes
+    zip_out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "submit_job.py"), "--build-zip"],
+        capture_output=True, text=True, check=True, timeout=120,
+    ).stdout.strip().splitlines()[-1]
+    assert zip_out.endswith(".zip")
+
+    out_dir = tmp_path / "contribs"
+    r = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            str(REPO / "tools" / "submit_job.py"),
+            "--contributions", str(pbf), str(out_dir),
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),  # NOT the repo: only the zip provides the package
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    counts = json.loads((out_dir / "_counts.json").read_text())
+    # 500 single-version nodes + 20 single-version ways, nothing deleted
+    assert counts["latest"] == 520
+    assert counts["deleted"] == 0 and counts["invalid"] == 0
+    assert "latest=520" in r.stdout
