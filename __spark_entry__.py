@@ -277,6 +277,47 @@ def _q_xz2_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boxes.select("event_id", xz.getField("level").alias("level"), xz.getField("code").alias("code"))
 
 
+def _xz2_from_bbox_cte(src: str, key_cols: str, g: int = 16) -> str:
+    """Reusable Böhm XZ2 replay: given a CTE `src` with columns
+    (<key_cols>, xmin, ymin, xmax, ymax), emits CTEs `xz_norm`/`xz_lvl`/
+    `xz_len` and a final select named `xz_out` with (key..., level, code).
+    Null bboxes yield level -1, code 0 (invalid marker)."""
+    n_elem = [(4 ** (g - i) - 1) // 3 for i in range(g)]
+    terms = []
+    for i in range(g):
+        p = 1 << (i + 1)
+        bx = f"(CAST(floor(xn * {p}) AS BIGINT) % 2)"
+        by = f"(CAST(floor(yn * {p}) AS BIGINT) % 2)"
+        terms.append(f"CASE WHEN {i} < length THEN ({bx} + 2 * {by}) * {n_elem[i]} ELSE 0 END")
+    code_expr = " + ".join(terms) + " + length"
+    return f"""
+xz_norm AS (
+  SELECT {key_cols},
+         (180.0 + xmin) / 360.0 AS xn, (90.0 + ymin) / 360.0 AS yn,
+         (180.0 + xmax) / 360.0 AS xm, (90.0 + ymax) / 360.0 AS ym
+  FROM {src} WHERE xmin IS NOT NULL
+),
+xz_lvl AS (
+  SELECT {key_cols}, xn, yn, xm, ym,
+         CASE WHEN greatest(xm - xn, ym - yn) <= 0 THEN {g}
+              ELSE CAST(floor(ln(greatest(xm - xn, ym - yn)) / ln(0.5)) AS BIGINT) END AS l1
+  FROM xz_norm
+),
+xz_len AS (
+  SELECT {key_cols}, xn, yn,
+         CASE WHEN l1 >= {g} THEN {g}
+              WHEN xm <= floor(xn / pow(0.5, least(l1 + 1, {g}))) * pow(0.5, least(l1 + 1, {g})) + 2 * pow(0.5, least(l1 + 1, {g}))
+                   AND ym <= floor(yn / pow(0.5, least(l1 + 1, {g}))) * pow(0.5, least(l1 + 1, {g})) + 2 * pow(0.5, least(l1 + 1, {g}))
+              THEN least(l1 + 1, {g})
+              ELSE l1 END AS length
+  FROM xz_lvl
+),
+xz_out AS (
+  SELECT {key_cols}, CAST(length AS INT) AS level, CAST({code_expr} AS BIGINT) AS code
+  FROM xz_len
+)"""
+
+
 def _xz2_bbox_oracle_sql(g: int = 16) -> str:
     n_elem = [(4 ** (g - i) - 1) // 3 for i in range(g)]
     terms = []
@@ -1339,6 +1380,136 @@ FROM numbered
 """
 
 
+def _q_relation_geom_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/K8/K9 relation-geometry oracle: bbox, centroid and XZ2 of
+    GeometryCollection relations over MOVING direct node members — the
+    as-of member positions at every minor version, the JTS point-average
+    centroid, and the Böhm XZ2 of the collection envelope are all replayed
+    in DuckDB (as-of = index max(absorbed-prefix, edits ≤ row ts))."""
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.history import relation_contributions
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1500)
+    nodes = ev.select(
+        (F.col("event_id") % 50).alias("id"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("event_id") % 50).orderBy("ts", "event_id"))
+        .alias("version"),
+        F.col("ts"),
+        (F.col("event_id") % 17).alias("changeset"),
+        F.col("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        ((F.col("event_id") * 7 % 300) / 2.0 - 70.0).alias("lon"),
+        ((F.col("event_id") * 11 % 140) / 2.0 - 35.0).alias("lat"),
+    )
+    ways = spark.createDataFrame(
+        [],
+        "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+        "user string, visible boolean, tags map<string,string>, refs array<long>",
+    )
+    relations = spark.range(25).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.lit("2020-01-02 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.create_map(F.lit("type"), F.lit("route")).alias("tags"),
+        F.array(
+            F.struct(F.lit("node").alias("type"), F.col("id").alias("id"), F.lit("").alias("role")),
+            F.struct(F.lit("node").alias("type"), (F.col("id") + 25).alias("id"), F.lit("").alias("role")),
+        ).alias("members"),
+    )
+    out = relation_contributions(relations, ways, nodes)
+    return out.select(
+        "osm_id", "osm_edits", "xmin", "ymin", "xmax", "ymax",
+        "centroid_x", "centroid_y", "xz_level", "xz_code",
+    )
+
+
+def _relation_geom_oracle_sql() -> str:
+    return f"""
+WITH ev AS (SELECT * FROM events WHERE event_id < 1500),
+nedits AS (
+  SELECT event_id % 50 AS node_id,
+         row_number() OVER (PARTITION BY event_id % 50 ORDER BY ts, event_id) AS idx,
+         ts, event_id % 17 AS cs,
+         (event_id * 7) % 300 / 2.0 - 70.0 AS lon,
+         (event_id * 11) % 140 / 2.0 - 35.0 AS lat
+  FROM ev
+),
+absk AS (
+  SELECT node_id, coalesce(sum(CASE WHEN flag THEN 1 ELSE 0 END), 0) AS k
+  FROM (SELECT node_id,
+               (min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY node_id ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1) AS flag
+        FROM nedits)
+  GROUP BY node_id
+),
+rels AS (SELECT range AS rel_id FROM range(0, 25)),
+rel_member AS (
+  SELECT rel_id, rel_id AS node_id FROM rels
+  UNION ALL SELECT rel_id, rel_id + 25 FROM rels
+),
+rem AS (
+  SELECT rm.rel_id, ne.ts, ne.cs
+  FROM rel_member rm JOIN nedits ne USING (node_id)
+  JOIN absk ON absk.node_id = ne.node_id
+  WHERE ne.idx > absk.k
+),
+rruns AS (
+  SELECT rel_id, ts, cs,
+         sum(CASE WHEN cs = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY rel_id ORDER BY ts, cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT rel_id, ts, cs,
+               lag(cs) OVER (PARTITION BY rel_id ORDER BY ts, cs) AS prev_cs
+        FROM rem)
+),
+rragg AS (SELECT rel_id, run_id, max(ts) AS end_ts FROM rruns GROUP BY rel_id, run_id),
+rcontrib AS (
+  SELECT rel_id, 0 AS run_id, TIMESTAMP '2020-01-02' AS end_ts FROM rels
+  UNION ALL SELECT rel_id, run_id, end_ts FROM rragg
+),
+state AS (
+  SELECT rc.rel_id, rc.run_id, rm.node_id,
+         greatest(absk.k,
+                  coalesce((SELECT count(*) FROM nedits ne
+                            WHERE ne.node_id = rm.node_id AND ne.ts <= rc.end_ts), 0)) AS sidx
+  FROM rcontrib rc
+  JOIN rel_member rm ON rm.rel_id = rc.rel_id
+  JOIN absk ON absk.node_id = rm.node_id
+),
+pos AS (
+  SELECT s.rel_id, s.run_id, ne.lon, ne.lat
+  FROM state s LEFT JOIN nedits ne ON ne.node_id = s.node_id AND ne.idx = s.sidx
+),
+agg AS (
+  SELECT rel_id, run_id,
+         min(lon) AS bxmin, min(lat) AS bymin, max(lon) AS bxmax, max(lat) AS bymax,
+         avg(lon) AS cx, avg(lat) AS cy
+  FROM pos GROUP BY rel_id, run_id
+),
+numbered AS (
+  SELECT rel_id AS osm_id,
+         CAST(row_number() OVER (PARTITION BY rel_id ORDER BY run_id) AS INT) AS osm_edits,
+         bxmin AS xmin, bymin AS ymin, bxmax AS xmax, bymax AS ymax, cx, cy
+  FROM agg
+),
+{_xz2_from_bbox_cte("numbered", "osm_id, osm_edits")}
+SELECT n.osm_id, n.osm_edits, n.xmin, n.ymin, n.xmax, n.ymax,
+       n.cx AS centroid_x, n.cy AS centroid_y,
+       coalesce(x.level, -1) AS xz_level,
+       CAST(coalesce(x.code, 0) AS BIGINT) AS xz_code
+FROM numbered n
+LEFT JOIN xz_out x ON x.osm_id = n.osm_id AND x.osm_edits = n.osm_edits
+"""
+
+
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→cell zonal stats (mapInPandas per-tile partial agg + global
     combine) over deterministic gradient tiles; the oracle regenerates the
@@ -1507,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_history": _q_way_history,
         "node_history": _q_node_history,
         "relation_history": _q_relation_history,
+        "relation_geom_history": _q_relation_geom_history,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -1700,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "pbf_roundtrip_ways": _PBF_WAYS_ORACLE_SQL,
         "node_history": _NODE_HISTORY_ORACLE_SQL,
         "relation_history": _REL_HISTORY_ORACLE_SQL,
+        "relation_geom_history": _relation_geom_oracle_sql(),
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
