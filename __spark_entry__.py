@@ -1380,6 +1380,176 @@ FROM numbered
 """
 
 
+def _q_way_geom_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K8 way-geometry oracle: LineString bbox and the JTS
+    length-weighted (cartesian) centroid from AS-OF member node positions
+    at every way minor version — the as-of resolution and the unrolled
+    two-segment centroid arithmetic are replayed exactly in DuckDB (only
+    exact-rounded ops: +,*,/ and sqrt — no trig, so doubles match
+    bit-for-bit). Geodesic length/area stay pytest-golden (cross-engine
+    libm trig differs in the last ulp)."""
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.history import way_contributions
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1800)
+    nodes = ev.select(
+        (F.col("event_id") % 60).alias("id"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("event_id") % 60).orderBy("ts", "event_id"))
+        .alias("version"),
+        F.col("ts"),
+        (F.col("event_id") % 17).alias("changeset"),
+        F.col("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        ((F.col("event_id") * 7 % 300) / 2.0 - 70.0).alias("lon"),
+        ((F.col("event_id") * 11 % 140) / 2.0 - 35.0).alias("lat"),
+    )
+    ways = spark.range(20).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        F.array(F.col("id") * 3, F.col("id") * 3 + 1, F.col("id") * 3 + 2).alias("refs"),
+    )
+    out = way_contributions(ways, nodes)
+    return out.select(
+        "osm_id", "osm_edits", "geometry_type",
+        "xmin", "ymin", "xmax", "ymax", "centroid_x", "centroid_y",
+    )
+
+
+_WAY_GEOM_ORACLE_SQL = """
+WITH ev AS (SELECT * FROM events WHERE event_id < 1800),
+nedits AS (
+  SELECT event_id % 60 AS node_id,
+         row_number() OVER (PARTITION BY event_id % 60 ORDER BY ts, event_id) AS idx,
+         ts, event_id % 17 AS cs,
+         (event_id * 7) % 300 / 2.0 - 70.0 AS lon,
+         (event_id * 11) % 140 / 2.0 - 35.0 AS lat
+  FROM ev
+),
+absk AS (
+  SELECT node_id, coalesce(sum(CASE WHEN flag THEN 1 ELSE 0 END), 0) AS k
+  FROM (SELECT node_id,
+               (min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY node_id ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1) AS flag
+        FROM nedits)
+  GROUP BY node_id
+),
+ways AS (SELECT range AS way_id FROM range(0, 20)),
+refs AS (
+  SELECT way_id, 0 AS seq, way_id * 3 AS node_id FROM ways
+  UNION ALL SELECT way_id, 1, way_id * 3 + 1 FROM ways
+  UNION ALL SELECT way_id, 2, way_id * 3 + 2 FROM ways
+),
+rem AS (
+  SELECT r.way_id, ne.ts, ne.cs
+  FROM refs r JOIN nedits ne USING (node_id)
+  JOIN absk ON absk.node_id = ne.node_id
+  WHERE ne.idx > absk.k
+),
+wruns AS (
+  SELECT way_id, ts, cs,
+         sum(CASE WHEN cs = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY way_id ORDER BY ts, cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT way_id, ts, cs,
+               lag(cs) OVER (PARTITION BY way_id ORDER BY ts, cs) AS prev_cs
+        FROM rem)
+),
+wragg AS (SELECT way_id, run_id, max(ts) AS end_ts FROM wruns GROUP BY way_id, run_id),
+wcontrib AS (
+  SELECT way_id, 0 AS run_id, TIMESTAMP '2020-01-01' AS end_ts FROM ways
+  UNION ALL SELECT way_id, run_id, end_ts FROM wragg
+),
+state AS (
+  SELECT wc.way_id, wc.run_id, r.seq, r.node_id,
+         greatest(absk.k,
+                  coalesce((SELECT count(*) FROM nedits ne
+                            WHERE ne.node_id = r.node_id AND ne.ts <= wc.end_ts), 0)) AS sidx
+  FROM wcontrib wc
+  JOIN refs r ON r.way_id = wc.way_id
+  JOIN absk ON absk.node_id = r.node_id
+),
+pos AS (
+  SELECT s.way_id, s.run_id, s.seq, ne.lon, ne.lat
+  FROM state s LEFT JOIN nedits ne ON ne.node_id = s.node_id AND ne.idx = s.sidx
+),
+-- pivot the ≤3 resolved positions into ordered columns (ref order!)
+piv AS (
+  SELECT way_id, run_id,
+         min(CASE WHEN seq = 0 THEN lon END) AS x0, min(CASE WHEN seq = 0 THEN lat END) AS y0,
+         min(CASE WHEN seq = 1 THEN lon END) AS x1, min(CASE WHEN seq = 1 THEN lat END) AS y1,
+         min(CASE WHEN seq = 2 THEN lon END) AS x2, min(CASE WHEN seq = 2 THEN lat END) AS y2,
+         count(lon) AS n_res,
+         min(lon) AS bxmin, min(lat) AS bymin, max(lon) AS bxmax, max(lat) AS bymax
+  FROM pos GROUP BY way_id, run_id
+),
+geo AS (
+  SELECT way_id, run_id, n_res, bxmin, bymin, bxmax, bymax,
+         CASE WHEN n_res = 3 THEN sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) END AS l1,
+         CASE WHEN n_res = 3 THEN sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) END AS l2,
+         x0, y0, x1, y1, x2, y2
+  FROM piv
+),
+pair2 AS (
+  -- the two resolved points in REF ORDER when exactly one node is missing
+  SELECT *,
+         coalesce(x0, x1) AS fx, coalesce(y0, y1) AS fy,
+         CASE WHEN x0 IS NOT NULL AND x1 IS NOT NULL THEN x1 ELSE x2 END AS sx,
+         CASE WHEN y0 IS NOT NULL AND y1 IS NOT NULL THEN y1 ELSE y2 END AS sy
+  FROM geo
+),
+cent AS (
+  SELECT way_id, run_id, n_res, bxmin, bymin, bxmax, bymax,
+         -- mirrors centroid_linestring: Σ midpoint*seg_len / Σ seg_len with
+         -- the kernel's exact operation order (exact double parity);
+         -- degenerate (zero total length) falls back to the first point
+         CASE WHEN n_res < 1 THEN NULL
+              WHEN n_res = 2 THEN
+                CASE WHEN sqrt((sx - fx) * (sx - fx) + (sy - fy) * (sy - fy)) = 0 THEN fx
+                     ELSE ((fx + sx) / 2.0 * sqrt((sx - fx) * (sx - fx) + (sy - fy) * (sy - fy)))
+                          / sqrt((sx - fx) * (sx - fx) + (sy - fy) * (sy - fy)) END
+              WHEN n_res = 3 AND l1 + l2 = 0 THEN x0
+              WHEN n_res = 3 THEN ((x0 + x1) / 2.0 * l1 + (x1 + x2) / 2.0 * l2) / (l1 + l2)
+              END AS cx,
+         CASE WHEN n_res < 1 THEN NULL
+              WHEN n_res = 2 THEN
+                CASE WHEN sqrt((sx - fx) * (sx - fx) + (sy - fy) * (sy - fy)) = 0 THEN fy
+                     ELSE ((fy + sy) / 2.0 * sqrt((sx - fx) * (sx - fx) + (sy - fy) * (sy - fy)))
+                          / sqrt((sx - fx) * (sx - fx) + (sy - fy) * (sy - fy)) END
+              WHEN n_res = 3 AND l1 + l2 = 0 THEN y0
+              WHEN n_res = 3 THEN ((y0 + y1) / 2.0 * l1 + (y1 + y2) / 2.0 * l2) / (l1 + l2)
+              END AS cy
+  FROM pair2
+),
+numbered AS (
+  SELECT way_id AS osm_id,
+         CAST(row_number() OVER (PARTITION BY way_id ORDER BY run_id) AS INT) AS osm_edits,
+         n_res, bxmin, bymin, bxmax, bymax, cx, cy
+  FROM cent
+)
+SELECT osm_id, osm_edits,
+       CASE WHEN n_res = 0 THEN 'LineString'
+            WHEN n_res = 1 THEN 'Point'
+            ELSE 'LineString' END AS geometry_type,
+       CASE WHEN n_res > 0 THEN bxmin END AS xmin,
+       CASE WHEN n_res > 0 THEN bymin END AS ymin,
+       CASE WHEN n_res > 0 THEN bxmax END AS xmax,
+       CASE WHEN n_res > 0 THEN bymax END AS ymax,
+       CASE WHEN n_res = 1 THEN bxmin ELSE cx END AS centroid_x,
+       CASE WHEN n_res = 1 THEN bymin ELSE cy END AS centroid_y
+FROM numbered
+"""
+
+
 def _q_relation_geom_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6/K8/K9 relation-geometry oracle: bbox, centroid and XZ2 of
     GeometryCollection relations over MOVING direct node members — the
@@ -1679,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_history": _q_node_history,
         "relation_history": _q_relation_history,
         "relation_geom_history": _q_relation_geom_history,
+        "way_geom_history": _q_way_geom_history,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -1873,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
         "node_history": _NODE_HISTORY_ORACLE_SQL,
         "relation_history": _REL_HISTORY_ORACLE_SQL,
         "relation_geom_history": _relation_geom_oracle_sql(),
+        "way_geom_history": _WAY_GEOM_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
