@@ -54,11 +54,17 @@ from pyspark.sql import functions as F
 from ..functions import geodesy as gd
 from ..functions import geometry_np as gnp
 from ..functions.cells import xz2_code
-from ..functions.waygeom import way_geometry
+from ..functions.waygeom import _segments_self_intersect, is_area, way_geometry
 from ..functions.wkb import wkb_dumps
 
 MAX_TS = pd.Timestamp("2262-01-01")  # practical +inf inside pandas range
 VALID_TO_SENTINEL = pd.Timestamp("2222-01-01")
+# int64-nanosecond twins: the way kernel runs its merge walk in the integer
+# time domain (python-int tuple compares are several times cheaper than
+# pd.Timestamp compares in the priority-queue inner loop)
+MAX_TS_NS = MAX_TS.value
+VALID_TO_SENTINEL_NS = VALID_TO_SENTINEL.value
+_CS_MAX = np.iinfo(np.int64).max
 
 CONTRIB_SCHEMA = (
     "osm_type string, osm_id long, osm_version int, osm_minor_version int, "
@@ -74,13 +80,20 @@ CONTRIB_SCHEMA = (
 
 
 class _Hist:
-    """Member edit stream with prev/peek/next cursor (Contributions analog)."""
+    """Member edit stream with prev/peek/next cursor (Contributions analog).
 
-    __slots__ = ("rows", "pos")
+    Works in either time domain: rows may carry pd.Timestamp or int64-ns
+    `ts` values — pass the matching `max_ts` sentinel (MAX_TS / MAX_TS_NS).
+    Head keys are precomputed once so the priority-queue min() compares
+    plain tuples without per-call dict lookups."""
 
-    def __init__(self, rows: list):
+    __slots__ = ("rows", "pos", "keys", "sentinel")
+
+    def __init__(self, rows: list, max_ts=MAX_TS):
         self.rows = rows  # list of dict-like with ts, changeset, ...
         self.pos = -1
+        self.keys = [(r["ts"], r["changeset"]) for r in rows]
+        self.sentinel = (max_ts, _CS_MAX)
 
     def has_next(self) -> bool:
         return self.pos + 1 < len(self.rows)
@@ -96,13 +109,23 @@ class _Hist:
         return self.rows[self.pos] if self.pos >= 0 else None
 
     def head_key(self):
-        if not self.has_next():
-            return (MAX_TS, np.iinfo(np.int64).max)
-        p = self.peek()
-        return (p["ts"], p["changeset"])
+        p = self.pos + 1
+        keys = self.keys
+        return keys[p] if p < len(keys) else self.sentinel
+
+    def clone(self) -> "_Hist":
+        """Fresh cursor over the same rows (shares the precomputed keys)."""
+        h = _Hist.__new__(_Hist)
+        h.rows = self.rows
+        h.pos = -1
+        h.keys = self.keys
+        h.sentinel = self.sentinel
+        return h
 
 
-def merge_contributions(majors: list[dict], member_hists: dict[int, _Hist]) -> list[dict]:
+def merge_contributions(
+    majors: list[dict], member_hists: dict[int, _Hist], max_ts=MAX_TS
+) -> list[dict]:
     """Raw contribution stream for one element (pre-converter).
 
     majors: sorted version dicts with ts/changeset/user_id/user/visible/tags/refs.
@@ -110,7 +133,7 @@ def merge_contributions(majors: list[dict], member_hists: dict[int, _Hist]) -> l
     members (list of member snapshot dicts or None).
     """
     out: list[dict] = []
-    empty = _Hist([])
+    empty = _Hist([], max_ts=max_ts)
     i = 0
     while i < len(majors):
         major = majors[i]
@@ -129,7 +152,7 @@ def merge_contributions(majors: list[dict], member_hists: dict[int, _Hist]) -> l
                 h.next()
         members = [active[r].prev() for r in refs]
         queue = list({id(h): h for h in active.values()}.values())
-        next_major_ts = majors[i + 1]["ts"] if i + 1 < len(majors) else MAX_TS
+        next_major_ts = majors[i + 1]["ts"] if i + 1 < len(majors) else max_ts
 
         while True:
             out.append(
@@ -150,7 +173,7 @@ def merge_contributions(majors: list[dict], member_hists: dict[int, _Hist]) -> l
                 p = head.peek()
                 ts, cs, uid, user = p["ts"], p["changeset"], p["user_id"], p["user"]
             else:
-                ts, cs, uid, user = MAX_TS, np.iinfo(np.int64).max, -1, ""
+                ts, cs, uid, user = max_ts, _CS_MAX, -1, ""
             # consume all member edits of this changeset before the next major
             while queue:
                 head = min(queue, key=_Hist.head_key)
@@ -363,44 +386,477 @@ def _geom_length(geom_t) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _merge_one_way(way_id: int, ways_pdf: pd.DataFrame, nodes_pdf: pd.DataFrame, joiner):
-    """Merge + convert a single way group (shared by both execution shapes)."""
-    ways_sorted = ways_pdf.sort_values(["version", "ts"])
-    majors = [
-        {
-            "version": int(r.version),
-            "ts": pd.Timestamp(r.ts),
-            "changeset": int(r.changeset),
-            "user_id": int(r.user_id),
-            "user": r.user,
-            "visible": bool(r.visible),
-            "tags": dict(r.tags) if r.tags is not None else {},
-            "refs": [int(x) for x in r.refs],
-        }
-        for r in ways_sorted.itertuples()
+# ---------------------------------------------------------------------------
+# Columnar converter: partition-wide batched twin of convert_contributions
+# ---------------------------------------------------------------------------
+#
+# convert_contributions above computes geometry (way_geometry + bbox +
+# centroid + geodesic area/length + WKB) per contribution with 1-element-ish
+# NumPy arrays — at planet scale those small-array calls dominate the merge
+# kernel (~25% of its profile; the XZ2 batching in with_xz2_from_bbox was the
+# same fix for the same reason). The columnar twin splits the converter:
+#   phase A (per element, Python): the run-collapse walk emits only plain
+#     columns + flat coordinate buffers — zero geometry math;
+#   phase B (per PARTITION, NumPy): every geometry of the partition is
+#     computed in one vectorized pass — segmented cumsum sums, reduceat
+#     bboxes, one trig call over all coordinates, one uint8 WKB buffer;
+#   phase C (per partition, NumPy): carry-forward / status / contrib_type /
+#     deltas as array window ops keyed by element ordinal.
+# Semantics are identical to convert_contributions (the per-row twin stays
+# as the cross-check; test_history_spark asserts row equality). Float caveat:
+# sums here are sequential (cumsum) while np.sum is pairwise — identical for
+# the short rings of real ways, and sequential matches the DuckDB oracles.
+
+_KIND_NAME = (None, "Point", "LineString", "Polygon")
+
+
+class _ConvertBufs:
+    """Partition-wide accumulator for the columnar converter."""
+
+    __slots__ = ("cols", "elem_id", "visible", "base_status", "is_deletion",
+                 "is_creation", "tag_unchanged", "req_idx", "req_isarea",
+                 "req_count", "mem_lon", "mem_lat", "mem_vis", "n_elem")
+
+    _COLS = ("osm_type", "osm_id", "osm_version", "osm_minor_version",
+             "osm_edits", "osm_last_edit", "valid_from", "valid_to",
+             "user_id", "user", "changeset", "tags", "tags_before", "refs")
+
+    def __init__(self):
+        self.cols = {c: [] for c in self._COLS}
+        self.elem_id = []
+        self.visible = []
+        self.base_status = []
+        self.is_deletion = []
+        self.is_creation = []
+        self.tag_unchanged = []
+        self.req_idx = []       # geometry-request ordinal per row (-1: none)
+        self.req_isarea = []    # per request
+        self.req_count = []     # member count per request
+        self.mem_lon = []       # flat member coords across all requests
+        self.mem_lat = []
+        self.mem_vis = []
+        self.n_elem = 0
+
+
+def collect_element_columnar(bufs: _ConvertBufs, osm_type: str, osm_id: int,
+                             raw: list[dict],
+                             valid_to_sentinel=VALID_TO_SENTINEL) -> None:
+    """Phase A: run-collapse walk of one element (same traversal as
+    convert_contributions:181-314) emitting plain columns + geometry
+    requests into the partition buffers. `valid_to_sentinel` must live in
+    the same time domain as the raw rows' ts values."""
+    nan = float("nan")
+    c_append = {k: v.append for k, v in bufs.cols.items()}
+    n = len(raw)
+    eid = bufs.n_elem
+    bufs.n_elem += 1
+    minor_version = 0
+    edits = 0
+    k = 0
+    prev_raw = None
+    while k < n:
+        c = raw[k]
+        while (k + 1 < n and raw[k + 1]["version"] == c["version"]
+               and raw[k + 1]["changeset"] == c["changeset"]):
+            prev_raw = c
+            k += 1
+            c = raw[k]
+        nxt = raw[k + 1] if k + 1 < n else None
+        before = prev_raw
+        if before is None or c["version"] != before["version"]:
+            minor_version = 0
+        else:
+            minor_version += 1
+        edits += 1
+        visible = c["visible"]
+        if visible:
+            members = c["members"]
+            refs = c["refs"]
+            bufs.req_idx.append(len(bufs.req_count))
+            bufs.req_isarea.append(is_area(
+                c["tags"], refs[0] if refs else -1,
+                refs[-1] if refs else -2, len(refs)))
+            bufs.req_count.append(len(members))
+            ml, mt, mv = bufs.mem_lon, bufs.mem_lat, bufs.mem_vis
+            for m in members:
+                if m is None:
+                    ml.append(nan)
+                    mt.append(nan)
+                    mv.append(False)
+                else:
+                    ml.append(m["lon"])
+                    mt.append(m["lat"])
+                    mv.append(m["visible"])
+        else:
+            bufs.req_idx.append(-1)
+        is_del = not visible
+        is_cre = visible and (before is None or not before["visible"])
+        bufs.elem_id.append(eid)
+        bufs.visible.append(visible)
+        bufs.base_status.append(
+            "deleted" if is_del else ("history" if nxt is not None else "latest"))
+        bufs.is_deletion.append(is_del)
+        bufs.is_creation.append(is_cre)
+        bufs.tag_unchanged.append(
+            not is_del and not is_cre and before["tags"] == c["tags"])
+        c_append["osm_type"](osm_type)
+        c_append["osm_id"](osm_id)
+        c_append["osm_version"](int(c["version"]))
+        c_append["osm_minor_version"](minor_version)
+        c_append["osm_edits"](edits)
+        c_append["osm_last_edit"](before["ts"] if before is not None else None)
+        c_append["valid_from"](c["ts"])
+        c_append["valid_to"](nxt["ts"] if nxt is not None else valid_to_sentinel)
+        c_append["user_id"](int(c["user_id"]))
+        c_append["user"](c["user"])
+        c_append["changeset"](int(c["changeset"]))
+        c_append["tags"](c["tags"])
+        c_append["tags_before"](before["tags"] if before is not None else {})
+        c_append["refs"](list(c["refs"]))
+        prev_raw = c
+        k += 1
+
+
+def _pt_sums(vals: np.ndarray, voff: np.ndarray, nz: np.ndarray) -> np.ndarray:
+    """Per-request sums of per-point values. add.reduceat over the starts of
+    NONZERO requests: each segment gets a fresh left-fold accumulation —
+    cumsum-and-difference would leak prefix rounding error across requests
+    and break exact-double oracle parity."""
+    out = np.zeros(voff.size - 1)
+    if vals.size and nz.any():
+        out[nz] = np.add.reduceat(vals, voff[:-1][nz])
+    return out
+
+
+def _seg_sums(vals: np.ndarray, segmask: np.ndarray, vc: np.ndarray) -> np.ndarray:
+    """Per-request sums of per-adjacent-pair values. Cross-request boundary
+    slots are dropped (not zero-added — adding 0.0 can flip a -0.0 sum),
+    then summed fresh per request like _pt_sums."""
+    vals_c = vals[segmask]
+    scnt = np.maximum(vc - 1, 0)
+    soff = np.concatenate([[0], np.cumsum(scnt)])
+    has = scnt > 0
+    out = np.zeros(vc.size)
+    if vals_c.size and has.any():
+        out[has] = np.add.reduceat(vals_c, soff[:-1][has])
+    return out
+
+
+def batch_geometries(bufs: _ConvertBufs) -> dict:
+    """Phase B: all geometry values of the partition in one vectorized pass.
+
+    Exactly reproduces, per request, what the per-row twin computes via
+    way_geometry → (bbox, centroid, geodesic area/length, WKB); see the
+    float-order note in the section comment above."""
+    R = len(bufs.req_count)
+    counts = np.asarray(bufs.req_count, np.int64)
+    moff = np.concatenate([[0], np.cumsum(counts)])
+    ml = np.asarray(bufs.mem_lon, np.float64)
+    mt = np.asarray(bufs.mem_lat, np.float64)
+    mv = np.asarray(bufs.mem_vis, bool)
+    ok = (mv & ~np.isnan(ml) & ~np.isnan(mt)
+          & (ml >= -180.0) & (ml <= 180.0) & (mt >= -90.0) & (mt <= 90.0))
+    cs_ok = np.concatenate([[0], np.cumsum(ok)])
+    vc = cs_ok[moff[1:]] - cs_ok[moff[:-1]]
+    xs = ml[ok]
+    ys = mt[ok]
+    voff = np.concatenate([[0], np.cumsum(vc)])
+    K = int(xs.size)
+    starts = voff[:-1]
+    ends = voff[1:]
+    nz = vc > 0
+    empty = ~nz
+
+    # kind decision (way_geometry:137-160 order: area+valid ring → Polygon;
+    # 0 or ≥2 pts → LineString; 1 pt → Point)
+    isarea = np.asarray(bufs.req_isarea, bool) if R else np.zeros(0, bool)
+    closed = np.zeros(R, bool)
+    if K:
+        closed[nz] = (xs[starts[nz]] == xs[ends[nz] - 1]) & (
+            ys[starts[nz]] == ys[ends[nz] - 1])
+    ring_ok = empty.copy()  # empty ring is valid (ring_is_valid)
+    for r in np.nonzero(isarea & (vc >= 4) & closed)[0]:
+        s, e = starts[r], ends[r]
+        ring_ok[r] = not _segments_self_intersect(xs[s:e], ys[s:e])
+    poly = isarea & ring_ok
+    kind = np.where(poly, 3, np.where(vc == 1, 1, 2)).astype(np.int8)
+
+    # bbox: reduceat over starts-of-nonzero-requests (zero-length requests
+    # occupy no coords, so each nonzero segment ends at the next start)
+    xmin = np.full(R, np.nan)
+    ymin = np.full(R, np.nan)
+    xmax = np.full(R, np.nan)
+    ymax = np.full(R, np.nan)
+    if K and nz.any():
+        snz = starts[nz]
+        xmin[nz] = np.minimum.reduceat(xs, snz)
+        xmax[nz] = np.maximum.reduceat(xs, snz)
+        ymin[nz] = np.minimum.reduceat(ys, snz)
+        ymax[nz] = np.maximum.reduceat(ys, snz)
+
+    # segment mask: adjacent-pair slots that cross request boundaries
+    segmask = np.ones(max(K - 1, 0), bool)
+    if K > 1:
+        bpos = voff[1:-1] - 1
+        segmask[bpos[(bpos >= 0) & (bpos < K - 1)]] = False
+
+    cx = np.full(R, np.nan)
+    cy = np.full(R, np.nan)
+    length = np.zeros(R)
+    area = np.zeros(R)
+    is_pt = kind == 1
+    if K and is_pt.any():
+        cx[is_pt] = xs[starts[is_pt]]
+        cy[is_pt] = ys[starts[is_pt]]
+
+    is_ls = (kind == 2) & nz
+    if K > 1 and is_ls.any():
+        # centroid_linestring: length-weighted midpoints (planar)
+        dx = np.diff(xs)
+        dy = np.diff(ys)
+        seg_len = np.sqrt(dx * dx + dy * dy)
+        total = _seg_sums(seg_len, segmask, vc)
+        mx = (xs[:-1] + xs[1:]) / 2.0
+        my = (ys[:-1] + ys[1:]) / 2.0
+        sx = _seg_sums(mx * seg_len, segmask, vc)
+        sy = _seg_sums(my * seg_len, segmask, vc)
+        w = is_ls & (total > 0.0)
+        cx[w] = sx[w] / total[w]
+        cy[w] = sy[w] / total[w]
+        w0 = is_ls & (total == 0.0)
+        cx[w0] = xs[starts[w0]]
+        cy[w0] = ys[starts[w0]]
+        # geodesic_length (GeometryTools.lengthOf): spheroid-corrected radians
+        lat_r = np.arctan(gd.SPHERE_FACT * np.tan(np.radians(ys)))
+        dlon = np.diff(np.radians(xs))
+        dlat = np.diff(lat_r)
+        mid = (lat_r[1:] + lat_r[:-1]) / 2.0
+        dlon = dlon * np.cos(mid)
+        glen = np.sqrt(dlon * dlon + dlat * dlat)
+        ls2 = is_ls & (vc >= 2)
+        gsum = _seg_sums(glen, segmask, vc)
+        length[ls2] = gsum[ls2] * gd.EARTH_RADIUS_MEAN
+
+    is_pg = (kind == 3) & nz
+    if K and is_pg.any():
+        # within-request roll(-1) index (every coord belongs to a nonzero
+        # request, so every request end gets wrapped — no out-of-bounds)
+        idx_nxt = np.arange(1, K + 1)
+        idx_nxt[ends[nz] - 1] = starts[nz]
+        x2 = xs[idx_nxt]
+        y2 = ys[idx_nxt]
+        # centroid_polygon, single ring: cx = sx/ring_a (sign algebra of the
+        # per-row twin reduces to this exactly — ±1 multiplies are lossless)
+        cross = xs * y2 - x2 * ys
+        ring_a = _pt_sums(cross, voff, nz) / 2.0
+        sx = _pt_sums((xs + x2) * cross, voff, nz) / 6.0
+        sy = _pt_sums((ys + y2) * cross, voff, nz) / 6.0
+        w = is_pg & (ring_a != 0.0)
+        cx[w] = sx[w] / ring_a[w]
+        cy[w] = sy[w] / ring_a[w]
+        w0 = is_pg & (ring_a == 0.0)
+        if w0.any():  # degenerate ring → centroid_points (mean incl. closing dup)
+            cx[w0] = (_pt_sums(xs, voff, nz) / np.maximum(vc, 1))[w0]
+            cy[w0] = (_pt_sums(ys, voff, nz) / np.maximum(vc, 1))[w0]
+        # geodesic_ring_area (GeometryTools.ringArea index scheme):
+        # sinLat from coords[i+1], deltaLon = coords[i+2].x - coords[i].x
+        idx2 = idx_nxt[idx_nxt]
+        tanv = gd.F_ * np.tan(np.radians(y2))
+        sin_lat = tanv / np.sqrt(tanv * tanv + 1.0)
+        raw_a = _pt_sums(np.radians(xs[idx2] - xs) * sin_lat, voff, nz)
+        mid_lat = (ymax + ymin) / 2.0
+        factor = (0.5 * gd.EARTH_RADIUS_EQUATOR * gd.EARTH_RADIUS_EQUATOR
+                  * (1.0 - 1.0 / gd.EARTH_INVERSE_FLATTENING
+                     * np.cos(np.radians(mid_lat)) ** 2))
+        ga = np.abs(raw_a * factor)
+        wa = is_pg & (vc > 2)
+        area[wa] = ga[wa]
+
+    # WKB: one uint8 buffer for the whole partition (JTS layout, big-endian)
+    sizes = np.where(kind == 1, 21,
+                     np.where(kind == 3,
+                              np.where(empty, 9, 13 + 16 * vc),
+                              9 + 16 * vc))
+    ooff = np.concatenate([[0], np.cumsum(sizes)])
+    buf = np.zeros(int(ooff[-1]), np.uint8)
+    o = ooff[:-1]
+    if R:
+        buf[o + 4] = kind  # bytes 1-3 of the big-endian u32 code stay 0
+        ls_any = kind == 2
+        for b in range(4):
+            shift = 8 * (3 - b)
+            buf[o[ls_any] + 5 + b] = (vc[ls_any] >> shift) & 0xFF
+        pg_full = (kind == 3) & nz
+        buf[o[pg_full] + 8] = 1  # one ring
+        for b in range(4):
+            shift = 8 * (3 - b)
+            buf[o[pg_full] + 9 + b] = (vc[pg_full] >> shift) & 0xFF
+    if K:
+        hdr = np.where(kind == 1, 5, np.where(kind == 3, 13, 9))
+        base = o + hdr - 16 * starts
+        dest = np.repeat(base[nz], vc[nz]) + 16 * np.arange(K)
+        pts = np.empty((K, 2), np.float64)
+        pts[:, 0] = xs
+        pts[:, 1] = ys
+        be = pts.astype(">f8").view(np.uint8).ravel()
+        buf[(dest[:, None] + np.arange(16)).ravel()] = be
+    wkb_all = [buf[ooff[r]:ooff[r + 1]].tobytes() for r in range(R)]
+
+    return {
+        "kind": kind, "empty": empty, "wkb": wkb_all,
+        "xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax,
+        "cx": cx, "cy": cy, "area": area, "length": length,
+        "xs": xs, "ys": ys, "voff": voff,
+    }
+
+
+def _request_geom_tuple(geo: dict, r: int):
+    """(kind, data) of request r for the country joiner."""
+    kind = int(geo["kind"][r])
+    s, e = int(geo["voff"][r]), int(geo["voff"][r + 1])
+    if e == s:
+        return (_KIND_NAME[kind], None)
+    xs = geo["xs"][s:e]
+    ys = geo["ys"][s:e]
+    if kind == 1:
+        return ("Point", (float(xs[0]), float(ys[0])))
+    if kind == 3:
+        return ("Polygon", [np.column_stack([xs, ys])])
+    return ("LineString", np.column_stack([xs, ys]))
+
+
+def finalize_columnar(bufs: _ConvertBufs, joiner=None, ts_int=False) -> pd.DataFrame:
+    """Phase B + C: batch geometry, then resolve the sequential columns
+    (carry-forward, invalid status, GEOMETRY flag, deltas) as array ops.
+    ts_int: the buffers carry int64-ns timestamps (the fast kernel domain) —
+    converted back to datetime64 here in one vectorized view."""
+    N = len(bufs.elem_id)
+    if N == 0:
+        return pd.DataFrame()
+    geo = batch_geometries(bufs)
+    wkb_all = geo["wkb"]
+    kind = geo["kind"]
+    elem = np.asarray(bufs.elem_id, np.int64)
+    vis = np.asarray(bufs.visible, bool)
+    req = np.asarray(bufs.req_idx, np.int64)
+    rows = np.arange(N)
+
+    # effective geometry source = last visible row at-or-before this row in
+    # the same element (convert_contributions' geometry_before carry chain)
+    acc = np.maximum.accumulate(np.where(vis, rows, -1))
+    acc_c = np.maximum(acc, 0)
+    eff_ok = (acc >= 0) & (elem[acc_c] == elem)
+    eff_req = np.where(eff_ok, req[acc_c], -1)
+    eff_c = np.maximum(eff_req, 0)
+
+    first = np.ones(N, bool)
+    first[1:] = elem[1:] != elem[:-1]
+    prev_req = np.empty(N, np.int64)
+    prev_req[0] = -1
+    prev_req[1:] = eff_req[:-1]
+    prev_req[first] = -1
+
+    nonempty = eff_ok & ~geo["empty"][eff_c]
+    base_status = np.asarray(bufs.base_status, object)
+    status = np.where(nonempty, base_status, "invalid")
+
+    area_row = np.where(nonempty, geo["area"][eff_c], 0.0)
+    length_row = np.where(nonempty, geo["length"][eff_c], 0.0)
+    area_prev = np.empty(N)
+    area_prev[0] = 0.0
+    area_prev[1:] = area_row[:-1]
+    area_prev[first] = 0.0
+    length_prev = np.empty(N)
+    length_prev[0] = 0.0
+    length_prev[1:] = length_row[:-1]
+    length_prev[first] = 0.0
+
+    is_del = np.asarray(bufs.is_deletion, bool)
+    is_cre = np.asarray(bufs.is_creation, bool)
+    tag_un = np.asarray(bufs.tag_unchanged, bool)
+    geom_changed = np.zeros(N, bool)
+    for i in np.nonzero(~is_del & ~is_cre & (prev_req != eff_req))[0]:
+        a, b = prev_req[i], eff_req[i]
+        geom_changed[i] = (a < 0 or b < 0) or wkb_all[a] != wkb_all[b]
+    contrib_type = np.select(
+        [is_del, is_cre, tag_un & geom_changed, tag_un, geom_changed],
+        ["DELETION", "CREATION", "TAG_GEOMETRY", "TAG", "GEOMETRY"],
+        default="",
+    )
+
+    if joiner is None:
+        countries = [[] for _ in range(N)]
+    else:
+        cache: dict[int, list] = {}
+        countries = []
+        for i in range(N):
+            r = int(eff_req[i]) if nonempty[i] else -1
+            if r < 0:
+                countries.append([])
+                continue
+            hit = cache.get(r)
+            if hit is None:
+                kname, data = _request_geom_tuple(geo, r)
+                hit = cache[r] = joiner(kname, data)
+            countries.append(hit)
+
+    geometry = [wkb_all[eff_req[i]] if nonempty[i] else None for i in range(N)]
+    geometry_type = [
+        _KIND_NAME[kind[eff_req[i]]] if eff_req[i] >= 0 else None
+        for i in range(N)
     ]
-    hists: dict[int, _Hist] = {}
-    if nodes_pdf is not None and len(nodes_pdf):
-        for nid, grp in nodes_pdf.sort_values(["node_id", "version", "ts"]).groupby(
-            "node_id", sort=False
-        ):
-            hists[int(nid)] = _Hist(
-                [
-                    {
-                        "ts": pd.Timestamp(r.ts),
-                        "changeset": int(r.changeset),
-                        "user_id": int(r.user_id),
-                        "user": r.user,
-                        "version": int(r.version),
-                        "visible": bool(r.visible),
-                        "lon": float(r.lon),
-                        "lat": float(r.lat),
-                    }
-                    for r in grp.itertuples()
-                ]
-            )
-    raw = merge_contributions(majors, hists)
-    return convert_contributions("way", way_id, raw, country_join=joiner)
+
+    def _masked(vals: np.ndarray) -> pd.arrays.FloatingArray:
+        return pd.arrays.FloatingArray(
+            np.where(nonempty, vals, 0.0), mask=~nonempty)
+
+    def _obj(vals) -> np.ndarray:
+        a = np.empty(N, object)
+        a[:] = vals
+        return a
+
+    b = bufs.cols
+    if ts_int:
+        valid_from = np.asarray(b["valid_from"], np.int64).view("M8[ns]")
+        valid_to = np.asarray(b["valid_to"], np.int64).view("M8[ns]")
+        nat = np.iinfo(np.int64).min  # NaT bit pattern
+        last_edit = np.fromiter(
+            (v if v is not None else nat for v in b["osm_last_edit"]),
+            np.int64, N).view("M8[ns]")
+    else:
+        valid_from, valid_to, last_edit = (
+            b["valid_from"], b["valid_to"], b["osm_last_edit"])
+
+    out = {
+        "osm_type": _obj(b["osm_type"]),
+        "osm_id": np.asarray(b["osm_id"], np.int64),
+        "osm_version": np.asarray(b["osm_version"], np.int64),
+        "osm_minor_version": np.asarray(b["osm_minor_version"], np.int64),
+        "osm_edits": np.asarray(b["osm_edits"], np.int64),
+        "osm_last_edit": last_edit,
+        "valid_from": valid_from,
+        "valid_to": valid_to,
+        "user_id": np.asarray(b["user_id"], np.int64),
+        "user": _obj(b["user"]),
+        "changeset": np.asarray(b["changeset"], np.int64),
+        "tags": _obj(b["tags"]),
+        "tags_before": _obj(b["tags_before"]),
+        "refs": _obj(b["refs"]),
+        "status": status,
+        "contrib_type": contrib_type,
+        "geometry_type": _obj(geometry_type),
+        "geometry": _obj(geometry),
+        "xmin": _masked(geo["xmin"][eff_c]), "ymin": _masked(geo["ymin"][eff_c]),
+        "xmax": _masked(geo["xmax"][eff_c]), "ymax": _masked(geo["ymax"][eff_c]),
+        "centroid_x": _masked(geo["cx"][eff_c]),
+        "centroid_y": _masked(geo["cy"][eff_c]),
+        "xz_level": np.full(N, -1, np.int32), "xz_code": np.zeros(N, np.int64),
+        "countries": _obj(countries),
+        "area": area_row, "area_delta": area_row - area_prev,
+        "length": length_row, "length_delta": length_row - length_prev,
+    }
+    cols = [f.split()[0] for f in CONTRIB_SCHEMA.split(", ")]
+    return pd.DataFrame({c: out[c] for c in cols})
 
 
 def with_xz2_from_bbox(df: DataFrame) -> DataFrame:
@@ -490,8 +946,8 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
         if bc is not None:
             idx = bc.value
 
-            def joiner(geom_t):
-                return idx.join_geom(geom_t[0], geom_t[1])
+            def joiner(kind, data):
+                return idx.join_geom(kind, data)
 
         chunks = list(batches)
         if not chunks:
@@ -508,7 +964,9 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
         kind_a = pdf["kind"].to_numpy()
         node_id_a = pdf["node_id"].to_numpy()
         version_a = pdf["version"].to_numpy()
-        ts_a = pdf["ts"].to_list()
+        # int64-ns time domain: the merge walk compares (ts, changeset)
+        # tuples millions of times — python ints beat pd.Timestamp several-fold
+        ts_a = pdf["ts"].to_numpy().view("i8").tolist()
         cs_a = pdf["changeset"].to_numpy()
         uid_a = pdf["user_id"].to_numpy()
         user_a = pdf["user"].to_numpy()
@@ -523,10 +981,10 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
         starts = np.concatenate([[0], cuts])
         ends = np.concatenate([cuts, [n]])
 
-        out_rows: list[dict] = []
+        bufs = _ConvertBufs()
         for s, e in zip(starts, ends):
             majors = []
-            hists: dict[int, _Hist] = {}
+            node_rows: dict[int, list] = {}
             cur_nid = None
             cur_rows: list[dict] | None = None
             for i in range(s, e):
@@ -534,11 +992,11 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
                     nid = int(node_id_a[i])
                     if nid != cur_nid:
                         cur_rows = []
-                        hists[nid] = _Hist(cur_rows)
+                        node_rows[nid] = cur_rows
                         cur_nid = nid
                     cur_rows.append(
                         {
-                            "ts": pd.Timestamp(ts_a[i]),
+                            "ts": ts_a[i],
                             "changeset": int(cs_a[i]),
                             "user_id": int(uid_a[i]),
                             "user": user_a[i],
@@ -552,7 +1010,7 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
                     majors.append(
                         {
                             "version": int(version_a[i]),
-                            "ts": pd.Timestamp(ts_a[i]),
+                            "ts": ts_a[i],
                             "changeset": int(cs_a[i]),
                             "user_id": int(uid_a[i]),
                             "user": user_a[i],
@@ -564,12 +1022,17 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
             if not majors:
                 continue
             majors.sort(key=lambda m: (m["version"], m["ts"]))
-            raw = merge_contributions(majors, hists)
-            out_rows.extend(
-                convert_contributions("way", int(way_id_a[s]), raw, country_join=joiner)
-            )
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+            # _Hist precomputes head keys, so rows must be complete first
+            hists = {
+                nid: _Hist(rows, max_ts=MAX_TS_NS)
+                for nid, rows in node_rows.items()
+            }
+            raw = merge_contributions(majors, hists, max_ts=MAX_TS_NS)
+            collect_element_columnar(bufs, "way", int(way_id_a[s]), raw,
+                                     valid_to_sentinel=VALID_TO_SENTINEL_NS)
+        out = finalize_columnar(bufs, joiner=joiner, ts_int=True)
+        if len(out):
+            yield out
 
     return with_xz2_from_bbox(packed.mapInPandas(partition_fn, CONTRIB_SCHEMA))
 
@@ -1382,7 +1845,7 @@ def relation_contributions(
         # reference allocates per-entity Contributions objects)
         way_hists: dict[int, _Hist] = {}
         for wid, way_majors in way_rows.items():
-            fresh = {nid: _Hist(h.rows) for nid, h in node_hists.items()}
+            fresh = {nid: h.clone() for nid, h in node_hists.items()}
             raw_way = merge_contributions(way_majors, fresh)
             way_hists[wid] = _Hist(raw_way)
 
@@ -1392,9 +1855,9 @@ def relation_contributions(
         for m in {ref for mj in majors for ref in mj["refs"]}:
             mtype, mid, _role = m
             if mtype == "way" and mid in way_hists:
-                hists[m] = _Hist(way_hists[mid].rows)
+                hists[m] = way_hists[mid].clone()
             elif mtype == "node" and mid in node_hists:
-                hists[m] = _Hist(node_hists[mid].rows)
+                hists[m] = node_hists[mid].clone()
         raw = merge_contributions(majors, hists)
         for c in raw:
             c["rel_members"] = [
