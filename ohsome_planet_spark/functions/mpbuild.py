@@ -31,8 +31,22 @@ The reference salvages inner rings that split the outer into parts with a
 JTS difference (mod/722, `buildMultiPolygon:78-107`); here the same repair
 is `difference_faces` below — a planar face trace replacing the JTS boolean
 op (no GEOS in this container), golden-tested by
-test_mpbuild.test_722_inners_split_outer. Same-role fully-overlapping rings
-remain an error (⇒ empty geometry) — the one residual deviation.
+test_mpbuild.test_722_inners_split_outer.
+
+Same-role ring overlaps (`handleIntersectingAndTouchingPolygons:146-156`):
+a LineString ring∩ring intersection means shared/collinear boundary edges —
+INNER rings are resolved by union (`polyA.union(polyB)`, keeping only the
+union's exterior ring as the hole, so a pocket enclosed between two
+C-shaped inners is punched out with them, exactly as the reference's
+`innerPoly.getExteriorRing()` does); OUTER rings raise "Overlapping outer
+rings". `_refine_collinear` first splits edges at collinear-overlap
+vertices so partially-overlapping edges become vertex-matched (the JTS
+overlay does this implicitly); a bare T-touch is NOT refined, preserving
+the "Touching polygons without common node" error. The union here is a
+directed-edge cancellation + face trace valid for interior-disjoint rings;
+interior-overlapping same-direction boundary sharing (JTS would still union)
+stays an error — at that point the inputs are already degenerate enough
+that the reference's own nesting has mis-sorted them.
 """
 
 from __future__ import annotations
@@ -397,8 +411,10 @@ def _ring_oriented(ring: list[tuple], ccw: bool) -> list[tuple]:
     return list(ring) if is_ccw == ccw else list(reversed(ring))
 
 
-def _interior_sample(face: list[tuple]) -> tuple[float, float] | None:
-    """A point strictly inside the simple CCW face polygon."""
+def _interior_samples(face: list[tuple]):
+    """Candidate points strictly inside the simple CCW face polygon
+    (triangle-fan centroids at each vertex, yielded lazily so callers can
+    reject candidates that land inside a hole)."""
     arr = np.asarray(face + [face[0]], np.float64)
     n = len(face)
     for i in range(n):
@@ -415,8 +431,12 @@ def _interior_sample(face: list[tuple]) -> tuple[float, float] | None:
             np.asarray([px]), np.asarray([py]), arr[:-1, 0], arr[:-1, 1], arr[1:, 0], arr[1:, 1]
         )[0]
         if inside and not on:
-            return (px, py)
-    return None
+            yield (px, py)
+
+
+def _interior_sample(face: list[tuple]) -> tuple[float, float] | None:
+    """First candidate point strictly inside the simple CCW face polygon."""
+    return next(_interior_samples(face), None)
 
 
 def difference_faces(
@@ -491,22 +511,168 @@ def difference_faces(
         arr = np.asarray(face, np.float64)
         if gnp.ring_signed_area(arr[:-1, 0], arr[:-1, 1]) <= 0:
             continue
-        sample = _interior_sample(face[:-1])
-        if sample is None:
-            continue
-        px, py = np.asarray([sample[0]]), np.asarray([sample[1]])
-        if not gnp.points_in_polygon(px, py, [(out_arr[:, 0], out_arr[:, 1])])[0]:
-            continue
-        in_hole = False
-        for ia in inner_arrs:
-            if gnp.points_in_polygon(px, py, [(ia[:, 0], ia[:, 1])], include_boundary=False)[0]:
-                on = gnp.points_on_segments(px, py, ia[:-1, 0], ia[:-1, 1], ia[1:, 0], ia[1:, 1])[0]
-                if not on:
-                    in_hole = True
-                    break
-        if not in_hole:
-            kept.append(face)
+        # a face may CONTAIN inners that don't touch its boundary (the
+        # disconnected-arrangement case — the caller re-attaches those as
+        # holes), so the interior sample must dodge hole interiors: try
+        # candidates until one lands outside every inner
+        for sample in _interior_samples(face[:-1]):
+            px, py = np.asarray([sample[0]]), np.asarray([sample[1]])
+            if not gnp.points_in_polygon(px, py, [(out_arr[:, 0], out_arr[:, 1])])[0]:
+                break  # outside the outer: not a difference face at all
+            in_hole = False
+            for ia in inner_arrs:
+                if gnp.points_in_polygon(px, py, [(ia[:, 0], ia[:, 1])], include_boundary=False)[0]:
+                    on = gnp.points_on_segments(px, py, ia[:-1, 0], ia[:-1, 1], ia[1:, 0], ia[1:, 1])[0]
+                    if not on:
+                        in_hole = True
+                        break
+            if not in_hole:
+                kept.append(face)
+                break
     return kept
+
+
+def _ring_edges(ring) -> set[frozenset]:
+    """Undirected vertex-pair edges of a closed ring."""
+    return {
+        frozenset((tuple(ring[i]), tuple(ring[i + 1])))
+        for i in range(len(ring) - 1)
+        if tuple(ring[i]) != tuple(ring[i + 1])
+    }
+
+
+def _edge_overlap(ra, rb) -> bool:
+    """True if the two rings share at least one full edge (the LineString
+    ring-intersection class after collinear refinement)."""
+    return bool(_ring_edges(ra) & _ring_edges(rb))
+
+
+def _refine_collinear(rings: list[list[tuple]]) -> list[list[tuple]]:
+    """Split ring edges at other rings' vertices that lie in the edge
+    interior AND belong to a collinear adjacent edge — making collinear
+    partial overlaps vertex-matched (what the JTS overlay noding does
+    implicitly before `handleIntersectingAndTouchingPolygons` classifies
+    the intersection as a LineString). A T-touch vertex has no collinear
+    adjacent edge and is left alone, so the 'Touching polygons without
+    common node' error still fires for it."""
+    # vertex → set of unit-ish direction keys of its adjacent edges
+    vert_dirs: dict[tuple, list[tuple]] = {}
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            a, b = tuple(ring[i]), tuple(ring[i + 1])
+            if a == b:
+                continue
+            vert_dirs.setdefault(a, []).append((b[0] - a[0], b[1] - a[1]))
+            vert_dirs.setdefault(b, []).append((a[0] - b[0], a[1] - b[1]))
+    all_pts = list(vert_dirs.keys())
+    if not all_pts:
+        return rings
+    px = np.asarray([p[0] for p in all_pts])
+    py = np.asarray([p[1] for p in all_pts])
+
+    out_rings = []
+    for ring in rings:
+        new_ring: list[tuple] = []
+        for i in range(len(ring) - 1):
+            a, b = tuple(ring[i]), tuple(ring[i + 1])
+            new_ring.append(a)
+            if a == b:
+                continue
+            ex, ey = b[0] - a[0], b[1] - a[1]
+            elen = float(np.hypot(ex, ey))
+            on = gnp.points_on_segments(
+                px, py,
+                np.asarray([a[0]]), np.asarray([a[1]]),
+                np.asarray([b[0]]), np.asarray([b[1]]),
+            )
+            inserts = []
+            for idx in np.nonzero(on)[0]:
+                v = all_pts[idx]
+                if v == a or v == b:
+                    continue
+                # collinear adjacent edge at v? (parallel to this edge)
+                for dx, dy in vert_dirs[v]:
+                    cross = ex * dy - ey * dx
+                    if abs(cross) <= 1e-12 * elen * float(np.hypot(dx, dy)):
+                        t = ((v[0] - a[0]) * ex + (v[1] - a[1]) * ey)
+                        inserts.append((t, v))
+                        break
+            for _, v in sorted(inserts):
+                if new_ring[-1] != v:
+                    new_ring.append(v)
+        new_ring.append(tuple(ring[-1]))
+        out_rings.append(new_ring)
+    return out_rings
+
+
+def _union_two_rings(ra: list[tuple], rb: list[tuple]) -> list[tuple]:
+    """Exterior ring of the union of two interior-disjoint simple rings that
+    share boundary edges (the reference's `polyA.union(polyB)` followed by
+    `getExteriorRing()`). Both rings are oriented CCW; shared edges then run
+    in opposite directions and cancel; the remaining directed edges are
+    face-traced and the single positive-area face is the union shell."""
+    import math as _math
+
+    counts: dict[tuple[tuple, tuple], int] = {}
+    for ring in (_ring_oriented(ra, ccw=True), _ring_oriented(rb, ccw=True)):
+        for i in range(len(ring) - 1):
+            u, v = tuple(ring[i]), tuple(ring[i + 1])
+            if u != v:
+                counts[(u, v)] = counts.get((u, v), 0) + 1
+    edges = []
+    for (u, v), c in counts.items():
+        net = c - counts.get((v, u), 0)
+        if net > 1:
+            raise MultiPolygonBuildError(
+                "Unexpected result of multipolygon union")
+        if net == 1:
+            edges.append((u, v))
+
+    out_by_vertex: dict[tuple, list[tuple]] = {}
+    for u, v in edges:
+        out_by_vertex.setdefault(u, []).append(v)
+
+    def angle(u, v):
+        return _math.atan2(v[1] - u[1], v[0] - u[0])
+
+    unused = set(edges)
+    shells = []
+    while unused:
+        start = next(iter(unused))
+        face = []
+        cur = start
+        for _ in range(len(edges) + 1):
+            unused.discard(cur)
+            u, v = cur
+            face.append(u)
+            back = angle(v, u)
+            best = None
+            best_delta = None
+            for w in out_by_vertex.get(v, ()):
+                if (v, w) not in unused and (v, w) != start:
+                    continue
+                d = (back - angle(v, w)) % (2 * _math.pi)
+                if d == 0.0:
+                    d = 2 * _math.pi
+                if best_delta is None or d < best_delta:
+                    best_delta = d
+                    best = (v, w)
+            if best is None:
+                raise MultiPolygonBuildError(
+                    "Unexpected result of multipolygon union")
+            cur = best
+            if cur == start:
+                face.append(start[0])
+                arr = np.asarray(face, np.float64)
+                if gnp.ring_signed_area(arr[:-1, 0], arr[:-1, 1]) > 0:
+                    shells.append(face)
+                break
+        else:
+            raise MultiPolygonBuildError(
+                "Unexpected result of multipolygon union")
+    if len(shells) != 1:
+        raise MultiPolygonBuildError("Unexpected result of multipolygon union")
+    return shells[0]
 
 
 def build_multipolygon(
@@ -526,6 +692,9 @@ def build_multipolygon(
         arr = np.asarray(ring, np.float64)
         if not ring_is_valid(arr[:, 0], arr[:, 1]):
             raise MultiPolygonBuildError("Invalid polygon")
+    # vertex-match collinear partial overlaps so ring∩ring classification
+    # below sees them as shared edges (JTS overlay noding analog)
+    rings = _refine_collinear(rings)
 
     # nesting by area-desc containment (buildMultiPolygon:33-49)
     rings.sort(key=_ring_area, reverse=True)
@@ -546,15 +715,34 @@ def build_multipolygon(
             ring_owner[i] = len(matched)
             matched.append((cur, []))
 
-    # outer-outer touch validation (Point at common node OK, else error)
+    # outer-outer touch validation (Point at common node OK; shared edges →
+    # "Overlapping outer rings", handleIntersectingAndTouchingPolygons:150-155
+    # with mergeTouching=false; crossings/non-vertex touches raise inside)
     outers = [m[0] for m in matched]
     for i in range(len(outers)):
         for j in range(i + 1, len(outers)):
-            shared = _rings_intersection_nodes(outers[i], outers[j])
-            # shared vertices allowed (mod/706); crossings already raised
+            _rings_intersection_nodes(outers[i], outers[j])
+            if _edge_overlap(outers[i], outers[j]):
+                raise MultiPolygonBuildError("Overlapping outer rings")
 
     polygons = []
     for outer_ring, inners in matched:
+        # same-role (inner) rings sharing boundary edges merge via union,
+        # keeping only the union's exterior ring (mergeTouching=true branch:
+        # polyA.union(polyB) + the later getExteriorRing() hole punch)
+        inners = list(inners)
+        merged_any = True
+        while merged_any:
+            merged_any = False
+            for a in range(len(inners)):
+                for b in range(a + 1, len(inners)):
+                    if _edge_overlap(inners[a], inners[b]):
+                        inners[a] = _union_two_rings(inners[a], inners[b])
+                        del inners[b]
+                        merged_any = True
+                        break
+                if merged_any:
+                    break
         # does this polygon need the difference repair? (reference:
         # formsEnclosedAreas from inner-inner touches `buildMultiPolygon:
         # 78-85`, or a non-Point inner∩outer intersection `:87-105`)
