@@ -1813,6 +1813,239 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contributions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end wiring oracle (`Contributions2Parquet.call:93-146`):
+    events-derived fixture → PBF encode → contributions_to_parquet (decode-
+    once entity scratch, node+way+relation pipelines, broadcast changeset
+    join, status-partitioned GeoParquet write) → read the export back.
+    The DuckDB twin replays all three temporal merges plus the changeset
+    join from the same events derivation, so a regression in any stage's
+    WIRING (round-trip, scratch, union, join, write, partition columns)
+    breaks the hash. Geometry VALUES are pinned separately by
+    way_geom_history / relation_geom_history. Timestamps are second-truncated
+    on both sides (the PBF wire format's default date_granularity=1000
+    stores whole seconds)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.plans.contributions import contributions_to_parquet
+    from ohsome_planet_spark.sources.pbf import write_osm_pbf
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    tst = F.date_trunc("second", F.col("ts")).cast("timestamp_ntz")
+    node_rows = ev.select(
+        (F.col("event_id") % 100).alias("id"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("event_id") % 100).orderBy(tst, "event_id"))
+        .alias("version"),
+        tst.alias("ts"),
+        (F.col("event_id") % 17).alias("changeset"),
+        F.col("user_id"),
+        ((F.col("event_id") * 7 % 360) - 180.0).alias("lon"),
+        ((F.col("event_id") * 11 % 180) - 90.0).alias("lat"),
+    ).collect()  # 2000-row fixture: driver-side PBF authoring only
+    node_dicts = [
+        {"id": int(r["id"]), "version": int(r["version"]),
+         "ts_ms": pd.Timestamp(r["ts"]).value // 10**6,
+         "changeset": int(r["changeset"]), "uid": int(r["user_id"]),
+         "user": "u", "visible": True, "tags": {},
+         "lon": float(r["lon"]), "lat": float(r["lat"])}
+        for r in node_rows
+    ]
+    t_way = pd.Timestamp("2020-01-01").value // 10**6
+    t_rel = pd.Timestamp("2020-01-02").value // 10**6
+    way_dicts = [
+        {"id": w, "version": 1, "ts_ms": t_way, "changeset": 1, "uid": 1,
+         "user": "u", "visible": True, "tags": {},
+         "refs": [w * 2, w * 2 + 1, w * 2 + 50]}
+        for w in range(20)
+    ]
+    rel_dicts = [
+        {"id": r, "version": 1, "ts_ms": t_rel, "changeset": 1, "uid": 1,
+         "user": "u", "visible": True, "tags": {"type": "route"},
+         "members": [("way", r, ""), ("way", r + 10, "")]}
+        for r in range(10)
+    ]
+    changesets = spark.createDataFrame(
+        [(c, pd.Timestamp(0, unit="s").to_pydatetime(), None, 1,
+          {"created_by": f"ed{c}"}) for c in range(17)],
+        "id long, created_at timestamp_ntz, closed_at timestamp_ntz, "
+        "num_changes int, tags map<string,string>",
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = Path(tempfile.gettempdir()) / f"graft_contrib_e2e_{tag}"
+    pbf_path = base.with_suffix(".osm.pbf")
+    out_dir = Path(str(base) + "_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_osm_pbf(pbf_path, node_dicts, way_dicts, rel_dicts, nodes_per_block=1024)
+    contributions_to_parquet(spark, pbf_path, out_dir, changesets=changesets)
+    back = spark.read.parquet(str(out_dir))
+    return back.select(
+        "osm_type",
+        "osm_id",
+        F.col("osm_version").cast("int").alias("osm_version"),
+        "osm_minor_version",
+        "osm_edits",
+        "changeset",
+        "valid_from",
+        "valid_to",
+        F.col("status").cast("string").alias("status"),
+        F.col("changeset_editor").alias("editor"),
+    )
+
+
+_CONTRIB_E2E_ORACLE_SQL = """
+WITH ev AS (
+  SELECT event_id, date_trunc('second', ts) AS ts
+  FROM events WHERE event_id < 2000
+),
+nodes AS (
+  SELECT event_id % 100 AS node_id,
+         row_number() OVER (PARTITION BY event_id % 100 ORDER BY ts, event_id) AS version,
+         ts, event_id % 17 AS cs
+  FROM ev
+),
+-- node pipeline: versions are unique per node, so the (version, changeset)
+-- run collapse is the identity -- one contribution per edit
+node_rows AS (
+  SELECT 'node' AS osm_type, node_id AS osm_id, CAST(version AS INT) AS osm_version,
+         0 AS osm_minor_version, CAST(version AS INT) AS osm_edits, cs::BIGINT AS changeset,
+         ts AS valid_from,
+         coalesce(lead(ts) OVER wn, TIMESTAMP '2222-01-01') AS valid_to,
+         CASE WHEN lead(ts) OVER wn IS NULL THEN 'latest' ELSE 'history' END AS status
+  FROM nodes
+  WINDOW wn AS (PARTITION BY node_id ORDER BY version)
+),
+ways AS (SELECT range AS way_id FROM range(0, 20)),
+refs AS (
+  SELECT way_id, way_id * 2 AS node_id FROM ways
+  UNION ALL SELECT way_id, way_id * 2 + 1 FROM ways
+  UNION ALL SELECT way_id, way_id * 2 + 50 FROM ways
+),
+member_edits AS (
+  SELECT r.way_id, n.node_id, n.version, n.ts, n.cs
+  FROM refs r JOIN nodes n USING (node_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY way_id, node_id ORDER BY version
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 1 ELSE 0 END AS absorbed
+  FROM member_edits
+),
+remaining AS (SELECT * FROM flagged WHERE absorbed = 0),
+runs AS (
+  SELECT way_id, ts, cs,
+         sum(CASE WHEN cs = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY way_id ORDER BY ts, cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT way_id, ts, cs,
+               lag(cs) OVER (PARTITION BY way_id ORDER BY ts, cs) AS prev_cs
+        FROM remaining)
+),
+run_agg AS (SELECT way_id, run_id, max(ts) AS end_ts, min(cs) AS cs FROM runs GROUP BY way_id, run_id),
+major_snap AS (SELECT way_id, count(DISTINCT node_id) AS n_snap FROM flagged WHERE absorbed = 1 GROUP BY way_id),
+run_snap AS (
+  SELECT ra.way_id, ra.run_id, count(DISTINCT me.node_id) AS n_snap
+  FROM run_agg ra JOIN flagged me
+    ON me.way_id = ra.way_id AND (me.absorbed = 1 OR me.ts <= ra.end_ts)
+  GROUP BY ra.way_id, ra.run_id
+),
+way_stream AS (
+  SELECT w.way_id, 0 AS run_id, TIMESTAMP '2020-01-01' AS valid_from, 1::BIGINT AS changeset,
+         coalesce(ms.n_snap, 0) AS n_snap
+  FROM ways w LEFT JOIN major_snap ms ON ms.way_id = w.way_id
+  UNION ALL
+  SELECT ra.way_id, ra.run_id, ra.end_ts, ra.cs::BIGINT, coalesce(rs.n_snap, 0)
+  FROM run_agg ra JOIN run_snap rs ON rs.way_id = ra.way_id AND rs.run_id = ra.run_id
+),
+way_rows AS (
+  SELECT 'way' AS osm_type, way_id AS osm_id, 1 AS osm_version,
+         CAST(row_number() OVER w - 1 AS INT) AS osm_minor_version,
+         CAST(row_number() OVER w AS INT) AS osm_edits,
+         changeset, valid_from,
+         coalesce(lead(valid_from) OVER w, TIMESTAMP '2222-01-01') AS valid_to,
+         CASE WHEN n_snap = 0 THEN 'invalid'
+              WHEN lead(valid_from) OVER w IS NULL THEN 'latest'
+              ELSE 'history' END AS status
+  FROM way_stream
+  WINDOW w AS (PARTITION BY way_id ORDER BY run_id)
+),
+rels AS (SELECT range AS rel_id FROM range(0, 10)),
+rel_member AS (
+  SELECT rel_id, rel_id AS way_id FROM rels
+  UNION ALL SELECT rel_id, rel_id + 10 FROM rels
+),
+way_absorb AS (
+  SELECT rm.rel_id, ws.way_id, ws.run_id, ws.valid_from, ws.changeset, ws.n_snap,
+         CASE WHEN min(CASE WHEN ws.valid_from <= TIMESTAMP '2020-01-02' OR ws.changeset = 1
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY rm.rel_id, ws.way_id ORDER BY ws.run_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 1 ELSE 0 END AS absorbed
+  FROM rel_member rm JOIN way_stream ws ON ws.way_id = rm.way_id
+),
+rel_remaining AS (SELECT * FROM way_absorb WHERE absorbed = 0),
+rel_runs AS (
+  SELECT rel_id, valid_from, changeset,
+         sum(CASE WHEN changeset = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY rel_id ORDER BY valid_from, changeset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT rel_id, valid_from, changeset,
+               lag(changeset) OVER (PARTITION BY rel_id ORDER BY valid_from, changeset) AS prev_cs
+        FROM rel_remaining)
+),
+rel_run_agg AS (
+  SELECT rel_id, run_id, max(valid_from) AS end_ts, min(changeset) AS cs
+  FROM rel_runs GROUP BY rel_id, run_id
+),
+rel_contribs AS (
+  SELECT rel_id, 0 AS run_id, TIMESTAMP '2020-01-02' AS valid_from, 1::BIGINT AS changeset FROM rels
+  UNION ALL
+  SELECT rel_id, run_id, end_ts, cs::BIGINT FROM rel_run_agg
+),
+member_state AS (
+  SELECT rel_id, rrun, way_id, n_snap FROM (
+    SELECT rc.rel_id, rc.run_id AS rrun, wa.way_id, wa.n_snap,
+           row_number() OVER (PARTITION BY rc.rel_id, rc.run_id, wa.way_id
+                              ORDER BY wa.run_id DESC) AS rk
+    FROM rel_contribs rc
+    JOIN way_absorb wa ON wa.rel_id = rc.rel_id
+       AND (wa.absorbed = 1 OR wa.valid_from <= rc.valid_from)
+  ) WHERE rk = 1
+),
+validity AS (
+  SELECT rel_id, rrun AS run_id, max(CASE WHEN n_snap >= 1 THEN 1 ELSE 0 END) AS any_geom
+  FROM member_state GROUP BY rel_id, rrun
+),
+rel_rows AS (
+  SELECT 'relation' AS osm_type, rc.rel_id AS osm_id, 1 AS osm_version,
+         CAST(row_number() OVER w - 1 AS INT) AS osm_minor_version,
+         CAST(row_number() OVER w AS INT) AS osm_edits,
+         rc.changeset, rc.valid_from,
+         coalesce(lead(rc.valid_from) OVER w, TIMESTAMP '2222-01-01') AS valid_to,
+         CASE WHEN coalesce(v.any_geom, 0) = 0 THEN 'invalid'
+              WHEN lead(rc.valid_from) OVER w IS NULL THEN 'latest'
+              ELSE 'history' END AS status
+  FROM rel_contribs rc LEFT JOIN validity v ON v.rel_id = rc.rel_id AND v.run_id = rc.run_id
+  WINDOW w AS (PARTITION BY rc.rel_id ORDER BY rc.run_id)
+),
+allrows AS (
+  SELECT * FROM node_rows
+  UNION ALL SELECT * FROM way_rows
+  UNION ALL SELECT * FROM rel_rows
+)
+SELECT osm_type, osm_id, osm_version, osm_minor_version, osm_edits, changeset,
+       valid_from, valid_to, status,
+       'ed' || CAST(changeset AS VARCHAR) AS editor
+FROM allrows
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1850,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_history": _q_relation_history,
         "relation_geom_history": _q_relation_geom_history,
         "way_geom_history": _q_way_geom_history,
+        "contributions_e2e": _q_contributions_e2e,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -2045,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "relation_history": _REL_HISTORY_ORACLE_SQL,
         "relation_geom_history": _relation_geom_oracle_sql(),
         "way_geom_history": _WAY_GEOM_ORACLE_SQL,
+        "contributions_e2e": _CONTRIB_E2E_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

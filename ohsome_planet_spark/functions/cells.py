@@ -309,8 +309,11 @@ def hex_cell(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
     lat = np.asarray(lat, np.float64)
     lon = np.asarray(lon, np.float64)
     if HAVE_H3:  # pragma: no cover - not installed in this container
+        def _to_int(c):
+            return int(c, 16) if isinstance(c, str) else int(c)
+
         return np.asarray(
-            [int(_h3.latlng_to_cell(la, lo, res), 16) if isinstance(_h3.latlng_to_cell(la, lo, res), str) else _h3.latlng_to_cell(la, lo, res) for la, lo in zip(lat, lon)],
+            [_to_int(_h3.latlng_to_cell(la, lo, res)) for la, lo in zip(lat, lon)],
             dtype=np.int64,
         )
     size = hex_circumradius_deg(res)

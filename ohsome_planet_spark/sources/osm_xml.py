@@ -81,28 +81,47 @@ def parse_osm_xml(text: str) -> tuple[list[dict], list[dict], list[dict]]:
     return nodes, ways, rels
 
 
+_XML_SUPERSET_SCHEMA = (
+    "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+    "user string, visible boolean, tags map<string,string>, lon double, "
+    "lat double, refs array<long>, "
+    "members array<struct<type:string, id:long, role:string>>, kind string"
+)
+_XML_BASE_COLS = ("id", "version", "ts", "changeset", "user_id", "user",
+                  "visible", "tags")
+
+
 def read_osm_xml(spark: SparkSession, paths: list[str | Path]):
-    """→ (nodes_df, ways_df, relations_df) parsed per-file in tasks."""
-    texts = spark.sparkContext.parallelize([str(p) for p in paths], max(1, len(paths)))
+    """→ (nodes_df, ways_df, relations_df) parsed per-file in tasks.
+
+    Entities never touch the driver: each task parses its files into
+    superset rows (per-type fields null) and the three outputs are type
+    filters over that distributed frame — the same shape as the PBF
+    source's blob-parallel decode (pbf.py). A multi-GB .osm therefore
+    scales with executors instead of OOMing the driver."""
+    from pyspark.sql import functions as F
+
+    plist = [str(p) for p in paths]
+    rdd = spark.sparkContext.parallelize(plist, max(1, len(plist)))
 
     def parse(path: str):
         n, w, r = parse_osm_xml(Path(path).read_text(encoding="utf-8"))
-        return [("n", n), ("w", w), ("r", r)]
+        for row in n:
+            yield tuple(row[c] for c in _XML_BASE_COLS) + (
+                row["lon"], row["lat"], None, None, "n")
+        for row in w:
+            yield tuple(row[c] for c in _XML_BASE_COLS) + (
+                None, None, row["refs"], None, "w")
+        for row in r:
+            yield tuple(row[c] for c in _XML_BASE_COLS) + (
+                None, None, None, row["members"], "r")
 
-    collected = texts.flatMap(parse).collect()
-    nodes = [row for kind, rows in collected if kind == "n" for row in rows]
-    ways = [row for kind, rows in collected if kind == "w" for row in rows]
-    rels = [row for kind, rows in collected if kind == "r" for row in rows]
-
-    def df(rows, schema, cols):
-        data = [tuple(r[c] for c in cols) for r in rows]
-        return spark.createDataFrame(data, schema)
-
-    base = ["id", "version", "ts", "changeset", "user_id", "user", "visible", "tags"]
+    sup = spark.createDataFrame(rdd.flatMap(parse), _XML_SUPERSET_SCHEMA)
+    base = list(_XML_BASE_COLS)
     return (
-        df(nodes, NODE_SCHEMA, base + ["lon", "lat"]),
-        df(ways, WAY_SCHEMA, base + ["refs"]),
-        df(rels, REL_SCHEMA, base + ["members"]),
+        sup.where(F.col("kind") == "n").select(*base, "lon", "lat"),
+        sup.where(F.col("kind") == "w").select(*base, "refs"),
+        sup.where(F.col("kind") == "r").select(*base, "members"),
     )
 
 
@@ -123,11 +142,14 @@ def parse_changeset_xml(text: str) -> list[dict]:
 
 
 def read_changeset_xml(spark: SparkSession, path: str | Path) -> DataFrame:
-    rows = parse_changeset_xml(Path(path).read_text(encoding="utf-8"))
-    data = [
-        (r["id"], r["created_at"], r["closed_at"], r["num_changes"], r["tags"]) for r in rows
-    ]
-    return spark.createDataFrame(data, CHANGESET_SCHEMA)
+    """Single-document changeset XML, parsed inside a task (no driver parse)."""
+    rdd = spark.sparkContext.parallelize([str(path)], 1).flatMap(
+        lambda p: [
+            (r["id"], r["created_at"], r["closed_at"], r["num_changes"], r["tags"])
+            for r in parse_changeset_xml(Path(p).read_text(encoding="utf-8"))
+        ]
+    )
+    return spark.createDataFrame(rdd, CHANGESET_SCHEMA)
 
 
 def read_changeset_xml_bz2(spark: SparkSession, path: str | Path) -> DataFrame:

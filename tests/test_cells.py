@@ -189,3 +189,28 @@ class TestHex:
         cell = C.hex_cell(np.array([12.31]), np.array([7.61]), 9)
         res, _, _ = C.hex_decode(cell)
         assert int(res[0]) == 9
+
+
+@pytest.mark.skipif(
+    not __import__("ohsome_planet_spark.functions.cells", fromlist=["HAVE_H3"]).HAVE_H3,
+    reason="real h3 wheel not installed in this container (hex lattice stand-in active)",
+)
+def test_hex_cell_real_h3_upgrade():
+    """When the `h3` package is importable, hex_cell must emit REAL H3 ids
+    (cells.py auto-upgrade path) while keeping the int64 column contract the
+    enrich pipeline depends on. Skipped in the sandbox; green on a machine
+    with the wheel."""
+    import h3
+
+    from ohsome_planet_spark.functions.cells import hex_cell
+
+    lats = np.array([0.0, 48.8566, -33.8688])
+    lons = np.array([0.0, 2.3522, 151.2093])
+    for res in (7, 8, 9, 10):
+        got = hex_cell(lats, lons, res)
+        assert got.dtype == np.int64
+        for la, lo, cell in zip(lats, lons, got):
+            expect = h3.latlng_to_cell(la, lo, res)
+            expect_i = int(expect, 16) if isinstance(expect, str) else int(expect)
+            assert int(cell) == expect_i
+            assert h3.get_resolution(expect) == res
