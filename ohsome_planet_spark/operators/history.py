@@ -1379,127 +1379,6 @@ def _way_coords_from_members(members: list) -> np.ndarray:
     return np.asarray(pts, np.float64).reshape(len(pts), 2)
 
 
-def _relation_geometry(tags: dict, members: list) -> tuple:
-    """(kind, data) for a relation contribution.
-
-    members: [{type, role, snapshot}] where a way snapshot carries its own
-    node-member snapshots. Multipolygon per relIsMultipolygon
-    (`ContributionGeometry.java:68-78`); failure or non-MP type →
-    GeometryCollection semantics (bbox-only payload, K6).
-    """
-    from ..functions.mpbuild import MultiPolygonBuildError, build_multipolygon
-
-    is_mp = (
-        len(members) <= MEMBERS_THRESHOLD
-        and (tags.get("type") or "").lower() in ("multipolygon", "boundary")
-    )
-    if is_mp:
-        outers = []
-        inners = []
-        for m in members:
-            if m["type"] != "way" or m["snapshot"] is None:
-                continue
-            coords = _way_coords_from_members(m["snapshot"].get("members"))
-            if coords.shape[0] == 0:
-                continue
-            # only 'outer'/blank roles are outers; 'inner' is a hole; any
-            # other role (subarea, exclave, …) is dropped entirely
-            # (ContributionGeometry.relGeometryMultiPolygon:89-98)
-            role = (m.get("role") or "").strip()
-            if role == "inner":
-                inners.append([tuple(p) for p in coords])
-            elif role in ("", "outer"):
-                outers.append([tuple(p) for p in coords])
-        try:
-            geom = build_multipolygon(outers, inners)
-            if geom[1]:
-                return geom
-        except MultiPolygonBuildError:
-            pass
-        return ("MultiPolygon", None)  # empty → invalid status upstream
-    # GeometryCollection: typed member geometries (relGeometryCollection)
-    geoms = _member_geometries(members)
-    if not geoms:
-        return ("GeometryCollection", None)
-    return ("GeometryCollection", geoms)  # payload = [(kind, data), ...]
-
-
-def _member_geometries(members: list) -> list[tuple]:
-    """Member geometries of a relation, mirroring
-    `ContributionGeometry.relGeometryCollection:110-117`: each resolved
-    member's own geometry (ways through the full wayGeometry rule —
-    Polygon if isArea, else LineString/Point), empties filtered out.
-    Unresolved members (snapshot None, e.g. nested relations) are skipped,
-    matching the reference's `filter(Objects::nonNull)`."""
-    from ..functions.waygeom import way_geometry
-
-    geoms: list[tuple] = []
-    for m in members or []:
-        snap = m.get("snapshot")
-        if snap is None:
-            continue
-        if m["type"] == "way":
-            mems = snap.get("members") or []
-            refs = snap.get("refs") or []
-            lons = np.asarray(
-                [x["lon"] if x is not None else np.nan for x in mems], np.float64
-            )
-            lats = np.asarray(
-                [x["lat"] if x is not None else np.nan for x in mems], np.float64
-            )
-            vis = np.asarray(
-                [bool(x["visible"]) if x is not None else False for x in mems], bool
-            )
-            kind, data = way_geometry(
-                lons, lats, vis, snap.get("tags") or {},
-                refs[0] if refs else -1, refs[-1] if refs else -2, len(refs),
-            )
-            if data is not None:
-                geoms.append((kind, data))
-        elif m["type"] == "node":
-            lon, lat = snap.get("lon"), snap.get("lat")
-            if (
-                lon is not None
-                and lat is not None
-                and snap.get("visible", False)
-                and -180.0 <= lon <= 180.0
-                and -90.0 <= lat <= 90.0
-            ):
-                geoms.append(("Point", (float(lon), float(lat))))
-    return geoms
-
-
-def _member_geometry_one(m: dict) -> tuple:
-    """(geometry_type, wkb) for ONE relation member — the per-member output
-    fields of `ContributionsAvroConverter.member():194-209`: resolved
-    members carry their own geometry (ways through the full wayGeometry
-    rule, nodes as points, empty geometries included with their type);
-    unresolved members (snapshot None) carry (None, None)."""
-    snap = m.get("snapshot")
-    if snap is None:
-        return None, None
-    if m["type"] == "way":
-        mems = snap.get("members") or []
-        refs = snap.get("refs") or []
-        lons = np.asarray([x["lon"] if x is not None else np.nan for x in mems], np.float64)
-        lats = np.asarray([x["lat"] if x is not None else np.nan for x in mems], np.float64)
-        vis = np.asarray([bool(x["visible"]) if x is not None else False for x in mems], bool)
-        kind, data = way_geometry(
-            lons, lats, vis, snap.get("tags") or {},
-            refs[0] if refs else -1, refs[-1] if refs else -2, len(refs),
-        )
-        return kind, wkb_dumps((kind, data))
-    if m["type"] == "node":
-        lon, lat = snap.get("lon"), snap.get("lat")
-        if (
-            lon is not None and lat is not None and snap.get("visible", False)
-            and -180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
-        ):
-            return "Point", wkb_dumps(("Point", (float(lon), float(lat))))
-        return "Point", wkb_dumps(("Point", None))  # empty point
-    return None, None  # nested relations are not resolved (contrib null)
-
-
 def _gc_all_coords(geoms: list[tuple]) -> np.ndarray:
     parts = []
     for kind, data in geoms:
@@ -1512,22 +1391,19 @@ def _gc_all_coords(geoms: list[tuple]) -> np.ndarray:
     return np.vstack(parts) if parts else np.empty((0, 2), np.float64)
 
 
-def _gc_centroid(geoms: list[tuple]) -> tuple[float, float]:
-    """JTS `Geometry.getCentroid()` over a collection: dimension-priority —
-    area-weighted if any polygonal area, else length-weighted over line
-    segments (polygon rings included as the degenerate fallback), else the
-    point average (org.locationtech.jts.algorithm.Centroid semantics,
-    referenced from ContributionsAvroConverter.setBBoxCentroidAndXZ:178-192).
-    """
+def _gc_moments(kind: str, data) -> tuple:
+    """(area_w, cg_x, cg_y, tlen, lcx, lcy, npt, pcx, pcy) — ONE member
+    geometry's contribution to the JTS collection centroid accumulators of
+    `_gc_centroid`. Every field is a single += in the original loop, so
+    adding cached per-member moments in member order is float-identical to
+    the uncached accumulation (way polygons are single-ring, so no
+    multi-ring re-association can occur)."""
     area_w = cg_x = cg_y = 0.0
     tlen = lcx = lcy = 0.0
     npt = 0
     pcx = pcy = 0.0
 
-    def add_seq(r: np.ndarray) -> None:
-        """JTS Centroid.addLineSegments: zero-length sequences degrade to
-        their first point."""
-        nonlocal tlen, lcx, lcy, npt, pcx, pcy
+    def seq_terms(r: np.ndarray):
         r = np.asarray(r, np.float64)
         if r.shape[0] >= 2:
             seg = np.hypot(np.diff(r[:, 0]), np.diff(r[:, 1]))
@@ -1535,32 +1411,52 @@ def _gc_centroid(geoms: list[tuple]) -> tuple[float, float]:
             if s > 0.0:
                 mx = (r[:-1, 0] + r[1:, 0]) * 0.5
                 my = (r[:-1, 1] + r[1:, 1]) * 0.5
-                tlen += s
-                lcx += float((seg * mx).sum())
-                lcy += float((seg * my).sum())
-                return
+                return s, float((seg * mx).sum()), float((seg * my).sum()), 0, 0.0, 0.0
         if r.shape[0] > 0:
-            npt += 1
-            pcx += float(r[0, 0])
-            pcy += float(r[0, 1])
+            return 0.0, 0.0, 0.0, 1, float(r[0, 0]), float(r[0, 1])
+        return 0.0, 0.0, 0.0, 0, 0.0, 0.0
 
-    for kind, data in geoms:
-        if kind == "Point":
-            npt += 1
-            pcx += float(data[0])
-            pcy += float(data[1])
-        elif kind == "LineString":
-            add_seq(data)
-        elif kind == "Polygon":
-            for i, ring in enumerate(data):
-                ring = np.asarray(ring, np.float64)
-                a = abs(gnp.ring_signed_area(ring[:, 0], ring[:, 1]))
-                cx, cy = gnp.centroid_polygon([(ring[:, 0], ring[:, 1])])
-                w = a if i == 0 else -a
-                area_w += w
-                cg_x += w * cx
-                cg_y += w * cy
-                add_seq(ring)
+    if kind == "Point":
+        npt += 1
+        pcx += float(data[0])
+        pcy += float(data[1])
+    elif kind == "LineString":
+        tlen, lcx, lcy, npt, pcx, pcy = seq_terms(data)
+    elif kind == "Polygon":
+        for i, ring in enumerate(data):
+            ring = np.asarray(ring, np.float64)
+            a = abs(gnp.ring_signed_area(ring[:, 0], ring[:, 1]))
+            cx, cy = gnp.centroid_polygon([(ring[:, 0], ring[:, 1])])
+            w = a if i == 0 else -a
+            area_w += w
+            cg_x += w * cx
+            cg_y += w * cy
+            s, sx, sy, n0, p0x, p0y = seq_terms(ring)
+            tlen += s
+            lcx += sx
+            lcy += sy
+            npt += n0
+            pcx += p0x
+            pcy += p0y
+    return (area_w, cg_x, cg_y, tlen, lcx, lcy, npt, pcx, pcy)
+
+
+def _combine_centroid(moments: list[tuple]) -> tuple[float, float]:
+    """Fold per-member moments in member order → _gc_centroid result."""
+    area_w = cg_x = cg_y = 0.0
+    tlen = lcx = lcy = 0.0
+    npt = 0
+    pcx = pcy = 0.0
+    for aw, gx, gy, tl, lx, ly, n0, px, py in moments:
+        area_w += aw
+        cg_x += gx
+        cg_y += gy
+        tlen += tl
+        lcx += lx
+        lcy += ly
+        npt += n0
+        pcx += px
+        pcy += py
     if abs(area_w) > 0.0:
         return cg_x / area_w, cg_y / area_w
     if tlen > 0.0:
@@ -1568,6 +1464,161 @@ def _gc_centroid(geoms: list[tuple]) -> tuple[float, float]:
     if npt > 0:
         return pcx / npt, pcy / npt
     return float("nan"), float("nan")
+
+
+def _member_entry(cache: dict, m: dict):
+    """Per-snapshot member cache: consecutive relation contributions share
+    most member snapshots (only the member that opened the minor version
+    changed), but the converter used to recompute way_geometry + WKB +
+    bbox + centroid moments for EVERY member on EVERY row — the dominant
+    cost of the relation kernel (~6 way_geometry calls per output row).
+    Keyed by snapshot dict identity (snapshots stay alive in `raw` for the
+    whole conversion, so ids are stable). Returns None for unresolved
+    members (nested relations / missing)."""
+    snap = m.get("snapshot")
+    if snap is None:
+        return None
+    key = id(snap)
+    e = cache.get(key)
+    if e is not None:
+        return e
+    mtype = m["type"]
+    e = {"gc": None, "mg": (None, None), "bbox": None, "mom": None, "coords": None}
+    if mtype == "way":
+        mems = snap.get("members") or []
+        refs = snap.get("refs") or []
+        lons = np.asarray([x["lon"] if x is not None else np.nan for x in mems], np.float64)
+        lats = np.asarray([x["lat"] if x is not None else np.nan for x in mems], np.float64)
+        vis = np.asarray([bool(x["visible"]) if x is not None else False for x in mems], bool)
+        kind, data = way_geometry(
+            lons, lats, vis, snap.get("tags") or {},
+            refs[0] if refs else -1, refs[-1] if refs else -2, len(refs),
+        )
+        e["mg"] = (kind, wkb_dumps((kind, data)))
+        if data is not None:
+            e["gc"] = (kind, data)
+        e["coords"] = _way_coords_from_members(mems)
+    elif mtype == "node":
+        lon, lat = snap.get("lon"), snap.get("lat")
+        if (
+            lon is not None and lat is not None and snap.get("visible", False)
+            and -180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
+        ):
+            g = ("Point", (float(lon), float(lat)))
+            e["gc"] = g
+            e["mg"] = ("Point", wkb_dumps(g))
+        else:
+            e["mg"] = ("Point", wkb_dumps(("Point", None)))
+    if e["gc"] is not None:
+        kind, data = e["gc"]
+        coords = _gc_all_coords([e["gc"]])
+        e["bbox"] = gnp.bbox(coords[:, 0], coords[:, 1])
+        e["mom"] = _gc_moments(kind, data)
+    cache[key] = e
+    return e
+
+
+def _relation_geom_info(tags: dict, members: list, entries: list, joiner=None) -> dict:
+    """Geometry + every geometry-derived metric of ONE visible relation
+    contribution, computed once and CARRIED by reference for deleted rows
+    (the old per-row recompute of bbox/centroid/area on carried geometries
+    is gone with it).
+
+    Semantics: multipolygon per relIsMultipolygon
+    (`ContributionGeometry.java:68-78`; 'inner' roles are holes,
+    ''/'outer' are shells, other roles dropped —
+    `relGeometryMultiPolygon:89-98`); assembly failure or non-MP type →
+    GeometryCollection whose stored WKB is only the envelope geometry
+    (`ContributionsAvroConverter.java:110-117`) and whose centroid follows
+    JTS dimension priority (area → length → points,
+    org.locationtech.jts.algorithm.Centroid). Collection bbox/centroid
+    combine the CACHED per-member values (min/max and moment sums are
+    float-identical to the uncached single pass)."""
+    from ..functions.mpbuild import MultiPolygonBuildError, build_multipolygon
+
+    info = {"kind": None, "data": None, "wkb": None, "empty": True,
+            "bbox": None, "cx": None, "cy": None, "area": 0.0, "countries": []}
+    is_mp = (
+        len(members) <= MEMBERS_THRESHOLD
+        and (tags.get("type") or "").lower() in ("multipolygon", "boundary")
+    )
+    if is_mp:
+        outers: list = []
+        inners: list = []
+        for m, e in zip(members, entries):
+            if m["type"] != "way" or e is None or e["coords"] is None:
+                continue
+            coords = e["coords"]
+            if coords.shape[0] == 0:
+                continue
+            role = (m.get("role") or "").strip()
+            if role == "inner":
+                inners.append([tuple(p) for p in coords])
+            elif role in ("", "outer"):
+                outers.append([tuple(p) for p in coords])
+        data = None
+        try:
+            geom = build_multipolygon(outers, inners)
+            if geom[1]:
+                data = geom[1]
+        except MultiPolygonBuildError:
+            data = None
+        info["kind"] = "MultiPolygon"
+        if data is None:  # empty → invalid status upstream
+            info["wkb"] = wkb_dumps(("MultiPolygon", None))
+            return info
+        info.update(data=data, empty=False, wkb=wkb_dumps(("MultiPolygon", data)))
+        coords = np.vstack([np.vstack(rings) for rings in data])
+        info["bbox"] = gnp.bbox(coords[:, 0], coords[:, 1])
+        cx = cy = 0.0
+        a_sum = 0.0
+        for rings in data:
+            pa, (px, py) = _poly_area_centroid(rings)
+            cx += px * pa
+            cy += py * pa
+            a_sum += pa
+        info["cx"], info["cy"] = (
+            (cx / a_sum, cy / a_sum) if a_sum
+            else gnp.centroid_points(coords[:, 0], coords[:, 1])
+        )
+        info["area"] = sum(
+            gd.geodesic_polygon_area(
+                (rings[0][:, 0], rings[0][:, 1]),
+                [(r[:, 0], r[:, 1]) for r in rings[1:]],
+            )
+            for rings in data
+        )
+        if joiner:
+            hits: set[str] = set()
+            for rings in data:
+                hits.update(joiner(("Polygon", list(rings), b"")))
+            info["countries"] = sorted(hits)
+        return info
+    # GeometryCollection (relGeometryCollection:110-117): resolved members'
+    # own geometries in member order, empties filtered out
+    gc_entries = [e for e in entries if e is not None and e["gc"] is not None]
+    info["kind"] = "GeometryCollection"
+    if not gc_entries:
+        info["wkb"] = wkb_dumps(("GeometryCollection", None))
+        return info
+    info["data"] = [e["gc"] for e in gc_entries]
+    info["empty"] = False
+    bx = (
+        min(e["bbox"][0] for e in gc_entries),
+        min(e["bbox"][1] for e in gc_entries),
+        max(e["bbox"][2] for e in gc_entries),
+        max(e["bbox"][3] for e in gc_entries),
+    )
+    info["bbox"] = bx
+    info["wkb"] = wkb_dumps(_envelope_geom(bx))
+    info["cx"], info["cy"] = _combine_centroid([e["mom"] for e in gc_entries])
+    if joiner:
+        hits = set()
+        pts = _gc_all_coords(info["data"])
+        for p in pts:
+            hits.update(joiner(("Point", (float(p[0]), float(p[1])), b"")))
+        info["countries"] = sorted(hits)
+    return info
 
 
 def _envelope_geom(bx: tuple[float, float, float, float]) -> tuple:
@@ -1587,19 +1638,26 @@ def _envelope_geom(bx: tuple[float, float, float, float]) -> tuple:
 
 
 def convert_relation_contributions(
-    osm_id: int, raw: list[dict], country_join=None
+    osm_id: int, raw: list[dict], country_join=None,
+    valid_to_sentinel=VALID_TO_SENTINEL,
 ) -> list[dict]:
     """Relation converter: like convert_contributions but with relation
     geometry; GeometryCollection rows store only the bbox polygon as WKB
-    (`ContributionsAvroConverter.java:110-117`)."""
+    (`ContributionsAvroConverter.java:110-117`).
+
+    Geometry work is cached at two levels: per distinct member SNAPSHOT
+    (_member_entry — consecutive contributions share most snapshots) and
+    per distinct relation GEOMETRY (_relation_geom_info — deleted rows
+    carry the previous info object, paying nothing)."""
     out: list[dict] = []
     n = len(raw)
     minor_version = 0
     edits = 0
-    geometry_before = None
+    info_before: dict | None = None
     area_before = 0.0
     length_before = 0.0
     prev_raw = None
+    cache: dict = {}
     k = 0
     while k < n:
         c = raw[k]
@@ -1615,20 +1673,12 @@ def convert_relation_contributions(
             minor_version += 1
         edits += 1
 
+        entries = [_member_entry(cache, m) for m in c["rel_members"]]
         if c["visible"]:
-            kind, data = _relation_geometry(c["tags"], c["rel_members"])
-            if kind == "GeometryCollection" and data is not None:
-                # collection rows store only the envelope geometry
-                # (point/line for degenerate bboxes — toGeometry(env))
-                pts = _gc_all_coords(data)
-                bx = gnp.bbox(pts[:, 0], pts[:, 1])
-                geom_t = ("GeometryCollection", data, wkb_dumps(_envelope_geom(bx)))
-            elif data is not None:
-                geom_t = (kind, data, wkb_dumps((kind, data)))
-            else:
-                geom_t = (kind, None, wkb_dumps((kind, None)))
+            info = _relation_geom_info(
+                c["tags"], c["rel_members"], entries, joiner=country_join)
         else:
-            geom_t = geometry_before
+            info = info_before  # carry forward (may be None)
 
         status = "latest"
         if not c["visible"]:
@@ -1644,7 +1694,7 @@ def convert_relation_contributions(
             "osm_edits": int(edits),
             "osm_last_edit": before["ts"] if before is not None else None,
             "valid_from": c["ts"],
-            "valid_to": nxt["ts"] if nxt is not None else VALID_TO_SENTINEL,
+            "valid_to": nxt["ts"] if nxt is not None else valid_to_sentinel,
             "user_id": int(c["user_id"]),
             "user": c["user"],
             "changeset": int(c["changeset"]),
@@ -1653,62 +1703,33 @@ def convert_relation_contributions(
             "member_types": [m["type"] for m in c["rel_members"]],
             "member_ids": [int(m["id"]) for m in c["rel_members"]],
             "member_roles": [m.get("role") or "" for m in c["rel_members"]],
+            # per-member geometry output (ContributionsAvroConverter.member():
+            # 194-209): resolved members carry their own geometry, unresolved
+            # (nested relations / missing) carry nulls
+            "member_geom_types": [
+                e["mg"][0] if e is not None else None for e in entries
+            ],
+            "member_geoms": [
+                e["mg"][1] if e is not None else None for e in entries
+            ],
         }
-        mg = [_member_geometry_one(m) for m in c["rel_members"]]
-        row["member_geom_types"] = [g[0] for g in mg]
-        row["member_geoms"] = [g[1] for g in mg]
 
         area = 0.0
         length = 0.0
-        if geom_t is not None and geom_t[1] is not None:
-            kind, data, wkb_bytes = geom_t
-            if kind == "MultiPolygon":
-                coords = np.vstack([np.vstack(rings) for rings in data])
-            else:
-                coords = _gc_all_coords(data)
-            bx = gnp.bbox(coords[:, 0], coords[:, 1])
-            if kind == "MultiPolygon":
-                cx = cy = 0.0
-                a_sum = 0.0
-                for rings in data:
-                    pa, (px, py) = _poly_area_centroid(rings)
-                    cx += px * pa
-                    cy += py * pa
-                    a_sum += pa
-                cx, cy = (cx / a_sum, cy / a_sum) if a_sum else gnp.centroid_points(coords[:, 0], coords[:, 1])
-                area = sum(
-                    gd.geodesic_polygon_area(
-                        (rings[0][:, 0], rings[0][:, 1]),
-                        [(r[:, 0], r[:, 1]) for r in rings[1:]],
-                    )
-                    for rings in data
-                )
-            else:
-                # JTS getCentroid on the collection: dimension-priority
-                cx, cy = _gc_centroid(data)
+        if info is not None and not info["empty"]:
+            bx = info["bbox"]
             row.update(
-                geometry_type=kind,
-                geometry=wkb_bytes,
+                geometry_type=info["kind"],
+                geometry=info["wkb"],
                 xmin=bx[0], ymin=bx[1], xmax=bx[2], ymax=bx[3],
-                centroid_x=cx, centroid_y=cy,
+                centroid_x=info["cx"], centroid_y=info["cy"],
                 xz_level=-1, xz_code=0,  # filled by with_xz2_from_bbox
+                countries=info["countries"],
             )
-            if country_join:
-                if kind == "MultiPolygon":
-                    hits: set[str] = set()
-                    for rings in data:
-                        hits.update(country_join(("Polygon", list(rings), b"")))
-                    row["countries"] = sorted(hits)
-                else:
-                    hits = set()
-                    for p in coords:
-                        hits.update(country_join(("Point", (float(p[0]), float(p[1])), b"")))
-                    row["countries"] = sorted(hits)
-            else:
-                row["countries"] = []
+            area = info["area"]
         else:
             row.update(
-                geometry_type=geom_t[0] if geom_t is not None else None,
+                geometry_type=info["kind"] if info is not None else None,
                 geometry=None,
                 xmin=None, ymin=None, xmax=None, ymax=None,
                 centroid_x=None, centroid_y=None,
@@ -1717,15 +1738,18 @@ def convert_relation_contributions(
             )
             # invalid rows still get bbox/centroid/xz from the non-empty
             # member collection (ContributionsAvroConverter.java:128-131)
-            mem_geoms = _member_geometries(c["rel_members"])
-            if mem_geoms:
-                pts = _gc_all_coords(mem_geoms)
-                bx = gnp.bbox(pts[:, 0], pts[:, 1])
-                cx, cy = _gc_centroid(mem_geoms)
+            gc_entries = [
+                e for e in entries if e is not None and e["gc"] is not None
+            ]
+            if gc_entries:
                 row.update(
-                    xmin=bx[0], ymin=bx[1], xmax=bx[2], ymax=bx[3],
-                    centroid_x=cx, centroid_y=cy,
+                    xmin=min(e["bbox"][0] for e in gc_entries),
+                    ymin=min(e["bbox"][1] for e in gc_entries),
+                    xmax=max(e["bbox"][2] for e in gc_entries),
+                    ymax=max(e["bbox"][3] for e in gc_entries),
                 )
+                cx, cy = _combine_centroid([e["mom"] for e in gc_entries])
+                row.update(centroid_x=cx, centroid_y=cy)
             status = "invalid"
 
         row["status"] = status
@@ -1744,11 +1768,16 @@ def convert_relation_contributions(
         else:
             if before["tags"] == c["tags"]:
                 types.append("TAG")
-            if not _geom_equal(geometry_before, geom_t):
+            # Objects.equals(geometryBefore, geometry) analog on the stored WKB
+            if info_before is None or info is None:
+                changed = info_before is not info
+            else:
+                changed = info_before["wkb"] != info["wkb"]
+            if changed:
                 types.append("GEOMETRY")
         row["contrib_type"] = "_".join(types)
 
-        geometry_before = geom_t
+        info_before = info
         out.append(row)
         prev_raw = c
         k += 1
@@ -1846,8 +1875,8 @@ def relation_contributions(
         way_hists: dict[int, _Hist] = {}
         for wid, way_majors in way_rows.items():
             fresh = {nid: h.clone() for nid, h in node_hists.items()}
-            raw_way = merge_contributions(way_majors, fresh)
-            way_hists[wid] = _Hist(raw_way)
+            raw_way = merge_contributions(way_majors, fresh, max_ts=MAX_TS_NS)
+            way_hists[wid] = _Hist(raw_way, max_ts=MAX_TS_NS)
 
         # adapt: merge_contributions keys member histories by the ref value —
         # here refs are (type, id, role) triples
@@ -1858,7 +1887,7 @@ def relation_contributions(
                 hists[m] = way_hists[mid].clone()
             elif mtype == "node" and mid in node_hists:
                 hists[m] = node_hists[mid].clone()
-        raw = merge_contributions(majors, hists)
+        raw = merge_contributions(majors, hists, max_ts=MAX_TS_NS)
         for c in raw:
             c["rel_members"] = [
                 {
@@ -1869,7 +1898,9 @@ def relation_contributions(
                 }
                 for ref, snap in zip(c["refs"], c["members"])
             ]
-        return convert_relation_contributions(rel_id, raw, country_join=joiner)
+        return convert_relation_contributions(
+            rel_id, raw, country_join=joiner,
+            valid_to_sentinel=VALID_TO_SENTINEL_NS)
 
     all_packed = members_packed.withColumn(
         "rel_member_list",
@@ -1900,7 +1931,8 @@ def relation_contributions(
         kind_a = pdf["kind"].to_numpy()
         mid_a = pdf["member_id"].to_numpy()
         ver_a = pdf["version"].to_numpy()
-        ts_a = pdf["ts"].to_list()
+        # int64-ns time domain (see the way kernel): cheap queue compares
+        ts_a = pdf["ts"].to_numpy().view("i8").tolist()
         cs_a = pdf["changeset"].to_numpy()
         uid_a = pdf["user_id"].to_numpy()
         user_a = pdf["user"].to_numpy()
@@ -1926,7 +1958,7 @@ def relation_contributions(
                 if k == "node":
                     node_lists.setdefault(int(mid_a[i]), []).append(
                         {
-                            "ts": pd.Timestamp(ts_a[i]),
+                            "ts": ts_a[i],
                             "changeset": int(cs_a[i]),
                             "user_id": int(uid_a[i]),
                             "user": user_a[i],
@@ -1940,7 +1972,7 @@ def relation_contributions(
                     way_rows.setdefault(int(mid_a[i]), []).append(
                         {
                             "version": int(ver_a[i]),
-                            "ts": pd.Timestamp(ts_a[i]),
+                            "ts": ts_a[i],
                             "changeset": int(cs_a[i]),
                             "user_id": int(uid_a[i]),
                             "user": user_a[i],
@@ -1954,7 +1986,7 @@ def relation_contributions(
                     majors.append(
                         {
                             "version": int(ver_a[i]),
-                            "ts": pd.Timestamp(ts_a[i]),
+                            "ts": ts_a[i],
                             "changeset": int(cs_a[i]),
                             "user_id": int(uid_a[i]),
                             "user": user_a[i],
@@ -1968,11 +2000,30 @@ def relation_contributions(
                     )
             if not majors:
                 continue
-            node_hists = {nid: _Hist(rows) for nid, rows in node_lists.items()}
+            node_hists = {
+                nid: _Hist(rows, max_ts=MAX_TS_NS)
+                for nid, rows in node_lists.items()
+            }
             out_rows.extend(
                 merge_one_relation(int(rel_a[s]), node_hists, way_rows, majors, joiner)
             )
         if out_rows:
-            yield pd.DataFrame(out_rows)
+            # back to datetime64 BEFORE DataFrame construction: pandas would
+            # coerce the int/None osm_last_edit mix to float64 and int-ns
+            # values exceed 2^53 (silent precision loss)
+            nat = np.iinfo(np.int64).min
+            n_out = len(out_rows)
+            vf = np.fromiter((r["valid_from"] for r in out_rows),
+                             np.int64, n_out).view("M8[ns]")
+            vt = np.fromiter((r["valid_to"] for r in out_rows),
+                             np.int64, n_out).view("M8[ns]")
+            le = np.fromiter(
+                (r["osm_last_edit"] if r["osm_last_edit"] is not None else nat
+                 for r in out_rows), np.int64, n_out).view("M8[ns]")
+            pdf_out = pd.DataFrame(out_rows)
+            pdf_out["valid_from"] = vf
+            pdf_out["valid_to"] = vt
+            pdf_out["osm_last_edit"] = le
+            yield pdf_out
 
     return with_xz2_from_bbox(all_packed.mapInPandas(partition_fn, REL_CONTRIB_SCHEMA))
