@@ -363,3 +363,105 @@ def test_disabled_node_tag_edits_actual_behavior():
     assert seq(raw) == [(1, 1, [1]), (2, 3, [3])]
     rows = convert_contributions("way", 10, raw)
     assert len(rows) == 2
+
+
+# --- randomized parity: columnar converter vs the per-row twin -------------
+
+
+def _rand_element(rng, eid):
+    """Adversarial way history: deletions, invalid coords, area tags,
+    same-(version,changeset) collapse runs, missing members."""
+    n_nodes = rng.randint(1, 5)
+    node_ids = list(range(eid * 100, eid * 100 + n_nodes))
+    node_map = {}
+    for nid in node_ids:
+        rows = []
+        t = 1000 + rng.randint(0, 50)
+        for v in range(1, rng.randint(2, 6)):
+            t += rng.randint(1, 300)
+            rows.append(node(
+                v, t, rng.randint(1, 6),
+                lon=float(rng.choice([rng.uniform(-179, 179), 999.0])),
+                lat=float(rng.uniform(-89, 89)),
+                visible=bool(rng.random() > 0.15),
+            ))
+        node_map[nid] = rows
+    majors = []
+    t = 900
+    closed = bool(rng.random() > 0.5) and n_nodes >= 3
+    refs = node_ids + [node_ids[0]] if closed else node_ids
+    # sprinkle a missing member
+    if rng.random() > 0.7:
+        refs = refs + [eid * 100 + 99]
+    for v in range(1, rng.randint(2, 5)):
+        t += rng.randint(0, 400)
+        cs = rng.randint(1, 6)
+        tags = {"building": "yes"} if closed and rng.random() > 0.3 else (
+            {"name": f"w{v}"} if rng.random() > 0.5 else {})
+        majors.append(way(v, t, cs, list(refs),
+                          visible=bool(rng.random() > 0.2), tags=tags))
+        # occasional same-(version, changeset) duplicate to force collapse
+        if rng.random() > 0.8:
+            t += rng.randint(1, 50)
+            majors.append(way(v, t, cs, list(refs), visible=True, tags=tags))
+    return majors, node_map
+
+
+def test_columnar_converter_matches_per_row_twin():
+    import numpy as np
+
+    from ohsome_planet_spark.operators.history import (
+        _ConvertBufs,
+        collect_element_columnar,
+        finalize_columnar,
+    )
+
+    rng = np.random.RandomState(42)
+    bufs = _ConvertBufs()
+    expected = []
+    for eid in range(60):
+        majors, node_map = _rand_element(rng, eid)
+        raw = run(majors, node_map)
+        expected.extend(convert_contributions("way", eid, raw))
+        # fresh histories for the columnar pass (cursors are consumed)
+        raw2 = run(majors, node_map)
+        collect_element_columnar(bufs, "way", eid, raw2)
+    got = finalize_columnar(bufs)
+    assert len(got) == len(expected)
+    exact_cols = [
+        "osm_type", "osm_id", "osm_version", "osm_minor_version", "osm_edits",
+        "osm_last_edit", "valid_from", "valid_to", "user_id", "user",
+        "changeset", "tags", "tags_before", "status", "contrib_type",
+        "geometry_type", "geometry", "refs", "countries",
+    ]
+    for i, exp in enumerate(expected):
+        for c in exact_cols:
+            g = got[c].iloc[i]
+            e = exp[c]
+            if c in ("osm_last_edit",) and e is None:
+                assert pd.isna(g), (i, c)
+            else:
+                assert (g == e) or (g is None and e is None) or (
+                    isinstance(g, float) and isinstance(e, float)
+                    and g != g and e != e), (i, c, g, e)
+        for c in ("xmin", "ymin", "xmax", "ymax"):
+            g = got[c].iloc[i]
+            e = exp[c]
+            if e is None:
+                assert g is pd.NA or pd.isna(g), (i, c, g)
+            else:
+                assert g == e, (i, c, g, e)  # min/max: associativity-free, exact
+        # summed quantities (centroids, geodesics): the per-row twin uses
+        # np.sum (PAIRWISE association from n=4 up) while the columnar
+        # converter folds sequentially via add.reduceat — sequential is the
+        # canonical order (it is what the DuckDB oracles compute), so the
+        # twin may differ in the last ulp for geometries with ≥4 terms
+        for c in ("centroid_x", "centroid_y"):
+            g = got[c].iloc[i]
+            e = exp[c]
+            if e is None:
+                assert g is pd.NA or pd.isna(g), (i, c, g)
+            else:
+                assert g == pytest.approx(e, rel=1e-13, abs=1e-300), (i, c, g, e)
+        for c in ("area", "area_delta", "length", "length_delta"):
+            assert got[c].iloc[i] == pytest.approx(exp[c], rel=1e-12, abs=1e-30), (i, c)

@@ -474,3 +474,25 @@ def test_7xx_fragmented_mixed_orientation_with_hole():
     kind, polys = build_multipolygon(outer_frags, hole_frags)
     assert len(polys) == 1 and len(polys[0]) == 2
     assert _planar_area(polys) == pytest.approx(100.0 - 16.0)
+
+
+def test_7xx_figure8_outer_splits_at_shared_vertex():
+    """A closed way whose ring touches itself at one vertex (figure-8): the
+    segment walk splits it into two rings sharing the vertex — two polygons
+    touching at a common node (valid, same class as mod/706)."""
+    fig8 = [
+        (0, 0), (2, 0), (1, 1), (2, 2), (0, 2), (1, 1), (0, 0),
+    ]
+    kind, polys = build_multipolygon([fig8], [])
+    assert len(polys) == 2
+    assert _planar_area(polys) == pytest.approx(1.0 + 1.0)
+
+
+def test_7xx_repeated_interior_vertex_invalid():
+    """A ring revisiting an interior vertex without closing (spike through a
+    repeated node, odd parity at the spike tip) → error ⇒ empty geometry."""
+    bad = [(0, 0), (2, 0), (2, 2), (1, 0), (0, 2), (0, 0)]
+    # edge (2,2)-(1,0) crosses (0,2)-(0,0)? No — but (2,0)->(2,2)->(1,0)
+    # creates a proper crossing with (1,0)->(0,2) against the base edge
+    with pytest.raises(MultiPolygonBuildError):
+        build_multipolygon([bad], [])
