@@ -123,6 +123,51 @@ class _Hist:
         return h
 
 
+class _MinQueue:
+    """Priority access to member streams.
+
+    Small queues (the common case: ways average ~10 member nodes) use a
+    plain list min() — cheaper than heap bookkeeping. Large queues (long
+    ways, boundary relations with 1000+ members) switch to a lazy heap:
+    entries are (ts, changeset, queue_index); a popped entry whose key no
+    longer matches the stream's current head (the cursor advanced) is
+    refreshed and re-sunk. Tie order (ts, cs, index) reproduces min()'s
+    first-minimal-in-list-order pick exactly, so the two strategies are
+    output-identical."""
+
+    __slots__ = ("hists", "heap")
+
+    _HEAP_THRESHOLD = 16
+
+    def __init__(self, hists: list):
+        self.hists = hists
+        if len(hists) > self._HEAP_THRESHOLD:
+            import heapq
+
+            self.heap = [h.head_key() + (i,) for i, h in enumerate(hists)]
+            heapq.heapify(self.heap)
+        else:
+            self.heap = None
+
+    def __bool__(self) -> bool:
+        return bool(self.hists)
+
+    def min(self):
+        hists = self.hists
+        if self.heap is None:
+            return min(hists, key=_Hist.head_key) if hists else None
+        import heapq
+
+        heap = self.heap
+        while True:
+            ts, cs, i = heap[0]
+            h = hists[i]
+            k = h.head_key()
+            if k[0] == ts and k[1] == cs:
+                return h
+            heapq.heapreplace(heap, k + (i,))
+
+
 def merge_contributions(
     majors: list[dict], member_hists: dict[int, _Hist], max_ts=MAX_TS
 ) -> list[dict]:
@@ -151,7 +196,7 @@ def merge_contributions(
             while h.has_next() and (h.peek()["ts"] <= ts or h.peek()["changeset"] == cs):
                 h.next()
         members = [active[r].prev() for r in refs]
-        queue = list({id(h): h for h in active.values()}.values())
+        queue = _MinQueue(list({id(h): h for h in active.values()}.values()))
         next_major_ts = majors[i + 1]["ts"] if i + 1 < len(majors) else max_ts
 
         while True:
@@ -168,7 +213,7 @@ def merge_contributions(
                     "members": list(members),
                 }
             )
-            head = min(queue, key=_Hist.head_key) if queue else None
+            head = queue.min() if queue else None
             if head is not None and head.has_next():
                 p = head.peek()
                 ts, cs, uid, user = p["ts"], p["changeset"], p["user_id"], p["user"]
@@ -176,7 +221,7 @@ def merge_contributions(
                 ts, cs, uid, user = max_ts, _CS_MAX, -1, ""
             # consume all member edits of this changeset before the next major
             while queue:
-                head = min(queue, key=_Hist.head_key)
+                head = queue.min()
                 if not head.has_next():
                     break
                 p = head.peek()

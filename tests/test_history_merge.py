@@ -465,3 +465,46 @@ def test_columnar_converter_matches_per_row_twin():
                 assert g == pytest.approx(e, rel=1e-13, abs=1e-300), (i, c, g, e)
         for c in ("area", "area_delta", "length", "length_delta"):
             assert got[c].iloc[i] == pytest.approx(exp[c], rel=1e-12, abs=1e-30), (i, c)
+
+
+def test_minqueue_heap_matches_list_min():
+    """The lazy-heap queue (taken for >16 members — long ways, boundary
+    relations) must be output-identical to the list-min path, INCLUDING
+    tie order: members sharing an edit (ts, changeset) but differing in
+    uid/user must resolve to the first-in-queue-order stream (min()'s
+    first-minimal pick == heap's (ts, cs, index) order)."""
+    import numpy as np
+
+    from ohsome_planet_spark.operators.history import _MinQueue
+
+    rng = np.random.RandomState(7)
+    n_members = 40  # > _HEAP_THRESHOLD → heap path in one run
+    node_map = {}
+    for nid in range(n_members):
+        rows = []
+        t = 1000
+        for v in range(1, 6):
+            # coarse time grid + small changeset range → many exact
+            # (ts, changeset) ties across members
+            t += int(rng.randint(1, 4)) * 100
+            rows.append(node(v, t, int(rng.randint(1, 4)),
+                             lon=float(nid), lat=float(v),
+                             uid=nid, user=f"u{nid}"))
+        node_map[nid] = rows
+    majors = [way(1, 950, 1, list(range(n_members)))]
+
+    def run_with_threshold(thr):
+        old = _MinQueue._HEAP_THRESHOLD
+        _MinQueue._HEAP_THRESHOLD = thr
+        try:
+            return run(majors, {k: list(v) for k, v in node_map.items()})
+        finally:
+            _MinQueue._HEAP_THRESHOLD = old
+
+    raw_list = run_with_threshold(10_000)   # force list-min
+    raw_heap = run_with_threshold(0)        # force heap
+    assert len(raw_list) == len(raw_heap) > 5
+    for a, b in zip(raw_list, raw_heap):
+        assert (a["ts"], a["changeset"], a["user_id"], a["user"]) == (
+            b["ts"], b["changeset"], b["user_id"], b["user"])
+        assert a["members"] == b["members"]
