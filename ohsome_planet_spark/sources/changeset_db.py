@@ -7,11 +7,13 @@ source is one declarative `spark.read.jdbc` with range partitioning on the
 changeset id — each executor pulls its own id slice in parallel, and the
 result broadcasts into `with_changeset_metadata` (J3).
 
-This sandbox ships no PostgreSQL server or JDBC driver jar, so the function
-is import-gated: it builds and returns the reader plan unchanged, and the
-integration test covers only the option wiring (the join semantics are
-oracle-verified through `changeset_join_default` with a DataFrame stand-in;
-sources.osm_xml.read_changeset_xml_bz2 is the file-based alternative).
+This sandbox ships no PostgreSQL server or JDBC driver jar, but Spark
+bundles embedded Derby — `tests/test_jdbc_derby.py` exercises the REAL
+round-trip (bounds probe, range-partitioned parallel scan, fetchsize,
+changeset-metadata join) against an actual JDBC database through this exact
+function; only the driver class and URL differ in production. The join
+semantics are additionally oracle-verified through `changeset_join_default`;
+sources.osm_xml.read_changeset_xml_bz2 is the file-based alternative.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ def read_changesets_jdbc(
     max_id: int | None = None,
     num_partitions: int = 64,
     fetch_size: int = 10_000,
+    driver: str = "org.postgresql.Driver",
 ) -> DataFrame:
     """Partitioned JDBC scan of the changeset table.
 
@@ -45,15 +48,17 @@ def read_changesets_jdbc(
             spark.read.format("jdbc")
             .option("url", url)
             .option("query", f"SELECT max({id_col}) AS mx FROM {table}")
-            .options(**_auth(user, password))
+            .options(**_auth(user, password, driver))
             .load()
             .collect()
         )
-        max_id = int(bounds[0]["mx"] or 0) + 1
+        # positional: identifier case folding is dialect-specific (Derby
+        # upper-cases unquoted aliases, Postgres lower-cases them)
+        max_id = int(bounds[0][0] or 0) + 1
     opts = jdbc_scan_options(
         url, table, id_col, min_id, max_id, num_partitions, fetch_size
     )
-    opts.update(_auth(user, password))
+    opts.update(_auth(user, password, driver))
     return spark.read.format("jdbc").options(**opts).load()
 
 
@@ -78,8 +83,11 @@ def jdbc_scan_options(
     }
 
 
-def _auth(user: str | None, password: str | None) -> dict[str, str]:
-    opts: dict[str, str] = {"driver": "org.postgresql.Driver"}
+def _auth(
+    user: str | None, password: str | None,
+    driver: str = "org.postgresql.Driver",
+) -> dict[str, str]:
+    opts: dict[str, str] = {"driver": driver}
     if user is not None:
         opts["user"] = user
     if password is not None:
