@@ -162,6 +162,23 @@ def main() -> None:
     record("way_merge_10k", lambda: counters.__setitem__(
         "merge_contrib_rows", merge_df.count()))
 
+    # wide elements (the boundary-relation / long-way class): 120 ways ×
+    # 48-node refs — exercises the lazy-heap member queue (>16 streams)
+    w_ways = spark.range(120).select(
+        F.col("id"), F.lit(1).alias("version"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"), F.lit(True).alias("visible"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        F.array(*[
+            (F.col("id") * 48 + j) % 30000 for j in range(48)
+        ]).alias("refs"),
+    )
+    wide_df = way_contributions(w_ways, m_nodes)
+    record("way_merge_wide", lambda: counters.__setitem__(
+        "wide_contrib_rows", wide_df.count()))
+
     # declarative node pipeline (the planet-dominant path, pure window ops)
     n_df = node_contributions(
         m_nodes.withColumn("tags", F.create_map().cast("map<string,string>")))
@@ -232,6 +249,7 @@ def main() -> None:
                 "merge_contrib_rows": counters.get("merge_contrib_rows"),
                 "node_contrib_rows": counters.get("node_contrib_rows"),
                 "relation_contrib_rows": counters.get("relation_contrib_rows"),
+                "wide_contrib_rows": counters.get("wide_contrib_rows"),
                 "cpus": cpus,
                 "jvm_control_sec": ctl_med,
                 "jvm_control_spread": [ctl_lo, ctl_hi],
