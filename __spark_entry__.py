@@ -2046,6 +2046,118 @@ FROM allrows
 """
 
 
+def _q_way_history_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """way_history's twin at 24 members per way — above the merge walk's
+    lazy-heap threshold (_MinQueue, >16 streams), so the heap's ordering
+    (incl. its (ts, changeset, queue_index) tie rule) is value-checked
+    cross-engine, not just against the list-min twin in pytest."""
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.history import way_contributions
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2400)
+    nodes = ev.select(
+        (F.col("event_id") % 240).alias("id"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("event_id") % 240).orderBy("ts", "event_id"))
+        .alias("version"),
+        F.col("ts"),
+        (F.col("event_id") % 17).alias("changeset"),
+        F.col("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        ((F.col("event_id") * 7 % 360) - 180.0).alias("lon"),
+        ((F.col("event_id") * 11 % 180) - 90.0).alias("lat"),
+    )
+    ways = spark.range(10).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        F.array(*[F.col("id") * 24 + j for j in range(24)]).alias("refs"),
+    )
+    out = way_contributions(ways, nodes)
+    return out.select(
+        "osm_id", "osm_version", "osm_minor_version", "osm_edits", "changeset",
+        "valid_from", "valid_to", "status", "geometry_type",
+    )
+
+
+_WAY_HISTORY_WIDE_ORACLE_SQL = """
+WITH ev AS (SELECT * FROM events WHERE event_id < 2400),
+nodes AS (
+  SELECT event_id % 240 AS node_id,
+         row_number() OVER (PARTITION BY event_id % 240 ORDER BY ts, event_id) AS version,
+         ts, event_id % 17 AS cs
+  FROM ev
+),
+ways AS (SELECT range AS way_id FROM range(0, 10)),
+refs AS (
+  SELECT w.way_id, w.way_id * 24 + j.range AS node_id
+  FROM ways w CROSS JOIN range(0, 24) j
+),
+member_edits AS (
+  SELECT r.way_id, n.node_id, n.version, n.ts, n.cs
+  FROM refs r JOIN nodes n USING (node_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY way_id, node_id ORDER BY version
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 1 ELSE 0 END AS absorbed
+  FROM member_edits
+),
+remaining AS (SELECT * FROM flagged WHERE absorbed = 0),
+runs AS (
+  SELECT way_id, ts, cs,
+         sum(CASE WHEN cs = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY way_id ORDER BY ts, cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT way_id, ts, cs,
+               lag(cs) OVER (PARTITION BY way_id ORDER BY ts, cs) AS prev_cs
+        FROM remaining)
+),
+run_agg AS (SELECT way_id, run_id, max(ts) AS end_ts, min(cs) AS cs FROM runs GROUP BY way_id, run_id),
+major_snap AS (SELECT way_id, count(DISTINCT node_id) AS n_snap FROM flagged WHERE absorbed = 1 GROUP BY way_id),
+run_snap AS (
+  SELECT ra.way_id, ra.run_id, count(DISTINCT me.node_id) AS n_snap
+  FROM run_agg ra JOIN flagged me
+    ON me.way_id = ra.way_id AND (me.absorbed = 1 OR me.ts <= ra.end_ts)
+  GROUP BY ra.way_id, ra.run_id
+),
+majors AS (
+  SELECT w.way_id, 0 AS run_id, TIMESTAMP '2020-01-01' AS valid_from, 1::BIGINT AS changeset,
+         coalesce(ms.n_snap, 0) AS n_snap
+  FROM ways w LEFT JOIN major_snap ms ON ms.way_id = w.way_id
+),
+minors AS (
+  SELECT ra.way_id, ra.run_id, ra.end_ts AS valid_from, ra.cs::BIGINT AS changeset,
+         coalesce(rs.n_snap, 0) AS n_snap
+  FROM run_agg ra JOIN run_snap rs ON rs.way_id = ra.way_id AND rs.run_id = ra.run_id
+),
+contribs AS (SELECT * FROM majors UNION ALL SELECT * FROM minors),
+numbered AS (
+  SELECT way_id AS osm_id, 1 AS osm_version,
+         CAST(row_number() OVER w - 1 AS INT) AS osm_minor_version,
+         CAST(row_number() OVER w AS INT) AS osm_edits,
+         changeset, valid_from,
+         coalesce(lead(valid_from) OVER w, TIMESTAMP '2222-01-01') AS valid_to,
+         CASE WHEN lead(valid_from) OVER w IS NULL THEN 'latest' ELSE 'history' END AS base_status,
+         n_snap
+  FROM contribs
+  WINDOW w AS (PARTITION BY way_id ORDER BY run_id)
+)
+SELECT osm_id, osm_version, osm_minor_version, osm_edits, changeset, valid_from, valid_to,
+       CASE WHEN n_snap = 0 THEN 'invalid' ELSE base_status END AS status,
+       CASE WHEN n_snap = 1 THEN 'Point' ELSE 'LineString' END AS geometry_type
+FROM numbered
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2084,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_geom_history": _q_relation_geom_history,
         "way_geom_history": _q_way_geom_history,
         "contributions_e2e": _q_contributions_e2e,
+        "way_history_wide": _q_way_history_wide,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -2280,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
         "relation_geom_history": _relation_geom_oracle_sql(),
         "way_geom_history": _WAY_GEOM_ORACLE_SQL,
         "contributions_e2e": _CONTRIB_E2E_ORACLE_SQL,
+        "way_history_wide": _WAY_HISTORY_WIDE_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
