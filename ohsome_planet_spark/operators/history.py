@@ -1511,6 +1511,158 @@ def _combine_centroid(moments: list[tuple]) -> tuple[float, float]:
     return float("nan"), float("nan")
 
 
+def batch_gc_moments(geo: dict) -> list:
+    """Per-request `_gc_moments` tuples computed in one vectorized pass over
+    batch_geometries' flat coordinate layout (same segment machinery; the
+    per-member tuple fields match the scalar twin's += accumulation, so
+    _combine_centroid folds them identically). Empty requests → None."""
+    kind = geo["kind"]
+    empty = geo["empty"]
+    xs, ys, voff = geo["xs"], geo["ys"], geo["voff"]
+    R = int(kind.shape[0])
+    K = int(xs.size)
+    vc = np.diff(voff)
+    starts = voff[:-1]
+    ends = voff[1:]
+    nz = vc > 0
+
+    total = np.zeros(R)
+    sx = np.zeros(R)
+    sy = np.zeros(R)
+    if K > 1:
+        segmask = np.ones(K - 1, bool)
+        bpos = voff[1:-1] - 1
+        segmask[bpos[(bpos >= 0) & (bpos < K - 1)]] = False
+        seg = np.hypot(np.diff(xs), np.diff(ys))
+        total = _seg_sums(seg, segmask, vc)
+        sx = _seg_sums((xs[:-1] + xs[1:]) * 0.5 * seg, segmask, vc)
+        sy = _seg_sums((ys[:-1] + ys[1:]) * 0.5 * seg, segmask, vc)
+
+    a_abs = np.zeros(R)
+    if K and ((kind == 3) & nz).any():
+        idx_nxt = np.arange(1, K + 1)
+        idx_nxt[ends[nz] - 1] = starts[nz]
+        cross = xs * ys[idx_nxt] - xs[idx_nxt] * ys
+        a_abs = np.abs(_pt_sums(cross, voff, nz) / 2.0)
+
+    x0 = np.zeros(R)
+    y0 = np.zeros(R)
+    if K and nz.any():
+        x0[nz] = xs[starts[nz]]
+        y0[nz] = ys[starts[nz]]
+
+    out: list = [None] * R
+    for r in range(R):
+        if empty[r]:
+            continue
+        k = kind[r]
+        if k == 1:
+            out[r] = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1, x0[r], y0[r])
+        elif k == 2:
+            if total[r] > 0.0:
+                out[r] = (0.0, 0.0, 0.0, total[r], sx[r], sy[r], 0, 0.0, 0.0)
+            else:
+                out[r] = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1, x0[r], y0[r])
+        else:  # polygon: area-weighted centroid + line fallback terms
+            a = a_abs[r]
+            if total[r] > 0.0:
+                out[r] = (a, a * geo["cx"][r], a * geo["cy"][r],
+                          total[r], sx[r], sy[r], 0, 0.0, 0.0)
+            else:
+                out[r] = (a, a * geo["cx"][r], a * geo["cy"][r],
+                          0.0, 0.0, 0.0, 1, x0[r], y0[r])
+    return out
+
+
+class _MemberEntryBatch:
+    """Partition-wide batcher for relation member entries.
+
+    `_member_entry` builds one snapshot's geometry with ~30 small-array
+    NumPy calls; across a partition that is the dominant relation-kernel
+    cost (profiled ~45% post-cache). This collector registers every unseen
+    WAY snapshot during a pre-scan, computes ALL of them in one
+    batch_geometries + batch_gc_moments pass, and pre-fills the shared
+    entry cache that convert_relation_contributions consumes (node
+    snapshots are single points — built inline, not worth batching)."""
+
+    __slots__ = ("cache", "keys", "isarea", "counts", "lons", "lats", "vis",
+                 "snaps")
+
+    def __init__(self):
+        self.cache: dict = {}
+        self.keys: list = []
+        self.isarea: list = []
+        self.counts: list = []
+        self.lons: list = []
+        self.lats: list = []
+        self.vis: list = []
+
+    def scan(self, m: dict) -> None:
+        snap = m.get("snapshot")
+        if snap is None:
+            return
+        key = id(snap)
+        if key in self.cache:
+            return
+        mtype = m["type"]
+        if mtype == "node":
+            self.cache[key] = _member_entry({}, m)
+            return
+        if mtype != "way":
+            self.cache[key] = _member_entry({}, m)
+            return
+        self.cache[key] = None  # claimed; filled by finalize()
+        self.keys.append(key)
+        mems = snap.get("members") or []
+        refs = snap.get("refs") or []
+        self.isarea.append(is_area(
+            snap.get("tags") or {},
+            refs[0] if refs else -1, refs[-1] if refs else -2, len(refs)))
+        self.counts.append(len(mems))
+        nan = float("nan")
+        ml, mt, mv = self.lons, self.lats, self.vis
+        for x in mems:
+            if x is None:
+                ml.append(nan)
+                mt.append(nan)
+                mv.append(False)
+            else:
+                ml.append(x["lon"])
+                mt.append(x["lat"])
+                mv.append(x["visible"])
+
+    def finalize(self) -> dict:
+        if self.keys:
+            bufs = _ConvertBufs()
+            bufs.req_isarea = self.isarea
+            bufs.req_count = self.counts
+            bufs.mem_lon = self.lons
+            bufs.mem_lat = self.lats
+            bufs.mem_vis = self.vis
+            geo = batch_geometries(bufs)
+            moments = batch_gc_moments(geo)
+            xs, ys, voff = geo["xs"], geo["ys"], geo["voff"]
+            for i, key in enumerate(self.keys):
+                kname = _KIND_NAME[geo["kind"][i]]
+                s, e = int(voff[i]), int(voff[i + 1])
+                coords = np.column_stack([xs[s:e], ys[s:e]])
+                entry = {"gc": None, "mg": (kname, geo["wkb"][i]),
+                         "bbox": None, "mom": None, "coords": coords}
+                if not geo["empty"][i]:
+                    if kname == "Point":
+                        data = (float(xs[s]), float(ys[s]))
+                    elif kname == "Polygon":
+                        data = [coords]
+                    else:
+                        data = coords
+                    entry["gc"] = (kname, data)
+                    entry["bbox"] = (float(geo["xmin"][i]), float(geo["ymin"][i]),
+                                     float(geo["xmax"][i]), float(geo["ymax"][i]))
+                    entry["mom"] = moments[i]
+                self.cache[key] = entry
+        return self.cache
+
+
 def _member_entry(cache: dict, m: dict):
     """Per-snapshot member cache: consecutive relation contributions share
     most member snapshots (only the member that opened the minor version
@@ -1685,6 +1837,7 @@ def _envelope_geom(bx: tuple[float, float, float, float]) -> tuple:
 def convert_relation_contributions(
     osm_id: int, raw: list[dict], country_join=None,
     valid_to_sentinel=VALID_TO_SENTINEL,
+    entry_cache: dict | None = None,
 ) -> list[dict]:
     """Relation converter: like convert_contributions but with relation
     geometry; GeometryCollection rows store only the bbox polygon as WKB
@@ -1702,7 +1855,9 @@ def convert_relation_contributions(
     area_before = 0.0
     length_before = 0.0
     prev_raw = None
-    cache: dict = {}
+    # entry_cache: partition-wide pre-batched entries (_MemberEntryBatch);
+    # otherwise a per-call cache filled on demand by _member_entry
+    cache: dict = entry_cache if entry_cache is not None else {}
     k = 0
     while k < n:
         c = raw[k]
@@ -1912,7 +2067,7 @@ def relation_contributions(
     )
 
     def merge_one_relation(
-        rel_id: int, node_hists: dict, way_rows: dict, majors: list, joiner
+        rel_id: int, node_hists: dict, way_rows: dict, majors: list
     ) -> list[dict]:
         # way member histories = their own merged contribution streams; each
         # way merge gets FRESH node cursors over the shared row lists (the
@@ -1943,9 +2098,7 @@ def relation_contributions(
                 }
                 for ref, snap in zip(c["refs"], c["members"])
             ]
-        return convert_relation_contributions(
-            rel_id, raw, country_join=joiner,
-            valid_to_sentinel=VALID_TO_SENTINEL_NS)
+        return raw
 
     all_packed = members_packed.withColumn(
         "rel_member_list",
@@ -1994,6 +2147,7 @@ def relation_contributions(
         ends = np.concatenate([cuts, [n]])
 
         out_rows: list[dict] = []
+        merged: list[tuple[int, list]] = []
         for s, e in zip(starts, ends):
             node_lists: dict[int, list] = {}
             way_rows: dict[int, list] = {}
@@ -2049,9 +2203,24 @@ def relation_contributions(
                 nid: _Hist(rows, max_ts=MAX_TS_NS)
                 for nid, rows in node_lists.items()
             }
-            out_rows.extend(
-                merge_one_relation(int(rel_a[s]), node_hists, way_rows, majors, joiner)
+            merged.append(
+                (int(rel_a[s]),
+                 merge_one_relation(int(rel_a[s]), node_hists, way_rows, majors))
             )
+        # batch ALL member-snapshot geometry of the partition in one pass,
+        # then convert each relation against the pre-filled entry cache
+        batcher = _MemberEntryBatch()
+        for _, raw in merged:
+            for c in raw:
+                for m in c["rel_members"]:
+                    batcher.scan(m)
+        entry_cache = batcher.finalize()
+        for rel_id, raw in merged:
+            out_rows.extend(convert_relation_contributions(
+                rel_id, raw, country_join=joiner,
+                valid_to_sentinel=VALID_TO_SENTINEL_NS,
+                entry_cache=entry_cache,
+            ))
         if out_rows:
             # back to datetime64 BEFORE DataFrame construction: pandas would
             # coerce the int/None osm_last_edit mix to float64 and int-ns
