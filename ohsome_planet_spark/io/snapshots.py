@@ -183,3 +183,92 @@ class SnapshotTable:
         cur_tmp = self.root / "CURRENT.tmp"
         cur_tmp.write_text(snapshot_id)
         cur_tmp.rename(self.root / "CURRENT")
+
+    # -- maintenance (Iceberg rewriteDataFiles / expireSnapshots analogs) ----
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partitions: set[str] | None = None,
+    ) -> dict:
+        """Bin-pack each committed partition's files toward the target size,
+        committing a NEW snapshot whose manifest points at the rewritten
+        files (Iceberg's rewrite_data_files). The small-files problem is the
+        classic failure mode of incremental 100 TB pipelines: thousands of
+        resume commits × partitions → footer-read amplification on every
+        scan. Old files stay on disk so earlier snapshots keep time-traveling
+        until expire_snapshots() garbage-collects them. Row counts are
+        re-checked per partition (footer sums must match the manifest).
+        """
+        import math
+
+        import pyarrow.parquet as pq
+
+        committed = self.committed_partitions()
+        batch = uuid.uuid4().hex[:8]
+        new_parts: dict[str, dict] = {}
+        for v, meta in sorted(committed.items()):
+            if partitions is not None and v not in partitions:
+                continue
+            files = [self.root / f for f in meta["files"]]
+            total = sum(f.stat().st_size for f in files)
+            n_out = max(1, math.ceil(total / target_file_bytes))
+            if len(files) <= n_out:
+                continue  # already compact enough
+            staging = self.root / "data" / f"_compact-{batch}-{v}"
+            spark.read.parquet(*[str(f) for f in files]).coalesce(
+                n_out
+            ).write.mode("overwrite").parquet(str(staging))
+            part_dir = files[0].parent
+            out_files, rows = [], 0
+            try:
+                for f in sorted(staging.glob("*.parquet")):
+                    rows += pq.ParquetFile(f).metadata.num_rows
+                    dest = part_dir / f"snap-{batch}-{f.name}"
+                    f.rename(dest)
+                    out_files.append(str(dest.relative_to(self.root)))
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            if rows != meta["rows"]:
+                raise RuntimeError(
+                    f"compaction row mismatch in partition {v}: "
+                    f"{rows} != {meta['rows']}")
+            new_meta = dict(meta)
+            new_meta.update(files=out_files, rows=rows)
+            new_meta["metrics"] = dict(meta.get("metrics") or {})
+            new_meta["metrics"]["compacted_from_files"] = len(files)
+            new_parts[v] = new_meta
+        if not new_parts:
+            return {"snapshot_id": self.current_snapshot_id(), "compacted": []}
+        sid = self._commit(new_parts, extra={"operation": "compact"})
+        return {"snapshot_id": sid, "compacted": sorted(new_parts)}
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest `keep_last` snapshots of the chain and
+        delete data files no kept manifest references (Iceberg's
+        expire_snapshots — the point where compaction actually reclaims
+        space; until then old files back time travel)."""
+        chain = self.snapshot_chain()
+        keep = set(chain[:max(1, keep_last)])
+        keep_files: set[str] = set()
+        for sid in keep:
+            m = self.manifest(sid)
+            for p in m["partitions"].values():
+                keep_files.update(p["files"])
+        removed_files = []
+        for f in (self.root / "data").rglob("*.parquet"):
+            rel = str(f.relative_to(self.root))
+            if rel not in keep_files:
+                f.unlink()
+                removed_files.append(rel)
+        removed_snapshots = []
+        for mp in (self.root / "manifests").glob("snap-*.json"):
+            sid = mp.stem[len("snap-"):]
+            if sid not in keep:
+                mp.unlink()
+                removed_snapshots.append(sid)
+        return {
+            "removed_snapshots": sorted(removed_snapshots),
+            "removed_files": sorted(removed_files),
+            "kept": sorted(keep),
+        }

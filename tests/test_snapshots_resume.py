@@ -190,3 +190,44 @@ def test_observe_metrics_no_extra_action(spark):
     stage = next(s for s in m.stages if s["stage"] == "mid")
     assert stage["rows"] == 500
     assert acc.value == 500  # observed count did not re-run the DAG
+
+
+def test_compact_and_expire(spark, tmp_path):
+    """Iceberg-maintenance analogs: compaction bin-packs each partition's
+    files into a new snapshot (old snapshots still time-travel), then
+    expire_snapshots garbage-collects the unreferenced files."""
+    t = SnapshotTable(tmp_path / "tc")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("bucket")
+    ).repartition(8)  # 8 files per partition → fragmentation
+    res1 = t.write_partitions(df, "bucket")
+    sid1 = res1["snapshot_id"]
+    files_before = {
+        v: len(p["files"]) for v, p in t.committed_partitions().items()
+    }
+    assert all(n >= 4 for n in files_before.values())
+
+    res2 = t.compact(spark, target_file_bytes=1 << 30)  # everything → 1 file
+    assert sorted(res2["compacted"]) == ["0", "1"]
+    sid2 = res2["snapshot_id"]
+    assert sid2 != sid1 and t.current_snapshot_id() == sid2
+    parts = t.committed_partitions()
+    assert all(len(p["files"]) == 1 for p in parts.values())
+    assert all(
+        p["metrics"]["compacted_from_files"] == files_before[v]
+        for v, p in parts.items()
+    )
+    # rows identical through the rewrite; the pre-compaction snapshot still
+    # reads (time travel over the old file set)
+    assert t.read(spark).count() == 2000
+    assert t.read(spark, sid1).count() == 2000
+    # idempotent: nothing left to compact
+    res3 = t.compact(spark, target_file_bytes=1 << 30)
+    assert res3["compacted"] == [] and t.current_snapshot_id() == sid2
+
+    exp = t.expire_snapshots(keep_last=1)
+    assert sid1 in exp["removed_snapshots"]
+    assert len(exp["removed_files"]) == sum(files_before.values())
+    assert t.read(spark).count() == 2000  # current snapshot intact
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, sid1)  # expired manifest is gone
