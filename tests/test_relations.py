@@ -281,3 +281,108 @@ def test_member_geometries_emitted(spark):
     pt = wkb_loads(bytes(got["member_geoms"][1]))
     assert pt == ("Point", (7.0, 8.0))
     assert got["member_geoms"][2] is None  # unresolved nested relation
+
+
+def test_batched_member_entries_match_scalar_path():
+    """_MemberEntryBatch (one vectorized pass per partition) must agree with
+    the on-demand scalar _member_entry path for every converter column.
+    Randomized relations: way members of varied sizes (incl. closed area
+    ways → Polygons), hidden/missing member nodes, deletions. Summed floats
+    (centroids/areas) compare at last-ulp tolerance — the scalar twin uses
+    np.sum (pairwise from n=4) where the batch folds sequentially."""
+    import numpy as np
+    import pandas as pd
+
+    from ohsome_planet_spark.operators.history import (
+        _Hist,
+        _MemberEntryBatch,
+        convert_relation_contributions,
+        merge_contributions,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def build_relation(rid):
+        n_ways = rng.randint(1, 4)
+        way_rows = {}
+        node_hists = {}
+        nid = 0
+        for w in range(n_ways):
+            n_nodes = rng.randint(2, 8)
+            refs = list(range(nid, nid + n_nodes))
+            closed = n_nodes >= 3 and rng.random() > 0.5
+            if closed:
+                refs = refs + [refs[0]]
+            for r in range(nid, nid + n_nodes):
+                rows = []
+                t = 1_000_000_000_000_000  # after the relation major's ts
+                for v in range(1, rng.randint(2, 5)):
+                    t += int(rng.randint(1, 500)) * 1_000_000_000
+                    rows.append({
+                        "ts": t, "changeset": int(rng.randint(1, 5)),
+                        "user_id": 1, "user": "u", "version": v,
+                        "visible": bool(rng.random() > 0.1),
+                        "lon": float(rng.uniform(-170, 170)),
+                        "lat": float(rng.uniform(-80, 80)),
+                    })
+                node_hists[r] = rows
+            nid += n_nodes
+            tags = {"building": "yes"} if closed and rng.random() > 0.4 else {}
+            way_rows[w] = [{
+                "version": 1, "ts": 999_000_000_000_000, "changeset": 1,
+                "user_id": 1, "user": "u", "visible": True,
+                "tags": tags, "refs": refs,
+            }]
+        majors = [{
+            "version": 1, "ts": 999_500_000_000_000, "changeset": 1,
+            "user_id": 1, "user": "u", "visible": True,
+            "tags": {"type": "route"},
+            "refs": [("way", w, "") for w in way_rows] + [("node", 0, "")],
+        }]
+        way_hists = {}
+        for wid, wm in way_rows.items():
+            fresh = {k: _Hist(list(v), max_ts=1 << 62) for k, v in node_hists.items()}
+            way_hists[wid] = _Hist(merge_contributions(wm, fresh, max_ts=1 << 62),
+                                   max_ts=1 << 62)
+        hists = {}
+        for m in majors[0]["refs"]:
+            if m[0] == "way":
+                hists[m] = way_hists[m[1]].clone()
+            elif m[1] in node_hists:
+                hists[m] = _Hist(list(node_hists[m[1]]), max_ts=1 << 62)
+        raw = merge_contributions(majors, hists, max_ts=1 << 62)
+        for c in raw:
+            c["rel_members"] = [
+                {"type": r[0], "id": r[1], "role": r[2], "snapshot": s}
+                for r, s in zip(c["refs"], c["members"])
+            ]
+        return raw
+
+    rels = [build_relation(rid) for rid in range(25)]
+    # scalar path: per-call on-demand cache
+    scalar = []
+    for rid, raw in enumerate(rels):
+        scalar.extend(convert_relation_contributions(rid, raw, valid_to_sentinel=1 << 61))
+    # batched path: partition-wide pre-scan + vectorized entry pass
+    b = _MemberEntryBatch()
+    for raw in rels:
+        for c in raw:
+            for m in c["rel_members"]:
+                b.scan(m)
+    cache = b.finalize()
+    batched = []
+    for rid, raw in enumerate(rels):
+        batched.extend(convert_relation_contributions(
+            rid, raw, valid_to_sentinel=1 << 61, entry_cache=cache))
+    assert len(scalar) == len(batched) > 50
+    approx_cols = {"centroid_x", "centroid_y", "area", "area_delta"}
+    for a, g in zip(scalar, batched):
+        assert set(a) == set(g)
+        for c, av in a.items():
+            gv = g[c]
+            if c in approx_cols and isinstance(av, float) and av == av:
+                assert gv == pytest.approx(av, rel=1e-12, abs=1e-250), (c, av, gv)
+            elif isinstance(av, float) and av != av:
+                assert gv != gv, c
+            else:
+                assert av == gv, (c, av, gv)
