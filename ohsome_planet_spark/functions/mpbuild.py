@@ -440,7 +440,8 @@ def _interior_sample(face: list[tuple]) -> tuple[float, float] | None:
 
 
 def difference_faces(
-    outer_ring: list[tuple], inner_rings: list[list[tuple]]
+    outer_ring: list[tuple], inner_rings: list[list[tuple]],
+    clip_edges: bool = False,
 ) -> list[list[tuple]]:
     """outer ∖ inners when all intersections are at shared vertices.
 
@@ -456,13 +457,49 @@ def difference_faces(
     """
     import math as _math
 
+    def _strictly_inside(px: float, py: float, ring_arr: np.ndarray) -> bool:
+        inside = gnp.points_in_polygon(
+            np.asarray([px]), np.asarray([py]),
+            [(ring_arr[:, 0], ring_arr[:, 1])], include_boundary=False)[0]
+        if not inside:
+            return False
+        on = gnp.points_on_segments(
+            np.asarray([px]), np.asarray([py]),
+            ring_arr[:-1, 0], ring_arr[:-1, 1], ring_arr[1:, 0], ring_arr[1:, 1])[0]
+        return not on
+
+    out_arr0 = np.asarray(outer_ring, np.float64)
+    inner_arrs0 = [np.asarray(r, np.float64) for r in inner_rings]
+
     edges: list[tuple[tuple, tuple]] = []
-    for ring in [_ring_oriented(outer_ring, ccw=True)] + [
+    rings_oriented = [_ring_oriented(outer_ring, ccw=True)] + [
         _ring_oriented(r, ccw=False) for r in inner_rings
-    ]:
+    ]
+    for r_idx, ring in enumerate(rings_oriented):
         for i in range(len(ring) - 1):
-            if ring[i] != ring[i + 1]:
-                edges.append((tuple(ring[i]), tuple(ring[i + 1])))
+            if ring[i] == ring[i + 1]:
+                continue
+            if clip_edges:
+                # mutual-difference mode (rings genuinely OVERLAP, meeting
+                # only at shared vertices): an edge strictly outside the
+                # outer, or strictly inside the subtracted ring, bounds
+                # nothing in outer ∖ inners — dropping it keeps the trace
+                # from stitching through subtracted regions. Never tested
+                # against the edge's OWN ring (an exact-midpoint boundary
+                # test against itself is one ulp from misclassifying).
+                mx = (ring[i][0] + ring[i + 1][0]) / 2.0
+                my = (ring[i][1] + ring[i + 1][1]) / 2.0
+                if r_idx != 0:
+                    out_inside = gnp.points_in_polygon(
+                        np.asarray([mx]), np.asarray([my]),
+                        [(out_arr0[:, 0], out_arr0[:, 1])],
+                        include_boundary=True)[0]
+                    if not out_inside:
+                        continue
+                if any(_strictly_inside(mx, my, ia)
+                       for k, ia in enumerate(inner_arrs0) if k != r_idx - 1):
+                    continue
+            edges.append((tuple(ring[i]), tuple(ring[i + 1])))
 
     out_by_vertex: dict[tuple, list[tuple]] = {}
     for u, v in edges:
@@ -605,6 +642,39 @@ def _refine_collinear(rings: list[list[tuple]]) -> list[list[tuple]]:
     return out_rings
 
 
+def _interiors_overlap(ra, rb) -> bool:
+    """True if the two rings' interiors overlap, assuming their boundaries
+    meet only at shared vertices (already validated): then every edge lies
+    wholly inside-or-on or wholly outside-or-on the other ring, so interior
+    overlap ⟺ some edge MIDPOINT of one ring is strictly inside the other."""
+    for p, q in ((ra, rb), (rb, ra)):
+        arr = np.asarray(p, np.float64)
+        qa = np.asarray(q, np.float64)
+        mx = (arr[:-1, 0] + arr[1:, 0]) / 2.0
+        my = (arr[:-1, 1] + arr[1:, 1]) / 2.0
+        inside = gnp.points_in_polygon(
+            mx, my, [(qa[:, 0], qa[:, 1])], include_boundary=False)
+        if inside.any():
+            on = gnp.points_on_segments(
+                mx[inside], my[inside],
+                qa[:-1, 0], qa[:-1, 1], qa[1:, 0], qa[1:, 1])
+            if (~on).any():
+                return True
+    return False
+
+
+def _difference_single(ra: list[tuple], rb: list[tuple]) -> list[tuple]:
+    """ra ∖ rb for vertex-noded overlapping rings — must be ONE polygon,
+    like the reference's `polyA.difference(polyB) instanceof Polygon` cast
+    (`handleIntersectingAndTouchingPolygons:146-149`); anything else raises
+    'Unexpected result of multipolygon subtraction'."""
+    faces = difference_faces(
+        list(map(tuple, ra)), [list(map(tuple, rb))], clip_edges=True)
+    if len(faces) != 1:
+        raise MultiPolygonBuildError("Unexpected result of multipolygon subtraction")
+    return faces[0]
+
+
 def _union_two_rings(ra: list[tuple], rb: list[tuple]) -> list[tuple]:
     """Exterior ring of the union of two interior-disjoint simple rings that
     share boundary edges (the reference's `polyA.union(polyB)` followed by
@@ -715,15 +785,38 @@ def build_multipolygon(
             ring_owner[i] = len(matched)
             matched.append((cur, []))
 
-    # outer-outer touch validation (Point at common node OK; shared edges →
-    # "Overlapping outer rings", handleIntersectingAndTouchingPolygons:150-155
-    # with mergeTouching=false; crossings/non-vertex touches raise inside)
-    outers = [m[0] for m in matched]
-    for i in range(len(outers)):
-        for j in range(i + 1, len(outers)):
-            _rings_intersection_nodes(outers[i], outers[j])
-            if _edge_overlap(outers[i], outers[j]):
-                raise MultiPolygonBuildError("Overlapping outer rings")
+    # outer-outer validation + repair (handleIntersectingAndTouchingPolygons,
+    # mergeTouching=false): crossings/non-vertex touches raise inside the
+    # intersection check; shared edges → "Overlapping outer rings"; ≥2
+    # shared vertices with overlapping interiors (the MultiPoint class) →
+    # mutual difference repair (`:141-149`), after which each repaired outer
+    # must still contain its matched inners (`buildMultiPolygon:54-68`)
+    repaired = set()
+    changed = True
+    while changed:
+        changed = False
+        outers = [m[0] for m in matched]
+        for i in range(len(outers)):
+            for j in range(i + 1, len(outers)):
+                shared = _rings_intersection_nodes(outers[i], outers[j])
+                if _edge_overlap(outers[i], outers[j]):
+                    raise MultiPolygonBuildError("Overlapping outer rings")
+                if len(shared) >= 2 and _interiors_overlap(outers[i], outers[j]):
+                    a_new = _difference_single(outers[i], outers[j])
+                    b_new = _difference_single(outers[j], outers[i])
+                    matched[i] = (a_new, matched[i][1])
+                    matched[j] = (b_new, matched[j][1])
+                    repaired.update((i, j))
+                    changed = True
+                    break
+            if changed:
+                break
+    for i in repaired:
+        outer_ring, inners = matched[i]
+        for inner in inners:
+            if not _ring_contains_ring(outer_ring, [tuple(p) for p in inner]):
+                raise MultiPolygonBuildError(
+                    "Overlapping outer rings with an inner ring at intersection")
 
     polygons = []
     for outer_ring, inners in matched:
@@ -739,6 +832,17 @@ def build_multipolygon(
                     if _edge_overlap(inners[a], inners[b]):
                         inners[a] = _union_two_rings(inners[a], inners[b])
                         del inners[b]
+                        merged_any = True
+                        break
+                    # MultiPoint-class vertex-touch overlap between inners:
+                    # mutual difference (same repair as outers, `:141-149`)
+                    shared_ab = _rings_intersection_nodes(inners[a], inners[b])
+                    if len(shared_ab) >= 2 and _interiors_overlap(
+                            inners[a], inners[b]):
+                        new_a = _difference_single(inners[a], inners[b])
+                        new_b = _difference_single(inners[b], inners[a])
+                        inners[a] = new_a
+                        inners[b] = new_b
                         merged_any = True
                         break
                 if merged_any:
@@ -776,6 +880,48 @@ def build_multipolygon(
                     ):
                         holes.append(inner_arr)
                 face_polys.append([face_arr] + holes)
+            # drop faces duplicating a region another face already covers:
+            # a cluster of vertex-touching holes can enclose a pocket whose
+            # CCW cycle the trace emits as its own face, but the containing
+            # face's shell-minus-holes already includes that pocket (the
+            # JTS difference would count it once)
+            areas = [
+                abs(gnp.ring_signed_area(fp[0][:-1, 0], fp[0][:-1, 1]))
+                for fp in face_polys
+            ]
+
+            def _covered_by_other(i: int) -> bool:
+                shell_i = [tuple(p) for p in face_polys[i][0]]
+                sample = _interior_sample(shell_i[:-1])
+                if sample is None:
+                    return False
+                px, py = np.asarray([sample[0]]), np.asarray([sample[1]])
+                for j, other in enumerate(face_polys):
+                    # only a strictly LARGER face can subsume a pocket (the
+                    # pocket also "contains" samples of the face around it)
+                    if j == i or areas[j] <= areas[i]:
+                        continue
+                    sh = other[0]
+                    if not gnp.points_in_polygon(
+                            px, py, [(sh[:, 0], sh[:, 1])],
+                            include_boundary=False)[0]:
+                        continue
+                    in_hole = False
+                    for h in other[1:]:
+                        if gnp.points_in_polygon(
+                                px, py, [(h[:, 0], h[:, 1])],
+                                include_boundary=False)[0]:
+                            in_hole = True
+                            break
+                    if not in_hole:
+                        return True
+                return False
+
+            face_polys = [
+                fp for i, fp in enumerate(face_polys) if not _covered_by_other(i)
+            ]
+            if not face_polys:
+                raise MultiPolygonBuildError("difference produced no faces")
             polygons.extend(face_polys)
             continue
         polygons.append([np.asarray(outer_ring, np.float64)] + [np.asarray(r, np.float64) for r in inners])

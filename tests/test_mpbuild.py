@@ -496,3 +496,27 @@ def test_7xx_repeated_interior_vertex_invalid():
     # creates a proper crossing with (1,0)->(0,2) against the base edge
     with pytest.raises(MultiPolygonBuildError):
         build_multipolygon([bad], [])
+
+
+def test_outer_vertex_noded_overlap_mutual_difference():
+    """Two outers overlapping through SHARED VERTICES only (the MultiPoint
+    intersection class): the reference shaves both with mutual differences
+    (handleIntersectingAndTouchingPolygons:141-149) — the overlap lens
+    belongs to NEITHER afterwards."""
+    a = [(0, 0), (4, 0), (4, 2), (4, 4), (2, 4), (0, 4), (0, 0)]
+    b = [(2, 2), (4, 2), (6, 2), (6, 6), (2, 6), (2, 4), (2, 2)]
+    kind, polys = build_multipolygon([a, b], [])
+    assert len(polys) == 2
+    # 16 + 16 minus the [2,4]² lens removed from BOTH = 24
+    assert _planar_area(polys) == pytest.approx(24.0)
+
+
+def test_inner_vertex_noded_overlap_mutual_difference():
+    """Same repair for inner rings: overlapping vertex-noded holes are
+    mutually shaved, then carved via the difference path — the lens stays
+    part of the polygon (it is inside neither shaved hole)."""
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    h_a = [(1, 1), (5, 1), (5, 3), (5, 5), (3, 5), (1, 5), (1, 1)]
+    h_b = [(3, 3), (5, 3), (7, 3), (7, 7), (3, 7), (3, 5), (3, 3)]
+    kind, polys = build_multipolygon([outer], [h_a, h_b])
+    assert _planar_area(polys) == pytest.approx(100.0 - 12.0 - 12.0)
