@@ -508,3 +508,58 @@ def test_minqueue_heap_matches_list_min():
         assert (a["ts"], a["changeset"], a["user_id"], a["user"]) == (
             b["ts"], b["changeset"], b["user_id"], b["user"])
         assert a["members"] == b["members"]
+
+
+def test_columnar_edge_cases():
+    """Degenerate inputs through the columnar converter: empty refs (empty
+    LineString), element starting deleted (no geometry to carry), members
+    with out-of-range coords only (empty after filtering)."""
+    from ohsome_planet_spark.operators.history import (
+        _ConvertBufs,
+        collect_element_columnar,
+        finalize_columnar,
+    )
+
+    bufs = _ConvertBufs()
+    # 1: way with no refs at all
+    raw1 = run([way(1, 10, 1, [])], {})
+    collect_element_columnar(bufs, "way", 1, raw1)
+    # 2: first version deleted, second visible
+    raw2 = run(
+        [way(1, 10, 1, [5], visible=False), way(2, 20, 2, [5])],
+        {5: [node(1, 1, 1, lon=3.0, lat=4.0)]},
+    )
+    collect_element_columnar(bufs, "way", 2, raw2)
+    # 3: all member coords out of range → empty geometry while visible
+    raw3 = run([way(1, 10, 1, [7])], {7: [node(1, 1, 1, lon=999.0, lat=0.0)]})
+    collect_element_columnar(bufs, "way", 3, raw3)
+    got = finalize_columnar(bufs)
+
+    r1 = got[got.osm_id == 1].iloc[0]
+    assert r1["status"] == "invalid" and r1["geometry"] is None
+    assert r1["geometry_type"] == "LineString"  # empty linestring kind
+
+    r2 = got[got.osm_id == 2].reset_index(drop=True)
+    assert r2.loc[0, "status"] == "invalid"  # deleted with nothing to carry
+    assert r2.loc[0, "geometry_type"] is None
+    assert r2.loc[1, "status"] == "latest"
+    assert r2.loc[1, "geometry_type"] == "Point"
+    assert r2.loc[1, "contrib_type"] == "CREATION"
+
+    r3 = got[got.osm_id == 3].iloc[0]
+    assert r3["status"] == "invalid" and r3["geometry"] is None
+    # cross-check against convert_contributions directly
+    for osm_id, majors, nm in (
+        (1, [way(1, 10, 1, [])], {}),
+        (2, [way(1, 10, 1, [5], visible=False), way(2, 20, 2, [5])],
+         {5: [node(1, 1, 1, lon=3.0, lat=4.0)]}),
+        (3, [way(1, 10, 1, [7])], {7: [node(1, 1, 1, lon=999.0, lat=0.0)]}),
+    ):
+        rows = convert_contributions("way", osm_id, run(majors, nm))
+        sub = got[got.osm_id == osm_id].reset_index(drop=True)
+        assert len(rows) == len(sub)
+        for i, e in enumerate(rows):
+            assert sub.loc[i, "status"] == e["status"]
+            assert sub.loc[i, "contrib_type"] == e["contrib_type"]
+            g = sub.loc[i, "geometry"]
+            assert (g == e["geometry"]) or (g is None and e["geometry"] is None)
