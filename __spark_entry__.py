@@ -2158,6 +2158,212 @@ FROM numbered
 """
 
 
+def _q_relation_mp_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4/K5-in-pipeline oracle: type=multipolygon relations, each with ONE
+    closed 4-corner member way whose corners move with node edits but stay
+    inside disjoint quadrant boxes — the assembled ring is always simple, so
+    assembly success is decidable in SQL: unresolved refs are skipped, so
+    the ring survives with all 4 corners, or with 3 when the missing corner
+    is NOT the closing ref (refs = [c0 c1 c2 c3 c0]; drop a middle corner
+    and the chain still closes as a triangle, drop c0 and it is an open
+    3-point line → assembly fails → invalid, probe-verified against the
+    engine). Pins relIsMultipolygon routing, minimal multipolygon
+    assembly, the invalid-on-empty rule, and the assembled-ring bbox at
+    every relation minor version, cross-engine. Centroid/area stay out
+    (polygon moment sums are n≥4 — np.sum association differs from SQL)."""
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.history import relation_contributions
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1600)
+    corner = (F.col("event_id") % 40) % 4
+    nodes = ev.select(
+        (F.col("event_id") % 40).alias("id"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("event_id") % 40).orderBy("ts", "event_id"))
+        .alias("version"),
+        F.col("ts"),
+        (F.col("event_id") % 17).alias("changeset"),
+        F.col("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        (F.when(corner.isin(1, 2), F.lit(20.0)).otherwise(F.lit(0.0))
+         + (F.col("event_id") * 7 % 80) / 10.0).alias("lon"),
+        (F.when(corner.isin(2, 3), F.lit(20.0)).otherwise(F.lit(0.0))
+         + (F.col("event_id") * 11 % 80) / 10.0).alias("lat"),
+    )
+    ways = spark.range(10).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        F.array(
+            F.col("id") * 4, F.col("id") * 4 + 1, F.col("id") * 4 + 2,
+            F.col("id") * 4 + 3, F.col("id") * 4,
+        ).alias("refs"),
+    )
+    relations = spark.range(10).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.lit("2020-01-02 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.create_map(F.lit("type"), F.lit("multipolygon")).alias("tags"),
+        F.array(
+            F.struct(F.lit("way").alias("type"), F.col("id").alias("id"),
+                     F.lit("outer").alias("role")),
+        ).alias("members"),
+    )
+    out = relation_contributions(relations, ways, nodes)
+    return out.select(
+        "osm_id", "osm_edits", "osm_minor_version", "changeset",
+        "valid_from", "valid_to", "status", "geometry_type",
+        "xmin", "ymin", "xmax", "ymax",
+    )
+
+
+_REL_MP_ORACLE_SQL = """
+WITH ev AS (SELECT * FROM events WHERE event_id < 1600),
+nedits AS (
+  SELECT event_id % 40 AS node_id,
+         row_number() OVER (PARTITION BY event_id % 40 ORDER BY ts, event_id) AS idx,
+         ts, event_id % 17 AS cs,
+         CASE WHEN (event_id % 40) % 4 IN (1, 2) THEN 20.0 ELSE 0.0 END
+           + (event_id * 7) % 80 / 10.0 AS lon,
+         CASE WHEN (event_id % 40) % 4 IN (2, 3) THEN 20.0 ELSE 0.0 END
+           + (event_id * 11) % 80 / 10.0 AS lat
+  FROM ev
+),
+absk AS (
+  SELECT node_id, coalesce(sum(CASE WHEN flag THEN 1 ELSE 0 END), 0) AS k
+  FROM (SELECT node_id,
+               (min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY node_id ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1) AS flag
+        FROM nedits)
+  GROUP BY node_id
+),
+ways AS (SELECT range AS way_id FROM range(0, 10)),
+refs AS (
+  SELECT w.way_id, w.way_id * 4 + j.range AS node_id
+  FROM ways w CROSS JOIN range(0, 4) j
+),
+member_edits AS (
+  SELECT r.way_id, n.node_id, n.idx AS version, n.ts, n.cs
+  FROM refs r JOIN nedits n ON n.node_id = r.node_id
+),
+flagged AS (
+  SELECT *, CASE WHEN min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY way_id, node_id ORDER BY version
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 1 ELSE 0 END AS absorbed
+  FROM member_edits
+),
+remaining AS (SELECT * FROM flagged WHERE absorbed = 0),
+runs AS (
+  SELECT way_id, ts, cs,
+         sum(CASE WHEN cs = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY way_id ORDER BY ts, cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT way_id, ts, cs,
+               lag(cs) OVER (PARTITION BY way_id ORDER BY ts, cs) AS prev_cs
+        FROM remaining)
+),
+run_agg AS (SELECT way_id, run_id, max(ts) AS end_ts, min(cs) AS cs FROM runs GROUP BY way_id, run_id),
+way_stream AS (
+  SELECT way_id, 0 AS run_id, TIMESTAMP '2020-01-01' AS valid_from,
+         1::BIGINT AS changeset, TIMESTAMP '2020-01-01' AS end_ts
+  FROM ways
+  UNION ALL
+  SELECT way_id, run_id, end_ts, cs::BIGINT, end_ts FROM run_agg
+),
+rels AS (SELECT range AS rel_id FROM range(0, 10)),
+way_absorb AS (
+  SELECT r.rel_id, ws.way_id, ws.run_id, ws.valid_from, ws.changeset, ws.end_ts,
+         CASE WHEN min(CASE WHEN ws.valid_from <= TIMESTAMP '2020-01-02' OR ws.changeset = 1
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY r.rel_id ORDER BY ws.run_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 1 ELSE 0 END AS absorbed
+  FROM rels r JOIN way_stream ws ON ws.way_id = r.rel_id
+),
+rel_remaining AS (SELECT * FROM way_absorb WHERE absorbed = 0),
+rel_runs AS (
+  SELECT rel_id, valid_from, changeset,
+         sum(CASE WHEN changeset = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY rel_id ORDER BY valid_from, changeset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT rel_id, valid_from, changeset,
+               lag(changeset) OVER (PARTITION BY rel_id ORDER BY valid_from, changeset) AS prev_cs
+        FROM rel_remaining)
+),
+rel_run_agg AS (
+  SELECT rel_id, run_id, max(valid_from) AS end_ts, min(changeset) AS cs
+  FROM rel_runs GROUP BY rel_id, run_id
+),
+rel_contribs AS (
+  SELECT rel_id, 0 AS run_id, TIMESTAMP '2020-01-02' AS valid_from, 1::BIGINT AS changeset FROM rels
+  UNION ALL
+  SELECT rel_id, run_id, end_ts, cs::BIGINT FROM rel_run_agg
+),
+-- member way state at each relation row = latest stream row among
+-- (rel-absorbed OR valid_from <= row ts)
+member_state AS (
+  SELECT rel_id, rrun, way_id, way_end_ts FROM (
+    SELECT rc.rel_id, rc.run_id AS rrun, wa.way_id, wa.end_ts AS way_end_ts,
+           row_number() OVER (PARTITION BY rc.rel_id, rc.run_id
+                              ORDER BY wa.run_id DESC) AS rk
+    FROM rel_contribs rc
+    JOIN way_absorb wa ON wa.rel_id = rc.rel_id
+       AND (wa.absorbed = 1 OR wa.valid_from <= rc.valid_from)
+  ) WHERE rk = 1
+),
+-- node as-of at the selected way run: index max(absorbed prefix, edits <= end_ts)
+corner_state AS (
+  SELECT ms.rel_id, ms.rrun, r.node_id,
+         greatest(absk.k,
+                  coalesce((SELECT count(*) FROM nedits ne
+                            WHERE ne.node_id = r.node_id AND ne.ts <= ms.way_end_ts), 0)) AS sidx
+  FROM member_state ms
+  JOIN refs r ON r.way_id = ms.way_id
+  JOIN absk ON absk.node_id = r.node_id
+),
+pos AS (
+  SELECT cs.rel_id, cs.rrun, cs.node_id % 4 AS corner, ne.lon, ne.lat
+  FROM corner_state cs
+  LEFT JOIN nedits ne ON ne.node_id = cs.node_id AND ne.idx = cs.sidx
+),
+agg AS (
+  SELECT rel_id, rrun AS run_id, count(lon) AS n_res,
+         count(CASE WHEN corner = 0 THEN lon END) AS c0_res,
+         min(lon) AS bxmin, min(lat) AS bymin, max(lon) AS bxmax, max(lat) AS bymax
+  FROM pos GROUP BY rel_id, rrun
+)
+SELECT rc.rel_id AS osm_id,
+       CAST(row_number() OVER w AS INT) AS osm_edits,
+       CAST(row_number() OVER w - 1 AS INT) AS osm_minor_version,
+       rc.changeset, rc.valid_from,
+       coalesce(lead(rc.valid_from) OVER w, TIMESTAMP '2222-01-01') AS valid_to,
+       CASE WHEN a.n_res < 3 OR (a.n_res = 3 AND a.c0_res = 0) THEN 'invalid'
+            WHEN lead(rc.valid_from) OVER w IS NULL THEN 'latest'
+            ELSE 'history' END AS status,
+       'MultiPolygon' AS geometry_type,
+       CASE WHEN a.n_res >= 1 THEN a.bxmin END AS xmin,
+       CASE WHEN a.n_res >= 1 THEN a.bymin END AS ymin,
+       CASE WHEN a.n_res >= 1 THEN a.bxmax END AS xmax,
+       CASE WHEN a.n_res >= 1 THEN a.bymax END AS ymax
+FROM rel_contribs rc
+JOIN agg a ON a.rel_id = rc.rel_id AND a.run_id = rc.run_id
+WINDOW w AS (PARTITION BY rc.rel_id ORDER BY rc.run_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2197,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_geom_history": _q_way_geom_history,
         "contributions_e2e": _q_contributions_e2e,
         "way_history_wide": _q_way_history_wide,
+        "relation_mp_history": _q_relation_mp_history,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -2394,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
         "way_geom_history": _WAY_GEOM_ORACLE_SQL,
         "contributions_e2e": _CONTRIB_E2E_ORACLE_SQL,
         "way_history_wide": _WAY_HISTORY_WIDE_ORACLE_SQL,
+        "relation_mp_history": _REL_MP_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
