@@ -20,12 +20,19 @@ ohsome/osm/geometry/GeometryBuilder.java:25-286`, `NodeSegments.java:7-136`,
    catch → empty);
    LEGACY mode instead removes mismatched segments that can be attributed
    to a single way (`NodeSegments.removeMismatchedSegments:105-135`);
-6. closed rings are walked segment-by-segment; consecutive collinear
-   overlapping closing edges are collapsed (`mergeSegments:252-284`);
+6. closed rings are walked segment-by-segment; doubling-back collinear
+   vertices (spikes) are collapsed (`mergeSegments:252-284`; the
+   reference's pass is linear from an arbitrary rotation so it misses a
+   spike at the wrap position — ours runs the same triple check cyclically
+   until stable, which is what mod/743's asserted `fix` requires);
 7. every assembled ring must be a valid polygon ring (`buildPolygons:248`);
-8. outers touching at a single COMMON NODE are allowed (mod/706); touching
-   without a common node, overlapping rings, or line-overlaps are errors
-   (`handleIntersectingAndTouchingPolygons:119-158`).
+8. SAME-ROLE rings touching at a single COMMON NODE are allowed (mod/706);
+   touching without a common node is an error
+   (`handleIntersectingAndTouchingPolygons:119-158`). The common-node rule
+   does NOT apply to inner-vs-outer contact: any non-Point inner∩outer
+   intersection goes through the difference repair
+   (`buildMultiPolygon:87-105`, mod/756 — the line-touching inner is carved
+   into the exterior, no shared vertex needed).
 
 The reference salvages inner rings that split the outer into parts with a
 JTS difference (mod/722, `buildMultiPolygon:78-107`); here the same repair
@@ -302,18 +309,24 @@ def _merge_ring(segments: list[_Seg]) -> list[tuple[float, float]]:
                 return False
         return True
 
-    i = 1
-    a = coords[-1]
-    b = coords[0]
-    while i < len(coords):
-        c = coords[i]
-        if covers(a, b, b, c) or covers(b, c, a, b):
-            coords.remove(b)
-            i -= 1
-        else:
-            a = b
-        b = c
-        i += 1
+    # the reference's pass is linear from an arbitrary HashMap-order ring
+    # rotation, so a spike sitting at the wrap position survives or dies
+    # depending on where the walk happened to start; the intended semantics
+    # (and what mod/743's asserted fixture requires) is that EVERY
+    # doubling-back vertex goes, so run the triple check cyclically until
+    # stable
+    changed = True
+    while changed and len(coords) >= 3:
+        changed = False
+        n = len(coords)
+        for j in range(n):
+            a = coords[j - 1]
+            b = coords[j]
+            c = coords[(j + 1) % n]
+            if covers(a, b, b, c) or covers(b, c, a, b):
+                coords.pop(j)
+                changed = True
+                break
     coords.append(coords[0])
     return coords
 
@@ -500,6 +513,25 @@ def difference_faces(
                        for k, ia in enumerate(inner_arrs0) if k != r_idx - 1):
                     continue
             edges.append((tuple(ring[i]), tuple(ring[i + 1])))
+
+    # cancel coincident opposite directed edges: a hole edge lying ON the
+    # shell (rings are vertex-matched by `_refine_collinear`) appears as
+    # (u,v) from the CCW outer and (v,u) from the CW inner — the pair bounds
+    # a zero-width corridor that JTS difference simply erases, so erase it
+    # here too (e.g. a hole notched into the shell boundary → the L-shaped
+    # exterior, `GeometryBuilder.java:87-105` difference semantics)
+    from collections import Counter
+
+    edge_count = Counter(edges)
+    canceled: list[tuple[tuple, tuple]] = []
+    for e in edges:
+        rev = (e[1], e[0])
+        if edge_count[e] > 0 and edge_count[rev] > 0 and e != rev:
+            edge_count[e] -= 1
+            edge_count[rev] -= 1
+    for e, k in edge_count.items():
+        canceled.extend([e] * k)
+    edges = canceled
 
     out_by_vertex: dict[tuple, list[tuple]] = {}
     for u, v in edges:

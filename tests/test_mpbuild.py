@@ -88,16 +88,29 @@ def test_729_three_layers_nested():
     assert n_holes == [0, 1, 1]
 
 
-def test_743_spike_invalid():
+def test_743_spike_removed():
+    """mod/743 asserts the `fix` WKT: the doubling-back spike vertex is
+    erased during ring merge (`mergeSegments:263-279`) and the repaired
+    square survives — in BOTH modes (the repair is mode-independent; the
+    reference's linear pass is rotation-dependent at the wrap position, ours
+    is cyclic, see `_merge_ring`)."""
     outer = [
         [(7.31, 1.45), (7.33, 1.45), (7.33, 1.43), (7.31, 1.43), (7.31, 1.41)],
         [(7.31, 1.41), (7.31, 1.45)],
     ]
-    with pytest.raises(MultiPolygonBuildError):
-        build_multipolygon(outer, [])
+    exp = mp_from_wkt(
+        "MULTIPOLYGON(((7.31 1.45,7.31 1.43,7.33 1.43,7.33 1.45,7.31 1.45)))")
+    for mode in ("default", "legacy"):
+        assert norm_mp(build_multipolygon(outer, [], mode=mode)) == exp
 
 
 def test_756_inner_touches_outer_in_line_no_common_node():
+    """mod/756 asserts the `fix` WKT (the reference harness prefers `fix`
+    over the historical osm-testdata "INVALID"): the line-touching inner is
+    carved out of the outer via difference (`GeometryBuilder.java:87-105` —
+    no common-node requirement on the inner-vs-OUTER path), splitting the
+    H-shaped outer into a notched left part and the right square keeping its
+    two point-touching holes."""
     outer = [
         [
             (7.65, 1.51), (7.61, 1.51), (7.61, 1.59), (7.65, 1.59),
@@ -109,11 +122,51 @@ def test_756_inner_touches_outer_in_line_no_common_node():
         [(7.67, 1.54), (7.66, 1.54), (7.66, 1.55), (7.67, 1.55), (7.67, 1.54)],
         [(7.67, 1.55), (7.67, 1.56), (7.68, 1.56), (7.68, 1.55), (7.67, 1.55)],
     ]
-    with pytest.raises(MultiPolygonBuildError):
-        build_multipolygon(outer, inner)
+    exp = mp_from_wkt(
+        "MULTIPOLYGON(((7.65 1.51,7.61 1.51,7.61 1.59,7.65 1.59,7.65 1.58,"
+        "7.63 1.58,7.63 1.52,7.65 1.52,7.65 1.51)),"
+        "((7.65 1.53,7.65 1.57,7.69 1.57,7.69 1.53,7.65 1.53),"
+        "(7.66 1.54,7.66 1.55,7.67 1.55,7.67 1.54,7.66 1.54),"
+        "(7.67 1.55,7.67 1.56,7.68 1.56,7.68 1.55,7.67 1.55)))")
+    assert norm_mp(build_multipolygon(outer, inner, mode="legacy")) == exp
 
 
-def test_757_unclosed_inners_parity_invalid():
+def test_756_2_notch_with_square_and_triangle_holes():
+    """mod/756_mod2 `fix`: same carve as 756 but the notched left part keeps
+    three non-touching square holes and the right square two triangle
+    holes — pins that hole re-matching after the difference split assigns
+    each inner to the face that contains it."""
+    outer = [
+        [
+            (7.65, 1.51), (7.61, 1.51), (7.61, 1.59), (7.65, 1.59),
+            (7.65, 1.57), (7.69, 1.57), (7.69, 1.53), (7.65, 1.53), (7.65, 1.51),
+        ]
+    ]
+    inner = [
+        [(7.65, 1.52), (7.64, 1.52), (7.64, 1.58), (7.65, 1.58), (7.65, 1.52)],
+        [(7.67, 1.54), (7.66, 1.54), (7.66, 1.55), (7.67, 1.54)],
+        [(7.67, 1.56), (7.68, 1.56), (7.68, 1.55), (7.67, 1.56)],
+        [(7.62, 1.52), (7.62, 1.53), (7.63, 1.53), (7.63, 1.52), (7.62, 1.52)],
+        [(7.62, 1.54), (7.62, 1.55), (7.63, 1.55), (7.63, 1.54), (7.62, 1.54)],
+        [(7.62, 1.56), (7.62, 1.57), (7.63, 1.57), (7.63, 1.56), (7.62, 1.56)],
+    ]
+    exp = mp_from_wkt(
+        "MULTIPOLYGON(((7.65 1.51,7.61 1.51,7.61 1.59,7.65 1.59,7.65 1.58,"
+        "7.64 1.58,7.64 1.52,7.65 1.52,7.65 1.51),"
+        "(7.62 1.52,7.62 1.53,7.63 1.53,7.63 1.52,7.62 1.52),"
+        "(7.62 1.54,7.62 1.55,7.63 1.55,7.63 1.54,7.62 1.54),"
+        "(7.62 1.56,7.62 1.57,7.63 1.57,7.63 1.56,7.62 1.56)),"
+        "((7.65 1.53,7.65 1.57,7.69 1.57,7.69 1.53,7.65 1.53),"
+        "(7.66 1.54,7.66 1.55,7.67 1.54,7.66 1.54),"
+        "(7.67 1.56,7.68 1.56,7.68 1.55,7.67 1.56)))")
+    assert norm_mp(build_multipolygon(outer, inner, mode="legacy")) == exp
+
+
+def test_757_unclosed_inners_parity():
+    """mod/757: the two unclosed chords attached at common nodes make every
+    junction odd-parity. DEFAULT mode throws (`buildRings:176-178`); LEGACY
+    removes the chords via `removeMismatchedSegments` (each junction has the
+    chord's way id odd-count) and asserts the `fix` WKT — the bare outer."""
     outer = [
         [
             (7.77, 1.51), (7.71, 1.51), (7.71, 1.53), (7.71, 1.55), (7.71, 1.57),
@@ -123,7 +176,15 @@ def test_757_unclosed_inners_parity_invalid():
         [(7.71, 1.55), (7.73, 1.55), (7.73, 1.53), (7.71, 1.53)],
     ]
     with pytest.raises(MultiPolygonBuildError):
-        build_multipolygon(outer, [])
+        build_multipolygon(outer, [], mode="default")
+    # topologically the fix WKT MULTIPOLYGON(((7.77 1.51,7.71 1.51,7.71 1.57,
+    # 7.77 1.57,7.77 1.51))) — the junction vertices stay in the ring (the
+    # reference compares with JTS equalsTopo, which ignores collinear
+    # vertices; our normalizer is exact, so spell them out)
+    exp = mp_from_wkt(
+        "MULTIPOLYGON(((7.77 1.51,7.71 1.51,7.71 1.53,7.71 1.55,7.71 1.57,"
+        "7.77 1.57,7.77 1.55,7.77 1.53,7.77 1.51)))")
+    assert norm_mp(build_multipolygon(outer, [], mode="legacy")) == exp
 
 
 def test_722_inners_split_outer():
@@ -520,3 +581,28 @@ def test_inner_vertex_noded_overlap_mutual_difference():
     h_b = [(3, 3), (5, 3), (7, 3), (7, 7), (3, 7), (3, 5), (3, 3)]
     kind, polys = build_multipolygon([outer], [h_a, h_b])
     assert _planar_area(polys) == pytest.approx(100.0 - 12.0 - 12.0)
+
+
+def test_hole_sharing_boundary_edges_with_shell_carved():
+    """An inner notched into the shell's corner shares two collinear
+    boundary runs with the outer (intersection = LineString): the difference
+    repair erases the coincident opposite edge pairs and the hole merges
+    into the exterior — JTS `outerPoly.difference(innerPoly)` semantics
+    (`GeometryBuilder.java:87-105`), same class as mod/756."""
+    big = [(0, 0), (8, 0), (8, 8), (0, 8), (0, 0)]
+    corner = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+    exp = mp_from_wkt("MULTIPOLYGON(((2 0,8 0,8 8,0 8,0 2,2 2,2 0)))")
+    # inner role, and the same ring arriving with role outer (nesting makes
+    # it a hole first), must both carve identically
+    assert norm_mp(build_multipolygon([big], [corner])) == exp
+    assert norm_mp(build_multipolygon([big, list(corner)], [])) == exp
+
+
+def test_hole_notched_into_shell_edge_interior():
+    """A hole sharing one boundary run strictly inside a shell edge (no
+    shared shell vertex at all): carved into a notch — the inner-vs-outer
+    difference path has no common-node requirement."""
+    big = [(0, 0), (8, 0), (8, 8), (0, 8), (0, 0)]
+    notch = [(3, 0), (5, 0), (5, 2), (3, 2), (3, 0)]
+    exp = mp_from_wkt("MULTIPOLYGON(((0 0,3 0,3 2,5 2,5 0,8 0,8 8,0 8,0 0)))")
+    assert norm_mp(build_multipolygon([big], [notch])) == exp
