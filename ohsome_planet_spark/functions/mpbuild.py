@@ -425,26 +425,57 @@ def _ring_oriented(ring: list[tuple], ccw: bool) -> list[tuple]:
 
 
 def _interior_samples(face: list[tuple]):
-    """Candidate points strictly inside the simple CCW face polygon
-    (triangle-fan centroids at each vertex, yielded lazily so callers can
-    reject candidates that land inside a hole)."""
+    """Candidate points strictly inside the simple CCW face polygon, yielded
+    lazily so callers can reject candidates that land inside a hole.
+
+    Round 1 is the cheap triangle-fan centroid at each vertex. Rounds 2+
+    shrink toward each vertex and push inward from each edge midpoint —
+    needed when every fan centroid falls inside a hole (a face ringed by a
+    large hole blob, e.g. the frame around two touching inners): as the
+    offset shrinks toward a boundary point, only a hole touching the
+    boundary exactly there can still cover the candidate."""
     arr = np.asarray(face + [face[0]], np.float64)
     n = len(face)
+
+    def _ok(px: float, py: float) -> bool:
+        inside = gnp.points_in_polygon(
+            np.asarray([px]), np.asarray([py]), [(arr[:, 0], arr[:, 1])],
+            include_boundary=False,
+        )[0]
+        if not inside:
+            return False
+        on = gnp.points_on_segments(
+            np.asarray([px]), np.asarray([py]),
+            arr[:-1, 0], arr[:-1, 1], arr[1:, 0], arr[1:, 1],
+        )[0]
+        return not on
+
     for i in range(n):
         a = face[i - 1]
         b = face[i]
         c = face[(i + 1) % n]
         px = (a[0] + b[0] + c[0]) / 3.0
         py = (a[1] + b[1] + c[1]) / 3.0
-        inside = gnp.points_in_polygon(
-            np.asarray([px]), np.asarray([py]), [(arr[:, 0], arr[:, 1])],
-            include_boundary=False,
-        )[0]
-        on = gnp.points_on_segments(
-            np.asarray([px]), np.asarray([py]), arr[:-1, 0], arr[:-1, 1], arr[1:, 0], arr[1:, 1]
-        )[0]
-        if inside and not on:
+        if _ok(px, py):
             yield (px, py)
+    for t in (0.1, 0.01, 0.001):
+        for i in range(n):
+            a = face[i - 1]
+            b = face[i]
+            c = face[(i + 1) % n]
+            px = b[0] + t * ((a[0] + c[0]) / 2.0 - b[0])
+            py = b[1] + t * ((a[1] + c[1]) / 2.0 - b[1])
+            if _ok(px, py):
+                yield (px, py)
+        for i in range(n):
+            p = face[i]
+            q = face[(i + 1) % n]
+            ex, ey = q[0] - p[0], q[1] - p[1]
+            # inward (left) normal of a CCW boundary edge
+            px = (p[0] + q[0]) / 2.0 - t * ey
+            py = (p[1] + q[1]) / 2.0 + t * ex
+            if _ok(px, py):
+                yield (px, py)
 
 
 def _interior_sample(face: list[tuple]) -> tuple[float, float] | None:
@@ -915,8 +946,13 @@ def build_multipolygon(
             # drop faces duplicating a region another face already covers:
             # a cluster of vertex-touching holes can enclose a pocket whose
             # CCW cycle the trace emits as its own face, but the containing
-            # face's shell-minus-holes already includes that pocket (the
-            # JTS difference would count it once)
+            # face's shell-minus-holes already includes that pocket.
+            # Known ring-decomposition deviation: JTS difference emits the
+            # pocket as its OWN polygon and gives the frame a single
+            # silhouette hole; we keep the original inners as holes and the
+            # pocket implicit. Coverage, area, centroid, and bbox moments
+            # are identical (silhouette = A + B + pocket, so the moment sums
+            # cancel); only the ring grouping differs on this corner class.
             areas = [
                 abs(gnp.ring_signed_area(fp[0][:-1, 0], fp[0][:-1, 1]))
                 for fp in face_polys

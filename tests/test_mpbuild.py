@@ -606,3 +606,29 @@ def test_hole_notched_into_shell_edge_interior():
     notch = [(3, 0), (5, 0), (5, 2), (3, 2), (3, 0)]
     exp = mp_from_wkt("MULTIPOLYGON(((0 0,3 0,3 2,5 2,5 0,8 0,8 8,0 8,0 0)))")
     assert norm_mp(build_multipolygon([big], [notch])) == exp
+
+
+def test_outers_touching_at_two_isolated_nodes_both_kept():
+    """Two outers whose rings touch at exactly two isolated common vertices
+    with disjoint interiors: vertex-noded MultiPoint whose polygon
+    intersection is the same MultiPoint — allowed, both polygons survive
+    unshaved (`handleIntersectingAndTouchingPolygons:137-141` continue)."""
+    a = [(0, 0), (2, 1), (4, 0), (4, 3), (0, 3), (0, 0)]
+    b = [(0, 0), (2, -0.5), (4, 0), (4, -3), (0, -3), (0, 0)]
+    kind, polys = build_multipolygon([a, b], [])
+    assert len(polys) == 2
+    assert _planar_area(polys) == pytest.approx(10.0 + 11.0)
+
+
+def test_inners_touching_at_two_isolated_nodes_frame_survives():
+    """Same pair as HOLES: the enclosed pocket between the two chains stays
+    covered exactly once — the frame face must survive even though every
+    fan-centroid sample candidate lands inside a hole (regression: the
+    frame was dropped and only the pocket face came back). Total covered
+    area equals the JTS difference (48 − 10 − 11 = 27); the pocket lives
+    implicitly in shell-minus-holes (documented ring-grouping deviation)."""
+    a = [(0, 0), (2, 1), (4, 0), (4, 3), (0, 3), (0, 0)]
+    b = [(0, 0), (2, -0.5), (4, 0), (4, -3), (0, -3), (0, 0)]
+    big = [(-1, -4), (5, -4), (5, 4), (-1, 4), (-1, -4)]
+    kind, polys = build_multipolygon([big], [list(a), list(b)])
+    assert _planar_area(polys) == pytest.approx(48.0 - 10.0 - 11.0)
