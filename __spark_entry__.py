@@ -2364,6 +2364,163 @@ WINDOW w AS (PARTITION BY rc.rel_id ORDER BY rc.run_id)
 """
 
 
+def _q_way_history_minor_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minor-node store filter oracle (`MinorNode.java:55-63` riding inside
+    the distributed way merge): member nodes come in three classes —
+    movers (id%3==0, both axes change every edit → every version kept),
+    lat-frozen jitterers (id%3==1, lon changes but lat never → only v1
+    survives the store's `&&` rule), fully frozen re-versioners (id%3==2,
+    tag-only edits → only v1 survives). Each way references one node of
+    each class, so an unfiltered merge would emit ~3× the minor versions.
+    The oracle replays the filter non-recursively (kept = movers' edits +
+    every first version — no drop cascades by construction) plus the as-of
+    bbox at every contribution."""
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.history import way_contributions
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1800)
+    cls = F.col("event_id") % 3
+    nodes = ev.select(
+        (F.col("event_id") % 60).alias("id"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("event_id") % 60).orderBy("ts", "event_id"))
+        .alias("version"),
+        F.col("ts"),
+        (F.col("event_id") % 17).alias("changeset"),
+        F.col("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        (F.when(cls == 0, 10.0 + (F.col("event_id") * 7 % 97) / 10.0)
+         .when(cls == 1, (F.col("event_id") * 7 % 97) / 10.0)
+         .otherwise(F.lit(7.0))).alias("lon"),
+        (F.when(cls == 0, -20.0 + (F.col("event_id") * 11 % 89) / 10.0)
+         .when(cls == 1, F.lit(5.0))
+         .otherwise(F.lit(9.0))).alias("lat"),
+    )
+    ways = spark.range(20).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+        F.array(F.col("id") * 3, F.col("id") * 3 + 1, F.col("id") * 3 + 2).alias("refs"),
+    )
+    out = way_contributions(ways, nodes)
+    return out.select(
+        "osm_id", "osm_version", "osm_minor_version", "osm_edits", "changeset",
+        "valid_from", "valid_to", "status", "geometry_type",
+        "xmin", "ymin", "xmax", "ymax",
+    )
+
+
+_WAY_MINOR_STORE_ORACLE_SQL = """
+WITH ev AS (SELECT * FROM events WHERE event_id < 1800),
+nedits AS (
+  SELECT event_id % 60 AS node_id,
+         row_number() OVER (PARTITION BY event_id % 60 ORDER BY ts, event_id) AS idx,
+         ts, event_id % 17 AS cs,
+         CASE WHEN event_id % 3 = 0 THEN 10.0 + (event_id * 7) % 97 / 10.0
+              WHEN event_id % 3 = 1 THEN (event_id * 7) % 97 / 10.0
+              ELSE 7.0 END AS lon,
+         CASE WHEN event_id % 3 = 0 THEN -20.0 + (event_id * 11) % 89 / 10.0
+              WHEN event_id % 3 = 1 THEN 5.0
+              ELSE 9.0 END AS lat
+  FROM ev
+),
+-- the MinorNode store filter, non-recursive for THIS fixture: movers keep
+-- everything; frozen/lat-frozen classes keep only their first version
+kept AS (
+  SELECT node_id,
+         row_number() OVER (PARTITION BY node_id ORDER BY idx) AS kidx,
+         ts, cs, lon, lat
+  FROM nedits
+  WHERE node_id % 3 = 0 OR idx = 1
+),
+absk AS (
+  SELECT node_id, coalesce(sum(CASE WHEN flag THEN 1 ELSE 0 END), 0) AS k
+  FROM (SELECT node_id,
+               (min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY node_id ORDER BY kidx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1) AS flag
+        FROM kept)
+  GROUP BY node_id
+),
+ways AS (SELECT range AS way_id FROM range(0, 20)),
+refs AS (
+  SELECT way_id, way_id * 3 AS node_id FROM ways
+  UNION ALL SELECT way_id, way_id * 3 + 1 FROM ways
+  UNION ALL SELECT way_id, way_id * 3 + 2 FROM ways
+),
+member_edits AS (
+  SELECT r.way_id, k.node_id, k.kidx, k.ts, k.cs
+  FROM refs r JOIN kept k USING (node_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN min(CASE WHEN cs = 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY way_id, node_id ORDER BY kidx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 1 ELSE 0 END AS absorbed
+  FROM member_edits
+),
+remaining AS (SELECT * FROM flagged WHERE absorbed = 0),
+runs AS (
+  SELECT way_id, ts, cs,
+         sum(CASE WHEN cs = prev_cs THEN 0 ELSE 1 END)
+           OVER (PARTITION BY way_id ORDER BY ts, cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT way_id, ts, cs,
+               lag(cs) OVER (PARTITION BY way_id ORDER BY ts, cs) AS prev_cs
+        FROM remaining)
+),
+run_agg AS (SELECT way_id, run_id, max(ts) AS end_ts, min(cs) AS cs FROM runs GROUP BY way_id, run_id),
+contribs AS (
+  SELECT way_id, 0 AS run_id, TIMESTAMP '2020-01-01' AS valid_from, 1::BIGINT AS changeset,
+         TIMESTAMP '2020-01-01' AS end_ts
+  FROM ways
+  UNION ALL
+  SELECT way_id, run_id, end_ts, cs::BIGINT, end_ts FROM run_agg
+),
+state AS (
+  SELECT c.way_id, c.run_id, r.node_id,
+         greatest(absk.k,
+                  coalesce((SELECT count(*) FROM kept k2
+                            WHERE k2.node_id = r.node_id AND k2.ts <= c.end_ts), 0)) AS sidx
+  FROM contribs c
+  JOIN refs r ON r.way_id = c.way_id
+  JOIN absk ON absk.node_id = r.node_id
+),
+pos AS (
+  SELECT s.way_id, s.run_id, k.lon, k.lat
+  FROM state s LEFT JOIN kept k ON k.node_id = s.node_id AND k.kidx = s.sidx
+),
+agg AS (
+  SELECT way_id, run_id, count(lon) AS n_res,
+         min(lon) AS bxmin, min(lat) AS bymin, max(lon) AS bxmax, max(lat) AS bymax
+  FROM pos GROUP BY way_id, run_id
+)
+SELECT c.way_id AS osm_id, 1 AS osm_version,
+       CAST(row_number() OVER w - 1 AS INT) AS osm_minor_version,
+       CAST(row_number() OVER w AS INT) AS osm_edits,
+       c.changeset, c.valid_from,
+       coalesce(lead(c.valid_from) OVER w, TIMESTAMP '2222-01-01') AS valid_to,
+       CASE WHEN a.n_res = 0 THEN 'invalid'
+            WHEN lead(c.valid_from) OVER w IS NULL THEN 'latest'
+            ELSE 'history' END AS status,
+       CASE WHEN a.n_res = 1 THEN 'Point' ELSE 'LineString' END AS geometry_type,
+       CASE WHEN a.n_res >= 1 THEN a.bxmin END AS xmin,
+       CASE WHEN a.n_res >= 1 THEN a.bymin END AS ymin,
+       CASE WHEN a.n_res >= 1 THEN a.bxmax END AS xmax,
+       CASE WHEN a.n_res >= 1 THEN a.bymax END AS ymax
+FROM contribs c
+JOIN agg a ON a.way_id = c.way_id AND a.run_id = c.run_id
+WINDOW w AS (PARTITION BY c.way_id ORDER BY c.run_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2404,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contributions_e2e": _q_contributions_e2e,
         "way_history_wide": _q_way_history_wide,
         "relation_mp_history": _q_relation_mp_history,
+        "way_history_minor_store": _q_way_history_minor_store,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -2602,6 +2760,7 @@ def oracle_sql() -> dict[str, str]:
         "contributions_e2e": _CONTRIB_E2E_ORACLE_SQL,
         "way_history_wide": _WAY_HISTORY_WIDE_ORACLE_SQL,
         "relation_mp_history": _REL_MP_ORACLE_SQL,
+        "way_history_minor_store": _WAY_MINOR_STORE_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

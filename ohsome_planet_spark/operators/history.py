@@ -168,6 +168,64 @@ class _MinQueue:
             heapq.heapreplace(heap, k + (i,))
 
 
+def minor_node_filter(rows: list[dict]) -> list[dict]:
+    """The minor-node store's version filter (`MinorNode.java:55-63`,
+    exercised by the reference's `MinorTest.testMinorNode`): the real
+    pipeline resolves way/relation member nodes through this store, so a
+    member-node version only exists for the merge when it changes geometry
+    or visibility. Rules, in feed order (version order):
+
+    * leading and consecutive invisible versions are skipped entirely;
+    * a visibility flip (either direction) is always kept;
+    * visible→visible is kept only when BOTH lon and lat differ from the
+      last KEPT coords — the reference's `&&` (a lone-axis move is dropped;
+      quirk preserved verbatim for output parity, its wire format only
+      requires the both-zero delta to be reserved for visibility flips);
+    * `lon/lat` state advances only on keep, so drops cascade against the
+      last kept version, not the previous row.
+
+    This is what closes the reference's own @Disabled 'minor contributions
+    based only on changes in geometry' gap at the PIPELINE level (the merge
+    kernel itself still opens a minor per member event, matching the
+    reference's unit layer — see test_history_merge's strict xfails).
+    """
+    out: list[dict] = []
+    vis = False
+    llon = llat = None
+    for r in rows:
+        if r["visible"] or vis:
+            if (not r["visible"]) or (not vis) or (
+                r["lon"] != llon and r["lat"] != llat
+            ):
+                out.append(r)
+                llon = r["lon"]
+                llat = r["lat"]
+            vis = r["visible"]
+    return out
+
+
+def minor_way_filter(rows: list[dict]) -> list[dict]:
+    """The minor-way store's version filter (`MinorWay.java:76-91`,
+    `MinorTest.testMinorWay`): relation member ways resolve through this
+    store, so a member-way version only exists for the relation merge when
+    its refs changed or it was deleted. Invisible versions are always
+    recorded (the store keeps them as empty-refs markers — even
+    consecutively, unlike the node store); visible versions are kept iff
+    their refs differ from the last recorded entry (tag-only way edits
+    vanish). The last-entry state starts as [] so a first visible version
+    always survives."""
+    out: list[dict] = []
+    last_refs: list = []
+    for r in rows:
+        if not r["visible"]:
+            out.append(r)
+            last_refs = []
+        elif r["refs"] != last_refs:
+            out.append(r)
+            last_refs = r["refs"]
+    return out
+
+
 def merge_contributions(
     majors: list[dict], member_hists: dict[int, _Hist], max_ts=MAX_TS
 ) -> list[dict]:
@@ -1067,9 +1125,12 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
             if not majors:
                 continue
             majors.sort(key=lambda m: (m["version"], m["ts"]))
-            # _Hist precomputes head keys, so rows must be complete first
+            # _Hist precomputes head keys, so rows must be complete first;
+            # member histories pass the minor-node store filter exactly
+            # where the reference reads them back from RocksDB
+            # (`TransformerWays.fetchMinors:163`)
             hists = {
-                nid: _Hist(rows, max_ts=MAX_TS_NS)
+                nid: _Hist(minor_node_filter(rows), max_ts=MAX_TS_NS)
                 for nid, rows in node_rows.items()
             }
             raw = merge_contributions(majors, hists, max_ts=MAX_TS_NS)
@@ -2199,9 +2260,15 @@ def relation_contributions(
                     )
             if not majors:
                 continue
+            # member ways and nodes both resolve through their minor-store
+            # filters (`Contributions.memberOf(minorNodes, minorWays)`,
+            # Contributions2Parquet.processRelation:259-268)
             node_hists = {
-                nid: _Hist(rows, max_ts=MAX_TS_NS)
+                nid: _Hist(minor_node_filter(rows), max_ts=MAX_TS_NS)
                 for nid, rows in node_lists.items()
+            }
+            way_rows = {
+                wid: minor_way_filter(rows) for wid, rows in way_rows.items()
             }
             merged.append(
                 (int(rel_a[s]),

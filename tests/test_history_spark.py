@@ -9,6 +9,7 @@ from ohsome_planet_spark.operators.history import (
     _Hist,
     convert_contributions,
     merge_contributions,
+    minor_node_filter,
     way_contributions,
 )
 from ohsome_planet_spark.sources.countries import fixture_features
@@ -44,8 +45,11 @@ def micro(spark):
     )
     nodes = spark.createDataFrame(
         [
+            # node 1's v2 moves BOTH axes: the minor-node store filter keeps
+            # a visible→visible version only when lon AND lat change
+            # (MinorNode.java:57 — see test_member_single_axis_move_no_minor)
             (1, 1, ts(1), 1, 1, "a", True, 7.0, 12.0),
-            (1, 2, ts(20), 3, 2, "b", True, 7.05, 12.0),
+            (1, 2, ts(20), 3, 2, "b", True, 7.05, 12.02),
             (2, 1, ts(1), 1, 1, "a", True, 7.1, 12.0),
             (3, 1, ts(1), 1, 1, "a", True, 7.1, 12.1),
             (4, 1, ts(1), 1, 1, "a", True, 7.0, 12.1),
@@ -77,7 +81,12 @@ def local_expected(ways_rows, nodes_rows, way_id, index=None):
             }
         )
     ref_ids = {x for m in majors for x in m["refs"]}
-    hists = {k: _Hist(v) for k, v in by_node.items() if k in ref_ids}
+    # the local twin resolves members through the same minor-store filter as
+    # the distributed feed layer (way_contributions partition_fn)
+    hists = {
+        k: _Hist(minor_node_filter(v))
+        for k, v in by_node.items() if k in ref_ids
+    }
     raw = merge_contributions(majors, hists)
     joiner = (lambda g: index.join_geom(g[0], g[1])) if index else None
     return convert_contributions("way", way_id, raw, country_join=joiner)
@@ -140,3 +149,47 @@ def test_way_countries_line_crossing(spark, micro):
     df = way_contributions(ways, nodes, country_index=idx)
     w11 = df.where((F.col("osm_id") == 11)).orderBy("osm_edits").first()
     assert w11["countries"] == ["BBB", "EEE"]
+
+
+def test_member_tags_only_edit_no_minor(spark):
+    """End-to-end realization of the reference's @Disabled 'minor
+    contributions based only on changes in geometry': a member-node version
+    with unchanged coords (a tag/user-only edit) is filtered by the
+    minor-node store feed, so the way emits NO minor version — matching the
+    real pipeline, where member nodes resolve through the RocksDB store
+    (TransformerWays.fetchMinors) rather than the raw history."""
+    ways = spark.createDataFrame(
+        [(20, 1, ts(10), 1, 1, "a", True, {}, [7, 8])], WAY_SCHEMA)
+    nodes = spark.createDataFrame(
+        [
+            (7, 1, ts(1), 1, 1, "a", True, 1.0, 2.0),
+            (7, 2, ts(30), 5, 2, "b", True, 1.0, 2.0),   # tags-only re-version
+            (8, 1, ts(1), 1, 1, "a", True, 3.0, 4.0),
+        ],
+        NODE_SCHEMA,
+    )
+    rows = way_contributions(ways, nodes).collect()
+    assert [(r["osm_version"], r["osm_minor_version"]) for r in rows] == [(1, 0)]
+
+
+def test_member_single_axis_move_no_minor(spark):
+    """The store's `&&` quirk, preserved verbatim (MinorNode.java:57): a
+    member move that changes only one axis is dropped from the minor store,
+    so it opens no way minor version; a later both-axis move compares
+    against the last KEPT coords and does."""
+    ways = spark.createDataFrame(
+        [(21, 1, ts(10), 1, 1, "a", True, {}, [7, 8])], WAY_SCHEMA)
+    nodes = spark.createDataFrame(
+        [
+            (7, 1, ts(1), 1, 1, "a", True, 1.0, 2.0),
+            (7, 2, ts(30), 5, 2, "b", True, 1.5, 2.0),   # lat unchanged: dropped
+            (7, 3, ts(40), 6, 2, "b", True, 1.7, 2.2),   # both changed: minor
+            (8, 1, ts(1), 1, 1, "a", True, 3.0, 4.0),
+        ],
+        NODE_SCHEMA,
+    )
+    rows = (way_contributions(ways, nodes)
+            .orderBy("osm_edits").collect())
+    assert [(r["osm_version"], r["osm_minor_version"]) for r in rows] == [
+        (1, 0), (1, 1)]
+    assert pd.Timestamp(rows[1]["valid_from"]) == pd.Timestamp(40, unit="s")

@@ -386,3 +386,37 @@ def test_batched_member_entries_match_scalar_path():
                 assert gv != gv, c
             else:
                 assert av == gv, (c, av, gv)
+
+
+def test_member_way_tag_only_edit_no_relation_minor(spark):
+    """Minor-way store filter at the relation feed (`MinorWay.java:83`):
+    a member-way re-version whose refs are unchanged (tag-only edit) never
+    reaches the relation merge, so no relation minor version opens; a later
+    refs change does."""
+    nodes = spark.createDataFrame(
+        [
+            (1, 1, ts(1), 1, 1, "a", True, 0.0, 0.0),
+            (2, 1, ts(1), 1, 1, "a", True, 5.0, 5.0),
+            (3, 1, ts(1), 1, 1, "a", True, 9.0, 2.0),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (201, 1, ts(2), 1, 1, "a", True, {}, [1, 2]),
+            (201, 2, ts(30), 5, 2, "b", True, {"highway": "path"}, [1, 2]),
+            (201, 3, ts(40), 6, 2, "b", True, {}, [1, 2, 3]),
+        ],
+        WAY_SCHEMA,
+    )
+    relations = spark.createDataFrame(
+        [(2001, 1, ts(10), 1, 1, "a", True, {"type": "route"},
+          [("way", 201, "")])],
+        REL_SCHEMA,
+    )
+    rows = (relation_contributions(relations, ways, nodes)
+            .orderBy("osm_edits").collect())
+    # v2 (tag-only, refs unchanged) filtered; v3 (refs change) opens a minor
+    assert [(r["osm_version"], r["osm_minor_version"]) for r in rows] == [
+        (1, 0), (1, 1)]
+    assert pd.Timestamp(rows[1]["valid_from"]) == pd.Timestamp(40, unit="s")
