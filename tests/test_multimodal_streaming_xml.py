@@ -286,3 +286,45 @@ def test_jdbc_changeset_scan_options():
     auth = _auth("u", "p")
     assert auth["driver"] == "org.postgresql.Driver"
     assert auth["user"] == "u" and auth["password"] == "p"
+
+
+class TestStreamingDedup:
+    def test_stream_dedup_matches_batch_distinct(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark keeps one row per content hash
+        within the horizon — equal to batch distinct-by-hash over the same
+        input (duplicates injected by unioning the corpus with itself)."""
+        from ohsome_planet_spark.sources.pages import pages_df
+        from ohsome_planet_spark.streaming.dedup_stream import run_dedup_stream
+
+        pages = pages_df(spark, 200)
+        dup = pages.unionByName(pages.limit(80))  # 80 exact duplicates
+        inp = str(tmp_path / "dedup_in")
+        dup.write.mode("overwrite").parquet(inp)
+        q = run_dedup_stream(
+            spark, inp, str(tmp_path / "dedup_ckpt"), query_name="t_dedup"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT content_hash) AS h FROM t_dedup").collect()[0]
+        exp = (
+            pages.select(F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+            .distinct()
+            .count()
+        )
+        assert got["n"] == got["h"] == exp
+
+    def test_stream_dedup_plan_is_stateful(self, spark, tmp_path):
+        """The streaming plan must carry the dedup-within-watermark state
+        operator and the event-time watermark (bounded state at scale)."""
+        from ohsome_planet_spark.sources.pages import pages_df
+        from ohsome_planet_spark.streaming.dedup_stream import streaming_exact_dedup
+
+        schema = pages_df(spark, 1).schema
+        stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+        out = streaming_exact_dedup(stream)
+        assert out.isStreaming
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "dedupe-within-watermark" in plan.lower().replace("_", "-") or \
+            "DeduplicateWithinWatermark" in plan
