@@ -1882,7 +1882,13 @@ def _q_contributions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = Path(str(base) + "_out")
     shutil.rmtree(out_dir, ignore_errors=True)
     write_osm_pbf(pbf_path, node_dicts, way_dicts, rel_dicts, nodes_per_block=1024)
-    contributions_to_parquet(spark, pbf_path, out_dir, changesets=changesets)
+    # keep_untagged=True: this oracle pins stage WIRING over an all-entity
+    # fixture (the nodes/ways are deliberately untagged); the reference-
+    # default hasNoTags drop has its own coverage (test_contributions_e2e,
+    # filter_untagged_history tests)
+    contributions_to_parquet(
+        spark, pbf_path, out_dir, changesets=changesets, keep_untagged=True
+    )
     back = spark.read.parquet(str(out_dir))
     return back.select(
         "osm_type",

@@ -50,6 +50,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import geodesy as gd
 from ..functions import geometry_np as gnp
@@ -1440,8 +1441,10 @@ def with_changeset_metadata(
 
 
 def filter_by_tag_keys(df: DataFrame, keys: list[str], tags_col: str = "tags") -> DataFrame:
-    """F2 (`util/Utils.java:25-32`, `--include-tags`): keep elements having at
-    least one of `keys` among their tag keys — pure JVM expression."""
+    """Row-level include-keys predicate (keep rows having at least one of
+    `keys` among their tag keys) — pure JVM expression. The contributions
+    job uses the HISTORY-level variant below; this row form is the
+    per-version building block (and is what the `tag_filter` oracle pins)."""
     if not keys:
         return df
     return df.where(
@@ -1450,9 +1453,49 @@ def filter_by_tag_keys(df: DataFrame, keys: list[str], tags_col: str = "tags") -
 
 
 def filter_untagged(df: DataFrame, tags_col: str = "tags") -> DataFrame:
-    """F1 (`util/Utils.java:21-23`): drop elements with no tags (applied after
-    the side-output in the reference — callers control ordering)."""
+    """Row-level untagged predicate (drop rows with no tags). The
+    contributions job uses the HISTORY-level variant below."""
     return df.where(F.size(F.map_keys(F.col(tags_col))) > 0)
+
+
+def filter_untagged_history(
+    df: DataFrame, id_col: str = "id", tags_col: str = "tags"
+) -> DataFrame:
+    """F1, `hasNoTags` at the reference's actual granularity
+    (`util/Utils.java:21-23`, applied per OSH in `TransformerNodes:118`,
+    `TransformerWays:129`, `Contributions2Parquet:184`): an element is
+    dropped only when EVERY version of its history is untagged — an element
+    tagged at any point keeps its whole history, including its untagged
+    versions (they carry validity windows and tags_before transitions)."""
+    w = Window.partitionBy(id_col)
+    return (
+        df.withColumn(
+            "_ever_tagged",
+            F.max((F.size(F.map_keys(F.col(tags_col))) > 0).cast("int")).over(w),
+        )
+        .where(F.col("_ever_tagged") == 1)
+        .drop("_ever_tagged")
+    )
+
+
+def filter_by_tag_keys_history(
+    df: DataFrame, keys: list[str], id_col: str = "id", tags_col: str = "tags"
+) -> DataFrame:
+    """F2, `filterOut` at history granularity (`util/Utils.java:25-32`): an
+    element survives when ANY version carries at least one of `keys`; all
+    its versions then flow to the merge. In the reference job the key
+    filter applies to RELATIONS only (`Contributions2Parquet:142,184`)."""
+    if not keys:
+        return df
+    w = Window.partitionBy(id_col)
+    hit = F.arrays_overlap(
+        F.map_keys(F.col(tags_col)), F.array(*[F.lit(k) for k in keys])
+    )
+    return (
+        df.withColumn("_key_hit", F.max(hit.cast("int")).over(w))
+        .where(F.col("_key_hit") == 1)
+        .drop("_key_hit")
+    )
 
 
 # ---------------------------------------------------------------------------

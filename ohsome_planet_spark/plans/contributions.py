@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.history import (
-    filter_by_tag_keys,
-    filter_untagged,
+    filter_by_tag_keys_history,
+    filter_untagged_history,
     node_contributions,
     relation_contributions,
     way_contributions,
@@ -39,17 +39,25 @@ def contributions(
     changesets: DataFrame | None = None,
     country_features=None,
     include_tag_keys: list[str] | None = None,
-    keep_untagged: bool = True,
+    keep_untagged: bool = False,
     entity_types: tuple[str, ...] = ("node", "way", "relation"),
     entity_scratch: str | Path | None = None,
 ) -> DataFrame:
     """PBF → unified contributions DataFrame (all entity types).
 
     country_features: polygon feature list for the broadcast PIP index
-    (sources.countries.fixture_features shape). include_tag_keys /
-    keep_untagged: the reference's --include-tags / untagged filters applied
-    to the ENTITY history before the merge (`Contributions2Parquet.java:
-    117-125` filters entities, so dropped elements never merge).
+    (sources.countries.fixture_features shape).
+
+    Filter placement mirrors the reference job exactly:
+    * never-tagged elements are dropped UNCONDITIONALLY there (`hasNoTags`
+      per OSH in `TransformerNodes:118`, `TransformerWays:129`,
+      `Contributions2Parquet:184`), hence keep_untagged defaults to False;
+      keep_untagged=True is this engine's extension for full-history runs.
+    * include_tag_keys (the reference's `--include-tags`) applies to
+      RELATIONS ONLY (`Contributions2Parquet.java:114-117,142,184`).
+    * both filters act at HISTORY granularity: an element tagged / key-
+      matched in ANY version keeps its WHOLE history, untagged versions
+      included. Member nodes/ways are never tag-filtered.
 
     entity_scratch: directory for a one-pass entity materialization. The
     node table feeds THREE pipeline branches (its own, the way member join,
@@ -73,11 +81,11 @@ def contributions(
         rels = spark.read.parquet(str(scratch / "relations"))
     index = build_index(country_features) if country_features is not None else None
 
-    def entity_filter(df: DataFrame) -> DataFrame:
+    def entity_filter(df: DataFrame, relation: bool = False) -> DataFrame:
         if not keep_untagged:
-            df = filter_untagged(df)
-        if include_tag_keys:
-            df = filter_by_tag_keys(df, include_tag_keys)
+            df = filter_untagged_history(df)
+        if relation and include_tag_keys:
+            df = filter_by_tag_keys_history(df, include_tag_keys)
         return df
 
     parts: list[DataFrame] = []
@@ -87,7 +95,9 @@ def contributions(
         # member nodes are NOT tag-filtered — only the way history is
         parts.append(way_contributions(entity_filter(ways), nodes, index))
     if "relation" in entity_types:
-        parts.append(relation_contributions(entity_filter(rels), ways, nodes, index))
+        parts.append(
+            relation_contributions(entity_filter(rels, relation=True), ways, nodes, index)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)

@@ -77,25 +77,31 @@ def test_contributions_end_to_end(spark, fixture_pbf, tmp_path):
     counts = contributions_to_parquet(
         spark, fixture_pbf, out, changesets=changesets
     )
-    # node population: 20k v1 rows; 2k have a v2 → v1 becomes history;
-    # v2 deletions: i%10==0 and i%97==0 → i%970==0 → 21 of the 2000
+    # reference-default hasNoTags drop (history granularity): only nodes
+    # ever-tagged survive — i%5==0 → 4000 ids. All v2 movers (i%10==0) are
+    # a subset of those, and crucially their UNTAGGED v2 rows are kept too
+    # (the element was tagged in v1 — history-level, not per-row).
+    # v2 deletions: i%10==0 and i%97==0 → i%970==0 → 21 (970 ≡ 0 mod 5 ✓)
     n_del = len([i for i in range(0, 20000, 10) if i % 97 == 0])
     assert n_del == 21
-    # ways: 200 elements; relations: 20 — all get minor versions from node
-    # moves; every element's last row is latest (none deleted)
+    # ways (all tagged): 200 elements; relations: 20
     assert counts["deleted"] == n_del
     assert counts["latest"] + counts["history"] + counts["deleted"] + counts["invalid"] == (
         spark.read.parquet(str(out)).count()
     )
     back = spark.read.parquet(str(out))
-    assert back.where(F.col("osm_type") == "node").select("osm_id").distinct().count() == 20000
+    assert back.where(F.col("osm_type") == "node").select("osm_id").distinct().count() == 4000
+    # untagged v2 versions of tagged elements present (history-level filter)
+    assert back.where(
+        (F.col("osm_type") == "node") & (F.col("osm_version") == 2)
+    ).count() == 2000
     assert back.where(F.col("osm_type") == "way").select("osm_id").distinct().count() == 200
     assert back.where(F.col("osm_type") == "relation").select("osm_id").distinct().count() == 20
     # manifest parity
     assert json.loads((out / "_counts.json").read_text()) == counts
-    # changeset join landed (J3): node v1 changesets 0..12 all covered
+    # changeset join landed (J3): kept node v1 changesets all covered
     ed = back.where((F.col("osm_type") == "node") & (F.col("osm_version") == 1))
-    assert ed.where(F.col("changeset_editor") == "editorX").count() == 20000
+    assert ed.where(F.col("changeset_editor") == "editorX").count() == 4000
     # sample hash-match: a specific node's full history
     sample = back.where((F.col("osm_type") == "node") & (F.col("osm_id") == 970)).orderBy(
         "osm_edits"
@@ -120,12 +126,30 @@ def test_contributions_tag_filter_and_countries(spark, fixture_pbf):
     )
     rows = contribs.select("osm_type", "countries").groupBy("osm_type").count().collect()
     got = {r["osm_type"]: r["count"] for r in rows}
-    # untagged + non-highway nodes dropped entirely; all 200 ways kept
-    assert "node" not in got
+    # include-tags applies to RELATIONS ONLY (Contributions2Parquet:142) —
+    # nodes/ways see only the hasNoTags drop: ever-tagged nodes keep their
+    # full histories (4000 v1 + 2000 v2), all 200 tagged ways kept
+    assert got["node"] == 6000
     assert got["way"] >= 200
     # PIP join produced sorted country arrays on at least some ways
     hit = contribs.where(F.size("countries") > 0).count()
     assert hit > 0
+
+
+def test_include_tags_filters_relations_only(spark, fixture_pbf):
+    """--include-tags semantics (`Contributions2Parquet:114-117,142`): the
+    key filter selects which RELATIONS are built; a non-matching key drops
+    every relation while nodes/ways are untouched."""
+    kept = contributions(
+        spark, fixture_pbf, include_tag_keys=["type"],
+        entity_types=("relation",),
+    )
+    assert kept.select("osm_id").distinct().count() == 20
+    dropped = contributions(
+        spark, fixture_pbf, include_tag_keys=["no_such_key"],
+        entity_types=("relation",),
+    )
+    assert dropped.count() == 0
 
 
 def test_avsc_view_shape(spark, fixture_pbf):

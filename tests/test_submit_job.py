@@ -51,7 +51,8 @@ def test_spark_submit_contributions_cli(tmp_path):
             "--conf", "spark.ui.enabled=false",
             "--py-files", zip_out,
             str(REPO / "tools" / "submit_job.py"),
-            "--contributions", str(pbf), str(out_dir),
+            "--contributions", "--pbf", str(pbf), "--output", str(out_dir),
+            "--parallel", "4",
         ],
         capture_output=True, text=True, timeout=600,
         cwd=str(tmp_path),  # NOT the repo: only the zip provides the package
@@ -59,6 +60,21 @@ def test_spark_submit_contributions_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     counts = json.loads((out_dir / "_counts.json").read_text())
     # 500 single-version nodes + 20 single-version ways, nothing deleted
-    assert counts["latest"] == 520
+    assert counts["latest"] == 20  # nodes are untagged → hasNoTags drop (reference default)
     assert counts["deleted"] == 0 and counts["invalid"] == 0
-    assert "latest=520" in r.stdout
+    assert "latest=20" in r.stdout
+
+
+def test_contributions_cli_refuses_existing_output(tmp_path):
+    """Reference behavior without --overwrite (`Contributions2Parquet:99-106`):
+    an existing output directory is refused with a message, before any Spark
+    session spins up."""
+    out_dir = tmp_path / "exists"
+    out_dir.mkdir()
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "submit_job.py"),
+         "--contributions", "--pbf", "x.pbf", "--output", str(out_dir)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0
+    assert "To overwrite use --overwrite" in r.stdout

@@ -37,17 +37,75 @@ def main() -> None:
 
     if "--contributions" in sys.argv:
         # the reference's main job: PBF → status-partitioned GeoParquet
-        # (Contributions2Parquet.call analog). Usage:
-        #   submit_job.py --contributions <osm.pbf> <out_dir> [countries.csv]
-        args = [a for a in sys.argv[1:] if a != "--contributions"]
-        pbf_path, out_dir = args[0], args[1]
-        spark = SparkSession.builder.appName("ohsome-planet-spark-contributions").getOrCreate()
+        # (Contributions2Parquet.call analog), with the reference's own
+        # option names (`Contributions2Parquet.java:67-88`). Usage:
+        #   submit_job.py --contributions --pbf <osm.pbf> --output <dir>
+        #       [--overwrite] [--parallel N] [--country-file countries.csv]
+        #       [--changeset-db jdbc:...] [--include-tags k1,k2] [--debug]
+        #       [--keep-untagged]          (engine extension: skip the
+        #                                   hasNoTags drop for full-history)
+        # Legacy positional form (<pbf> <out> [countries.csv]) still works.
+        import argparse
+        import shutil
+        from pathlib import Path as _P
+
+        argv = [a for a in sys.argv[1:] if a != "--contributions"]
+        ap = argparse.ArgumentParser(prog="submit_job.py --contributions")
+        ap.add_argument("positional", nargs="*")
+        ap.add_argument("--pbf")
+        ap.add_argument("--output")
+        ap.add_argument("--overwrite", action="store_true")
+        ap.add_argument("--parallel", type=int, default=0,
+                        help="shuffle/output parallelism (reference: thread "
+                             "and file count)")
+        ap.add_argument("--country-file")
+        ap.add_argument("--changeset-db",
+                        help="full jdbc:url to a changesetmd database")
+        ap.add_argument("--include-tags", default="",
+                        help="OSM keys of relations that should be built")
+        ap.add_argument("--debug", action="store_true")
+        ap.add_argument("--keep-untagged", action="store_true")
+        ns = ap.parse_args(argv)
+        pbf_path = ns.pbf or (ns.positional[0] if ns.positional else None)
+        out_dir = ns.output or (ns.positional[1] if len(ns.positional) > 1 else None)
+        country_file = ns.country_file or (
+            ns.positional[2] if len(ns.positional) > 2 else None)
+        if not pbf_path or not out_dir:
+            ap.error("--pbf and --output (or positional <pbf> <out>) required")
+        if _P(out_dir).exists():
+            if ns.overwrite:
+                shutil.rmtree(out_dir)
+            else:
+                # reference behavior: refuse quietly without --overwrite
+                print("Directory already exists. To overwrite use --overwrite")
+                return
+
+        builder = SparkSession.builder.appName("ohsome-planet-spark-contributions")
+        if ns.parallel > 0:
+            builder = builder.config("spark.sql.shuffle.partitions", str(ns.parallel))
+        spark = builder.getOrCreate()
         from ohsome_planet_spark.plans.contributions import contributions_to_parquet
         from ohsome_planet_spark.sources.countries import read_countries_csv
 
-        features = read_countries_csv(args[2]) if len(args) > 2 else None
+        features = read_countries_csv(country_file) if country_file else None
+        changesets = None
+        if ns.changeset_db:
+            from ohsome_planet_spark.sources.changeset_db import read_changesets_jdbc
+
+            changesets = read_changesets_jdbc(spark, ns.changeset_db)
+        keys = [k for k in ns.include_tags.split(",") if k] or None
+        if ns.debug:
+            from ohsome_planet_spark.sources.pbf import scan_blob_headers
+
+            for h in scan_blob_headers(pbf_path):
+                print(f"blob type={h['type']} offset={h['offset']} "
+                      f"size={h['size']}")
         counts = contributions_to_parquet(
-            spark, pbf_path, out_dir, country_features=features
+            spark, pbf_path, out_dir,
+            changesets=changesets,
+            country_features=features,
+            include_tag_keys=keys,
+            keep_untagged=ns.keep_untagged,
         )
         print(" ".join(f"{k}={v}" for k, v in sorted(counts.items())))
         spark.stop()
