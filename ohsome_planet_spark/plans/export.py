@@ -140,7 +140,16 @@ def write_contribution_export(
     geometry_col: str = "geometry",
     statuses: tuple[str, ...] = ("latest", "history", "deleted", "invalid"),
 ) -> dict[str, int]:
-    """Write status-partitioned GeoParquet; returns per-status row counts."""
+    """Write status-partitioned GeoParquet; returns per-status row counts.
+
+    Deliberate layout divergence from the reference: its Writer bins files
+    into just TWO physical directories, `contributions/{latest,history}`,
+    with deleted/invalid rows living under history/ and the status FIELD
+    retaining their value (`Writer.java:44-46,76-80`). Here every status
+    value is its own hive partition (`status=latest/...`): the status
+    column's semantics are identical row-for-row, but a filter like
+    status='deleted' prunes at the directory level instead of scanning the
+    whole history partition — the right trade at 100 TB."""
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
     write_geoparquet(
