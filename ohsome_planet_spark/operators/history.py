@@ -1229,23 +1229,29 @@ def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
             "_edits": F.row_number().over(w_emit),
         }
     )
-    # geometry bytes used for the GEOMETRY contrib flag: the kernel compares
-    # the internal geometry tuple's WKB, which for an invalid-coords state is
-    # the EMPTY LINESTRING encoding (way_geometry of zero valid coords)
-    empty_ls = wkb_dumps(("LineString", None))
-    cmp_wkb = F.when(
+    # geometry-change flag: the kernel compares the internal geometry
+    # tuple's WKB (empty-LineString sentinel for an invalid-coords state).
+    # Here the comparison runs on the pre-WKB state struct instead, so that
+    # NO window runs after the WKB pandas UDF: a Python eval node between
+    # two same-key windows re-shuffles the whole stream (ArrowEvalPython
+    # does not propagate partitioning to EnsureRequirements), and nodes are
+    # ~90% of planet rows. struct<e,x,y> equality ≡ WKB-bytes equality:
+    # null ⟺ never-visible (no bytes), e=false ⟺ the empty-LS sentinel,
+    # (x,y) ⟺ the point payload. Only divergence: SQL doubles compare by
+    # value (-0.0 = 0.0) while bytes are bitwise — unreachable for OSM
+    # coords, which decode from fixed-point integers (int 0 → +0.0 only).
+    geom_state = F.when(
         F.col("_had_vis"),
-        F.when(F.col("_eff"), point_wkb_udf(F.col("_glon"), F.col("_glat"))).otherwise(
-            F.lit(bytearray(empty_ls))
+        F.struct(
+            F.col("_eff").alias("e"),
+            F.when(F.col("_eff"), F.col("_glon")).alias("x"),
+            F.when(F.col("_eff"), F.col("_glat")).alias("y"),
         ),
     )
-    emitted = emitted.withColumn("_cmp", cmp_wkb).withColumn(
-        "_cmp_prev", F.lag("_cmp").over(w_emit)
+    emitted = emitted.withColumn("_gstate", geom_state).withColumn(
+        "_gstate_prev", F.lag("_gstate").over(w_emit)
     )
-    geom_changed = ~(
-        (F.col("_cmp").isNull() & F.col("_cmp_prev").isNull())
-        | F.col("_cmp").eqNullSafe(F.col("_cmp_prev"))
-    )
+    geom_changed = ~F.col("_gstate").eqNullSafe(F.col("_gstate_prev"))
     contrib_type = (
         F.when(~F.col("visible"), F.lit("DELETION"))
         .when(F.col("_is_first") | ~F.col("_before_visible"), F.lit("CREATION"))
@@ -1275,7 +1281,9 @@ def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
         F.col("_valid_to").isNotNull(), F.lit("history")
     ).otherwise(F.lit("latest"))
     status = F.when(~F.col("_eff"), F.lit("invalid")).otherwise(base_status)
-    geometry = F.when(F.col("_eff"), F.col("_cmp"))
+    # the single Python eval of the plan, after every window: vectorized
+    # point-WKB assembly only for rows that actually carry a geometry
+    geometry = F.when(F.col("_eff"), point_wkb_udf(F.col("_glon"), F.col("_glat")))
 
     out = emitted.select(
         F.lit("node").alias("osm_type"),
