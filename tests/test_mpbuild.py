@@ -632,3 +632,36 @@ def test_inners_touching_at_two_isolated_nodes_frame_survives():
     big = [(-1, -4), (5, -4), (5, 4), (-1, 4), (-1, -4)]
     kind, polys = build_multipolygon([big], [list(a), list(b)])
     assert _planar_area(polys) == pytest.approx(48.0 - 10.0 - 11.0)
+
+
+def test_randomized_boundary_notches_area_invariant():
+    """Fuzz the coincident-edge cancellation: a big square with random
+    non-overlapping axis-aligned notches riding ON the bottom boundary plus
+    random interior holes. Every arrangement must carve to exactly
+    big − Σ(holes) of covered area (JTS difference semantics), with no
+    trace/validity errors."""
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(25):
+        big = [(0.0, 0.0), (100.0, 0.0), (100.0, 50.0), (0.0, 50.0), (0.0, 0.0)]
+        inners = []
+        expected = 100.0 * 50.0
+        # boundary notches: disjoint intervals along the bottom edge
+        xs = sorted(rng.sample(range(1, 99), rng.randint(1, 4) * 2))
+        for a, b in zip(xs[::2], xs[1::2]):
+            h = float(rng.randint(1, 10))
+            inners.append([(float(a), 0.0), (float(b), 0.0),
+                           (float(b), h), (float(a), h), (float(a), 0.0)])
+            expected -= (b - a) * h
+        # strictly interior holes on a disjoint grid band (y 20..45)
+        for k in range(rng.randint(0, 3)):
+            x0 = 5.0 + 25.0 * k
+            w, h = float(rng.randint(2, 10)), float(rng.randint(2, 10))
+            y0 = float(rng.randint(20, 34))
+            inners.append([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                           (x0, y0 + h), (x0, y0)])
+            expected -= w * h
+        kind, polys = build_multipolygon([list(big)], inners)
+        assert _planar_area(polys) == pytest.approx(expected), (
+            f"trial {trial}: {inners}")
