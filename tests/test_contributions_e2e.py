@@ -177,3 +177,28 @@ def test_avsc_view_shape(spark, fixture_pbf):
     assert row["members"][0]["type"] == "way" and row["members"][0]["id"] == 0
     assert row["build_time"] == 1234
     assert row["xzcode"]["level"] >= 0
+
+
+def test_bucketed_entity_scratch_same_rows_fewer_shuffles(spark, fixture_pbf, tmp_path):
+    """bucket_entities: id-bucketed scratch tables feed the member joins
+    pre-clustered — the nodes side of refs_pairs ⋈ nodes reads without an
+    exchange (one fewer shuffle than the plain-parquet scratch), with
+    identical output rows."""
+    plain = contributions(
+        spark, fixture_pbf, entity_types=("way",),
+        entity_scratch=tmp_path / "plain",
+    )
+    bucketed = contributions(
+        spark, fixture_pbf, entity_types=("way",),
+        entity_scratch=tmp_path / "bucketed", bucket_entities=4,
+    )
+    n_plain = plain._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning")
+    n_bucketed = bucketed._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning")
+    assert n_bucketed < n_plain
+    cols = ["osm_id", "osm_version", "osm_minor_version", "osm_edits",
+            "changeset", "valid_from", "valid_to", "status"]
+    a = sorted(map(tuple, plain.select(cols).collect()))
+    b = sorted(map(tuple, bucketed.select(cols).collect()))
+    assert a == b
