@@ -58,6 +58,8 @@ that the reference's own nesting has mis-sorted them.
 
 from __future__ import annotations
 
+from collections import Counter
+
 import numpy as np
 
 from . import geometry_np as gnp
@@ -551,8 +553,6 @@ def difference_faces(
     # a zero-width corridor that JTS difference simply erases, so erase it
     # here too (e.g. a hole notched into the shell boundary → the L-shaped
     # exterior, `GeometryBuilder.java:87-105` difference semantics)
-    from collections import Counter
-
     edge_count = Counter(edges)
     canceled: list[tuple[tuple, tuple]] = []
     for e in edges:
@@ -918,7 +918,6 @@ def build_multipolygon(
             for b in range(a + 1, len(inners)):
                 if _rings_intersection_nodes(inners[a], inners[b]):
                     needs_difference = True
-        touching_outer = []
         for inner in inners:
             shared = _rings_intersection_nodes(outer_ring, inner)
             if len(shared) >= 2:

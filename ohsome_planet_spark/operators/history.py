@@ -213,8 +213,11 @@ def minor_way_filter(rows: list[dict]) -> list[dict]:
     recorded (the store keeps them as empty-refs markers — even
     consecutively, unlike the node store); visible versions are kept iff
     their refs differ from the last recorded entry (tag-only way edits
-    vanish). The last-entry state starts as [] so a first visible version
-    always survives."""
+    vanish). The last-entry state starts as [] (`Builder.clear()` seeds
+    `allRefs` with an empty list), so a first visible version with refs
+    survives — and, matching the reference verbatim, a degenerate first
+    visible version with EMPTY refs compares equal to the seed and is
+    dropped."""
     out: list[dict] = []
     last_refs: list = []
     for r in rows:

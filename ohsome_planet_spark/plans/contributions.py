@@ -86,8 +86,18 @@ def contributions(
     if entity_scratch is not None:
         scratch = Path(entity_scratch)
         if bucket_entities > 0:
+            # table names derive from the scratch path so concurrent jobs
+            # (or sequential calls with different scratch dirs) sharing a
+            # metastore never clobber each other's bucketed tables
+            import hashlib
+
+            suffix = hashlib.sha256(
+                str(scratch.resolve()).encode()
+            ).hexdigest()[:12]
+            tables = {}
             for name, df in (("nodes", nodes), ("ways", ways)):
-                tbl = f"graft_scratch_{name}"
+                tbl = f"graft_scratch_{name}_{suffix}"
+                tables[name] = tbl
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
                 (
                     df.write.mode("overwrite")
@@ -97,8 +107,8 @@ def contributions(
                     .sortBy("id", "version")
                     .saveAsTable(tbl)
                 )
-            nodes = spark.table("graft_scratch_nodes")
-            ways = spark.table("graft_scratch_ways")
+            nodes = spark.table(tables["nodes"])
+            ways = spark.table(tables["ways"])
             rels.write.mode("overwrite").parquet(str(scratch / "relations"))
             rels = spark.read.parquet(str(scratch / "relations"))
         else:

@@ -33,11 +33,15 @@ def streaming_exact_dedup(
     (exact-duplicate semantics); pass key_cols to dedup by other columns
     (e.g. ["url"] for per-url latest-wins pipelines).
     """
-    keyed = pages_stream.withColumn(
-        "content_hash", F.sha2(F.col("text").cast("binary"), 256)
+    if key_cols is None:
+        # only the default content-hash path pays the SHA-256 over text
+        pages_stream = pages_stream.withColumn(
+            "content_hash", F.sha2(F.col("text").cast("binary"), 256)
+        )
+        key_cols = ["content_hash"]
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
     )
-    keys = key_cols if key_cols is not None else ["content_hash"]
-    return keyed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def run_dedup_stream(

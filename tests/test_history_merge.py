@@ -643,3 +643,19 @@ def test_minor_way_filter_reference_minortest():
     assert kept[0]["refs"] == [3, 4, 5, 1, 2, 3] and kept[0]["user"] == "heigit"
     assert kept[1]["visible"] is False and kept[1]["user_id"] == 999
     assert kept[2]["refs"] == [1, 2, 3, 4, 5, 6] and kept[2]["user"] == "123"
+
+
+def test_minor_way_filter_empty_refs_first_version_dropped():
+    """Verbatim reference quirk (`MinorWay.Builder.clear()` seeds allRefs
+    with an empty list): a degenerate FIRST visible version with empty refs
+    compares equal to the seed and is dropped — only the deletion marker
+    and the later real version survive."""
+    from ohsome_planet_spark.operators.history import minor_way_filter
+
+    rows = [
+        way(1, 1, 1, []),                       # visible, refs=[] → dropped
+        way(2, 2, 2, [], visible=False),        # deletion marker → kept
+        way(3, 3, 3, [1, 2]),                   # refs change → kept
+    ]
+    kept = minor_way_filter(rows)
+    assert [(r["version"], r["visible"]) for r in kept] == [(2, False), (3, True)]

@@ -68,7 +68,8 @@ def test_spark_submit_contributions_cli(tmp_path):
 def test_contributions_cli_refuses_existing_output(tmp_path):
     """Reference behavior without --overwrite (`Contributions2Parquet:99-106`):
     an existing output directory is refused with a message, before any Spark
-    session spins up."""
+    session spins up. Exit code 0 on refusal is the reference's own
+    behavior (`System.exit(0)`, Contributions2Parquet:104)."""
     out_dir = tmp_path / "exists"
     out_dir.mkdir()
     r = subprocess.run(
