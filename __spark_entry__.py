@@ -1232,6 +1232,27 @@ def _q_relation_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map().cast("map<string,string>").alias("tags"),
         F.array(F.col("id") * 2, F.col("id") * 2 + 1, F.col("id") * 2 + 50).alias("refs"),
     )
+    # tag-only way re-versions (same refs, late unique timestamps): the
+    # minor-way store filter (`MinorWay.java:83`) drops them before the
+    # relation merge, so the SQL twin models only v1 — if the filter ever
+    # regresses, each of these would open a spurious relation minor at
+    # 2025-06-01+ and flip every last-row status, breaking the hash
+    ways = ways.unionByName(
+        spark.range(20).select(
+            F.col("id"),
+            F.lit(2).alias("version"),
+            (F.lit("2025-06-01 00:00:00").cast("timestamp_ntz")
+             + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+            F.lit(9999).cast("long").alias("changeset"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("u").alias("user"),
+            F.lit(True).alias("visible"),
+            F.create_map(F.lit("note"), F.lit("tag-only")).alias("tags"),
+            F.array(
+                F.col("id") * 2, F.col("id") * 2 + 1, F.col("id") * 2 + 50
+            ).alias("refs"),
+        )
+    )
     relations = spark.range(10).select(
         F.col("id"),
         F.lit(1).alias("version"),
