@@ -665,3 +665,29 @@ def test_randomized_boundary_notches_area_invariant():
         kind, polys = build_multipolygon([list(big)], inners)
         assert _planar_area(polys) == pytest.approx(expected), (
             f"trial {trial}: {inners}")
+
+
+@pytest.mark.parametrize("name,inners,expected", [
+    ("adjacent_same_height",
+     [[(2, 0), (5, 0), (5, 3), (2, 3), (2, 0)],
+      [(5, 0), (8, 0), (8, 3), (5, 3), (5, 0)]], 200 - 9 - 9),
+    ("adjacent_diff_height",
+     [[(2, 0), (5, 0), (5, 4), (2, 4), (2, 0)],
+      [(5, 0), (8, 0), (8, 2), (5, 2), (5, 0)]], 200 - 12 - 6),
+    ("notch_plus_touching_hole",
+     [[(2, 0), (5, 0), (5, 3), (2, 3), (2, 0)],
+      [(3, 3), (4, 3), (4, 5), (3, 5), (3, 3)]], 200 - 9 - 2),
+    ("stacked_on_notch",
+     [[(2, 0), (5, 0), (5, 3), (2, 3), (2, 0)],
+      [(2, 3), (5, 3), (5, 6), (2, 6), (2, 3)]], 200 - 9 - 9),
+])
+def test_compound_notch_classes(name, inners, expected):
+    """Interacting hole arrangements on/near the shell boundary: adjacent
+    notches sharing a boundary vertex (equal and unequal heights → partial
+    collinear overlap between the holes), a hole point-touching a notch
+    top, and a hole stacked edge-on-edge on a notch. All merge/carve to the
+    exact covered area (inner-union + coincident-edge cancellation
+    composing correctly)."""
+    big = [(0, 0), (20, 0), (20, 10), (0, 10), (0, 0)]
+    kind, polys = build_multipolygon([list(big)], [list(map(tuple, r)) for r in inners])
+    assert _planar_area(polys) == pytest.approx(expected)
