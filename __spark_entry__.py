@@ -2548,6 +2548,35 @@ WINDOW w AS (PARTITION BY c.way_id ORDER BY c.run_id)
 """
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/C4-style exact n-gram rule): flag
+    documents sharing any word 3-gram with a 'benchmark' slice
+    (doc_id % 97 == 0), counting distinct matching grams per doc. Broadcast
+    semi-join shape — the corpus never shuffles."""
+    from ohsome_planet_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, bench, n=3).select(
+        "doc_id", F.col("n_contaminated_grams").cast("long").alias("n_contaminated_grams")
+    )
+
+
+_CONTAMINATION_ORACLE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, count(*)::BIGINT AS n_contaminated_grams
+FROM grams g JOIN bench b USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2589,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_history_wide": _q_way_history_wide,
         "relation_mp_history": _q_relation_mp_history,
         "way_history_minor_store": _q_way_history_minor_store,
+        "contamination": _q_contamination,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -2788,6 +2818,7 @@ def oracle_sql() -> dict[str, str]:
         "way_history_wide": _WAY_HISTORY_WIDE_ORACLE_SQL,
         "relation_mp_history": _REL_MP_ORACLE_SQL,
         "way_history_minor_store": _WAY_MINOR_STORE_ORACLE_SQL,
+        "contamination": _CONTAMINATION_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

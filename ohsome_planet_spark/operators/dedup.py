@@ -446,3 +446,50 @@ def dedup_clusters(
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any exact word
+    n-gram with a benchmark/eval set (the GPT-3/C4-style 13-gram rule).
+
+    100 TB shape: the benchmark side is tiny by construction (eval sets are
+    thousands of rows) — its distinct n-grams broadcast, and the corpus side
+    is a single scan + explode + BROADCAST left-semi join: no shuffle of the
+    corpus, no driver collect, all-JVM expressions. Returns one row per
+    CONTAMINATED doc id with the count of distinct matching n-grams (callers
+    anti-join to drop, or join back for auditing).
+    """
+    bench_grams = (
+        benchmark.select(F.explode(shingles_col(F.col(bench_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    )
+    # broadcast semi first, THEN dedup: the corpus grams hit the broadcast
+    # join map-side, so the only shuffle carries the (rare) matching rows —
+    # a pre-join distinct would shuffle every n-gram of the corpus
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop contaminated documents (left-anti against contamination_flags)."""
+    flags = contamination_flags(docs, benchmark, n=n, text_col=text_col, id_col=id_col)
+    return docs.join(flags.select(id_col), id_col, "left_anti")

@@ -192,3 +192,27 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     # pruned by the cap (they share only the hot shingles)
     assert any((a, b) in exact and (a, b) not in capped
                for a in range(10) for b in range(10) if a < b)
+
+
+def test_decontaminate_drops_flagged_docs(spark, sf_dir):
+    """decontaminate == docs minus contamination_flags ids; benchmark docs
+    are trivially self-contaminated and must vanish from the survivors.
+    The corpus side must reach the benchmark grams via a BROADCAST join."""
+    from ohsome_planet_spark.operators.dedup import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    flags = contamination_flags(docs, bench, n=3)
+    clean = decontaminate(docs, bench, n=3)
+    assert clean.count() == docs.count() - flags.count()
+    # every benchmark doc flags itself
+    bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    flagged = {r["doc_id"] for r in flags.select("doc_id").collect()}
+    assert bench_ids <= flagged
+    assert bench_ids.isdisjoint(
+        {r["doc_id"] for r in clean.select("doc_id").collect()})
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
