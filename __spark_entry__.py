@@ -2577,6 +2577,90 @@ GROUP BY g.doc_id
 """
 
 
+def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL latest-wins crawl dedup over messy URL spellings
+    synthesized from events: mixed-case scheme/host, https default port,
+    trailing slashes, utm/fbclid tracking params, fragments, and reordered
+    query params all collapse to one canonical key; per key the newest
+    capture survives with the capture count."""
+    from ohsome_planet_spark.operators.urls import dedup_latest_per_url
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    e = F.col("event_id")
+    scheme = F.when(e % 4 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    host = F.when(e % 3 == 0, F.lit("Site.Example.COM")).when(
+        e % 3 == 1, F.lit("site.example.com:443")
+    ).otherwise(F.lit("site.example.com"))
+    path = F.concat(F.lit("/p/"), (e % 40).cast("string"),
+                    F.when(e % 5 == 0, F.lit("/")).otherwise(F.lit("")))
+    query = F.when(e % 6 == 0, F.concat(F.lit("?utm_source=x&id="), (e % 7).cast("string")))\
+        .when(e % 6 == 1, F.concat(F.lit("?id="), (e % 7).cast("string"), F.lit("&b=2")))\
+        .when(e % 6 == 2, F.concat(F.lit("?b=2&id="), (e % 7).cast("string")))\
+        .when(e % 6 == 3, F.lit("?fbclid=abc#frag"))\
+        .otherwise(F.lit(""))
+    pages = ev.select(
+        F.concat(scheme, F.lit("://"), host, path, query).alias("url"),
+        F.col("ts").alias("warc_ts"),
+    )
+    return dedup_latest_per_url(pages).select(
+        "canonical_url", "latest_url", "latest_ts",
+        F.col("n_captures").cast("long").alias("n_captures"),
+    )
+
+
+_URL_DEDUP_ORACLE_SQL = r"""
+WITH ev AS (SELECT * FROM events WHERE event_id < 3000),
+raw AS (
+  SELECT CASE WHEN event_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END
+         || '://'
+         || CASE WHEN event_id % 3 = 0 THEN 'Site.Example.COM'
+                 WHEN event_id % 3 = 1 THEN 'site.example.com:443'
+                 ELSE 'site.example.com' END
+         || '/p/' || (event_id % 40)::VARCHAR
+         || CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END
+         || CASE WHEN event_id % 6 = 0 THEN '?utm_source=x&id=' || (event_id % 7)::VARCHAR
+                 WHEN event_id % 6 = 1 THEN '?id=' || (event_id % 7)::VARCHAR || '&b=2'
+                 WHEN event_id % 6 = 2 THEN '?b=2&id=' || (event_id % 7)::VARCHAR
+                 WHEN event_id % 6 = 3 THEN '?fbclid=abc#frag'
+                 ELSE '' END AS url,
+         ts AS warc_ts
+  FROM ev
+),
+canon AS (
+  SELECT url, warc_ts,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+         regexp_replace(
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+           '/+$', '') AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM raw
+),
+canon2 AS (
+  SELECT url, warc_ts, scheme, path,
+         CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END AS host,
+         list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$'))) AS params
+  FROM canon
+),
+keyed AS (
+  SELECT scheme || '://' || host || path
+         || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+           AS canonical_url,
+         url, warc_ts
+  FROM canon2
+)
+SELECT canonical_url,
+       arg_max(url, warc_ts) AS latest_url,
+       max(warc_ts) AS latest_ts,
+       count(*)::BIGINT AS n_captures
+FROM keyed
+GROUP BY canonical_url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2619,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_mp_history": _q_relation_mp_history,
         "way_history_minor_store": _q_way_history_minor_store,
         "contamination": _q_contamination,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -2819,6 +2904,7 @@ def oracle_sql() -> dict[str, str]:
         "relation_mp_history": _REL_MP_ORACLE_SQL,
         "way_history_minor_store": _WAY_MINOR_STORE_ORACLE_SQL,
         "contamination": _CONTAMINATION_ORACLE_SQL,
+        "url_canonical_dedup": _URL_DEDUP_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

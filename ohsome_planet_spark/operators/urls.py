@@ -1,0 +1,73 @@
+"""URL canonicalization + per-URL dedup for web-crawl corpora.
+
+A crawl sees the same page under many spellings — mixed-case scheme/host,
+default ports, trailing slashes, tracking parameters, fragments, params in
+different orders. Canonicalizing before dedup/grouping is the standard
+first step of a webtext pipeline (the `url` is the `pages` table's identity
+column and the north rule's byte-identical-text invariant is keyed by it).
+
+All pure JVM expressions (regexp + higher-order array functions): no UDF,
+no shuffle — the canonical form is a per-row projection, and the
+latest-wins dedup is one `max_by` aggregation on the canonical key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tracking parameters stripped during canonicalization (utm_* family plus
+# the common click identifiers)
+_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+
+def canonical_url_col(url_c: Column) -> Column:
+    """Canonical form of an http(s) URL, as a Column expression:
+
+    * scheme and host lowercased;
+    * default port dropped (:80 for http, :443 for https);
+    * trailing slashes stripped from the path;
+    * fragment dropped;
+    * tracking params (utm_*, fbclid, gclid, msclkid, ref) dropped;
+    * remaining query params sorted byte-lexicographically.
+    """
+    scheme = F.lower(F.regexp_extract(url_c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(url_c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    # anchored regexp_replace, so only a default-port suffix is touched
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(url_c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(url_c, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def dedup_latest_per_url(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Latest-wins crawl dedup: one row per canonical URL, keeping the raw
+    url/timestamp of the newest capture plus the capture count. One
+    map-side projection + one aggregation (partial combine before the
+    shuffle); no window, no join."""
+    canon = pages.withColumn("canonical_url", canonical_url_col(F.col(url_col)))
+    return canon.groupBy("canonical_url").agg(
+        F.max_by(url_col, ts_col).alias("latest_url"),
+        F.max(ts_col).alias("latest_ts"),
+        F.count("*").alias("n_captures"),
+    )

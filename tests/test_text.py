@@ -93,3 +93,29 @@ def test_hash_sample_deterministic_and_stratified(spark):
     assert hash_sample(df.where("lang = 'de'"), "doc_id", rate=1.0).count() == 1000
     only_en = hash_sample(df, "doc_id", rate_by={"en": 1.0}, stratum_col="lang")
     assert only_en.where("lang = 'de'").count() == 0
+
+
+def test_canonical_url_spellings(spark):
+    """All spellings of one page collapse to a single canonical form;
+    distinct pages stay distinct."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.urls import canonical_url_col
+
+    urls = [
+        "HTTPS://Site.Example.COM/p/1?utm_source=x&id=3",
+        "https://site.example.com:443/p/1/?id=3&fbclid=zzz",
+        "https://site.example.com/p/1?id=3#frag",
+        "http://site.example.com:80/p/1?id=3",     # http: different scheme
+        "https://site.example.com/p/2?id=3",       # different path
+        "https://site.example.com/p/1?id=4",       # different param value
+        "https://site.example.com/p/1?b=2&id=3",   # extra param
+        "https://site.example.com/p/1?id=3&b=2",   # same params, reordered
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonical_url_col(F.col("url"))).collect()]
+    assert got[0] == got[1] == got[2] == "https://site.example.com/p/1?id=3"
+    assert got[3] == "http://site.example.com/p/1?id=3"
+    assert got[4] == "https://site.example.com/p/2?id=3"
+    assert got[5] == "https://site.example.com/p/1?id=4"
+    assert got[6] == got[7] == "https://site.example.com/p/1?b=2&id=3"
