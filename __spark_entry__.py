@@ -2661,6 +2661,65 @@ GROUP BY canonical_url
 """
 
 
+def _q_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style line-level quality signals over multi-line texts
+    synthesized from events (duplicate lines, bullet lines, ellipsis
+    lines, blank lines that must not count)."""
+    from ohsome_planet_spark.functions.text import line_quality_cols
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    e = F.col("event_id")
+    nl = F.lit("\n")
+    line1 = F.concat(F.lit("alpha "), (e % 9).cast("string"))
+    line2 = F.when(e % 3 == 0, line1).otherwise(
+        F.concat(F.lit("beta "), (e % 7).cast("string")))
+    line3 = F.when(e % 4 == 0, F.lit("- bullet point")).otherwise(F.lit("gamma"))
+    line4 = F.when(e % 5 == 0, F.lit("trailing...")).otherwise(F.lit("delta"))
+    text = F.concat(line1, nl, line2, nl, line3, nl, line4, nl, F.lit("  "))
+    q = line_quality_cols(text)
+    return ev.select(
+        "event_id",
+        q["n_lines"].cast("long").alias("n_lines"),
+        q["dup_line_fraction"].alias("dup_line_fraction"),
+        q["bullet_line_fraction"].alias("bullet_line_fraction"),
+        q["ellipsis_line_fraction"].alias("ellipsis_line_fraction"),
+    )
+
+
+_LINE_QUALITY_ORACLE_SQL = r"""
+WITH ev AS (SELECT * FROM events WHERE event_id < 3000),
+built AS (
+  SELECT event_id,
+         'alpha ' || (event_id % 9)::VARCHAR AS l1,
+         CASE WHEN event_id % 3 = 0 THEN 'alpha ' || (event_id % 9)::VARCHAR
+              ELSE 'beta ' || (event_id % 7)::VARCHAR END AS l2,
+         CASE WHEN event_id % 4 = 0 THEN '- bullet point' ELSE 'gamma' END AS l3,
+         CASE WHEN event_id % 5 = 0 THEN 'trailing...' ELSE 'delta' END AS l4
+  FROM ev
+),
+lines AS (
+  SELECT event_id,
+         list_filter(list_transform(
+           string_split(l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4 || chr(10) || '  ',
+                        chr(10)),
+           l -> trim(l)), l -> l <> '') AS ls
+  FROM built
+)
+SELECT event_id,
+       len(ls)::BIGINT AS n_lines,
+       CASE WHEN len(ls) > 0
+            THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+            ELSE 0.0 END AS dup_line_fraction,
+       CASE WHEN len(ls) > 0
+            THEN len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))::DOUBLE / len(ls)
+            ELSE 0.0 END AS bullet_line_fraction,
+       CASE WHEN len(ls) > 0
+            THEN len(list_filter(ls, l -> regexp_matches(l, '\.\.\.$')))::DOUBLE / len(ls)
+            ELSE 0.0 END AS ellipsis_line_fraction
+FROM lines
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2704,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_history_minor_store": _q_way_history_minor_store,
         "contamination": _q_contamination,
         "url_canonical_dedup": _q_url_canonical_dedup,
+        "line_quality": _q_line_quality,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -2905,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
         "way_history_minor_store": _WAY_MINOR_STORE_ORACLE_SQL,
         "contamination": _CONTAMINATION_ORACLE_SQL,
         "url_canonical_dedup": _URL_DEDUP_ORACLE_SQL,
+        "line_quality": _LINE_QUALITY_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

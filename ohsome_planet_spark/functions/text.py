@@ -159,6 +159,34 @@ def quality_cols(text_c: Column) -> dict[str, Column]:
     }
 
 
+def line_quality_cols(text_c: Column) -> dict[str, Column]:
+    """Line-level repetition/format signals (the Gopher/MassiveText rule
+    family): fraction of duplicate lines, of bullet-point lines, and of
+    lines ending in an ellipsis — all over non-empty trimmed lines, all
+    pure JVM array expressions."""
+    lines = F.filter(
+        F.transform(F.split(text_c, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    dup = F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0))
+    bullet = F.when(
+        n > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    ellipsis = F.when(
+        n > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_lines": n,
+        "dup_line_fraction": dup,
+        "bullet_line_fraction": bullet,
+        "ellipsis_line_fraction": ellipsis,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

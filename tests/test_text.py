@@ -1,5 +1,7 @@
 """Text kernels: hashtag reference parity, entity extraction, langid."""
 
+import pytest
+
 from ohsome_planet_spark.functions.text import (
     extract_entities_py,
     hashtags_py,
@@ -119,3 +121,21 @@ def test_canonical_url_spellings(spark):
     assert got[4] == "https://site.example.com/p/2?id=3"
     assert got[5] == "https://site.example.com/p/1?id=4"
     assert got[6] == got[7] == "https://site.example.com/p/1?b=2&id=3"
+
+
+def test_line_quality_cols_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.text import line_quality_cols
+
+    text = "a\na\n- item\nend...\n   \n"
+    df = spark.createDataFrame([(text,)], "text string")
+    q = line_quality_cols(F.col("text"))
+    row = df.select(
+        q["n_lines"].alias("n"), q["dup_line_fraction"].alias("d"),
+        q["bullet_line_fraction"].alias("b"), q["ellipsis_line_fraction"].alias("e"),
+    ).collect()[0]
+    assert row["n"] == 4           # blank line excluded
+    assert row["d"] == pytest.approx(0.25)   # one duplicate of 'a'
+    assert row["b"] == pytest.approx(0.25)
+    assert row["e"] == pytest.approx(0.25)
