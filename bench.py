@@ -118,6 +118,8 @@ def main() -> None:
         "doc_exact_dedup",
         "embedding_topk",
         "hashtags",
+        "contamination",
+        "url_canonical_dedup",
     ]
     qs = entrymod.queries()
     for name in headline:
