@@ -181,24 +181,34 @@ def test_avsc_view_shape(spark, fixture_pbf):
 
 def test_bucketed_entity_scratch_same_rows_fewer_shuffles(spark, fixture_pbf, tmp_path):
     """bucket_entities: id-bucketed scratch tables feed the member joins
-    pre-clustered — the nodes side of refs_pairs ⋈ nodes reads without an
-    exchange (one fewer shuffle than the plain-parquet scratch), with
-    identical output rows."""
-    plain = contributions(
+    pre-clustered — on the way branch the nodes side of refs_pairs ⋈ nodes
+    reads without an exchange (strictly fewer shuffles than plain parquet).
+    Output rows must be identical across both the way AND relation
+    branches (the relation branch's union plan shifts exchanges around, so
+    the strict count assert stays on the isolated way branch)."""
+    w_plain = contributions(
         spark, fixture_pbf, entity_types=("way",),
+        entity_scratch=tmp_path / "wplain",
+    )
+    w_bucketed = contributions(
+        spark, fixture_pbf, entity_types=("way",),
+        entity_scratch=tmp_path / "wbucketed", bucket_entities=4,
+    )
+    n_plain = w_plain._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning")
+    n_bucketed = w_bucketed._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning")
+    assert n_bucketed < n_plain
+    cols = ["osm_type", "osm_id", "osm_version", "osm_minor_version",
+            "osm_edits", "changeset", "valid_from", "valid_to", "status"]
+    plain = contributions(
+        spark, fixture_pbf, entity_types=("way", "relation"),
         entity_scratch=tmp_path / "plain",
     )
     bucketed = contributions(
-        spark, fixture_pbf, entity_types=("way",),
+        spark, fixture_pbf, entity_types=("way", "relation"),
         entity_scratch=tmp_path / "bucketed", bucket_entities=4,
     )
-    n_plain = plain._jdf.queryExecution().executedPlan().toString().count(
-        "Exchange hashpartitioning")
-    n_bucketed = bucketed._jdf.queryExecution().executedPlan().toString().count(
-        "Exchange hashpartitioning")
-    assert n_bucketed < n_plain
-    cols = ["osm_id", "osm_version", "osm_minor_version", "osm_edits",
-            "changeset", "valid_from", "valid_to", "status"]
     a = sorted(map(tuple, plain.select(cols).collect()))
     b = sorted(map(tuple, bucketed.select(cols).collect()))
     assert a == b
