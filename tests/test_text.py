@@ -139,3 +139,28 @@ def test_line_quality_cols_closed_form(spark):
     assert row["d"] == pytest.approx(0.25)   # one duplicate of 'a'
     assert row["b"] == pytest.approx(0.25)
     assert row["e"] == pytest.approx(0.25)
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — the canonical form is a
+    fixed point, including for degenerate inputs."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.urls import canonical_url_col
+
+    urls = [
+        "HTTPS://A.B:443/x/y/?utm_source=1&z=2&a=3#f",
+        "http://h:80",
+        "https://h/p//",
+        "https://h/p?",
+        "https://h/p?&&",
+        "https://h/p?ref=x",
+        "ftp://odd.example/path",
+        "https://h:8443/p?b=1&a=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url_col(F.col("url")).alias("c1"))
+    twice = once.select(F.col("c1"), canonical_url_col(F.col("c1")).alias("c2"))
+    rows = twice.collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r
