@@ -53,3 +53,45 @@ def hash_sample(
     if rate is None:
         raise ValueError("pass rate or rate_by")
     return df.where(bucket < F.lit(int(round(rate * BUCKETS))))
+
+
+def mixture_rates(
+    df: DataFrame, stratum_col: str, weights: dict[str, float]
+) -> dict[str, float]:
+    """Turn target MIXTURE proportions into per-stratum sampling rates.
+
+    weights: desired share of each stratum in the output (normalized
+    internally; strata not listed are dropped). The output size is
+    maximized subject to every listed stratum hitting its share exactly and
+    no rate exceeding 1.0: the binding stratum is the one with the smallest
+    available/target ratio, it samples at 1.0, and every other stratum
+    scales down proportionally. One count aggregate over the corpus (the
+    per-stratum counts are a handful of rows on the driver); feed the
+    result to `hash_sample(rate_by=...)` for the deterministic filter.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    shares = {k: w / total_w for k, w in weights.items()}
+    counts = {
+        r[stratum_col]: r["count"]
+        for r in df.where(F.col(stratum_col).isin(list(weights)))
+        .groupBy(stratum_col)
+        .count()
+        .collect()
+    }
+    missing = [k for k in weights if counts.get(k, 0) == 0]
+    if missing:
+        raise ValueError(f"strata with no rows cannot hit a share: {missing}")
+    # output total N is bounded per stratum by n_k / share_k; the min wins
+    n_out = min(counts[k] / shares[k] for k in shares)
+    return {k: min(1.0, (shares[k] * n_out) / counts[k]) for k in shares}
+
+
+def mixture_sample(
+    df: DataFrame, id_col: str, stratum_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Deterministic mixture-weighted sample: the largest subset of df whose
+    stratum proportions match `weights` (binding stratum kept whole)."""
+    rates = mixture_rates(df, stratum_col, weights)
+    return hash_sample(df, id_col, rate_by=rates, stratum_col=stratum_col)

@@ -216,3 +216,28 @@ def test_decontaminate_drops_flagged_docs(spark, sf_dir):
         {r["doc_id"] for r in clean.select("doc_id").collect()})
     plan = flags._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    """mixture_sample: output stratum shares match the target weights
+    (binding stratum sampled at rate 1.0), deterministically."""
+    from ohsome_planet_spark.operators.sampling import mixture_rates, mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    avail = {r["source"]: r["count"] for r in
+             docs.groupBy("source").count().collect() if r["source"] in weights}
+    rates = mixture_rates(docs, "source", weights)
+    assert any(abs(r - 1.0) < 1e-9 for r in rates.values())  # binding stratum whole
+    out = mixture_sample(docs, "doc_id", "source", weights)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    total = sum(got.values())
+    for k, w in weights.items():
+        # md5-bucket sampling is exact only in expectation; with a few
+        # hundred rows per stratum allow a loose tolerance
+        assert abs(got[k] / total - w / sum(weights.values())) < 0.15, (got, rates)
+    # determinism: the same rows survive on a second evaluation
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(
+        docs, "doc_id", "source", weights).select("doc_id").collect())
+    assert a == b
