@@ -1,0 +1,100 @@
+"""One-call corpus curation: the training-data twin of `plans/contributions`.
+
+Chains this engine's corpus operators in the order a production cleaning
+pipeline runs them, with a per-stage row-count manifest so a 100 TB job can
+report exactly where documents went:
+
+    documents
+      → exact dedup            (hash groupBy, min-id canonical)
+      → near-dup clustering    (MinHash→LSH bands→verified Jaccard →
+                                connected components, min-id canonical)
+      → quality filter         (char/token ratios + Gopher line rules)
+      → decontamination        (exact n-gram overlap vs a benchmark set,
+                                broadcast — optional)
+      → mixture sampling       (deterministic md5-bucket rates per source —
+                                optional)
+
+Stage order matters at scale: dedup FIRST shrinks every later stage's
+input; decontamination runs before mixing so eval leakage can't ride a
+binding stratum; sampling runs last so target shares describe the CLEAN
+corpus. Every stage is a DataFrame transformation — one job, Catalyst sees
+the whole plan, and nothing but the near-dup band join and final aggregate
+shuffles the surviving corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import line_quality_cols, quality_cols
+from ..operators.dedup import (
+    contamination_flags,
+    dedup_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from ..operators.sampling import mixture_sample
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    contamination_n: int = 13,
+    mixture_weights: dict[str, float] | None = None,
+    stratum_col: str = "source",
+    jaccard_threshold: float = 0.8,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.5,
+    max_dup_line_fraction: float = 0.5,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Returns (clean_docs, stage_counts). stage_counts records the rows
+    surviving after each stage (computed lazily per stage — at scale, pass
+    the result through `io.snapshots` and read counts from footers instead
+    of forcing extra actions)."""
+    counts: dict[str, int] = {"input": docs.count()}
+
+    # 1. exact dedup: keep the canonical (min-id) doc per text hash
+    canon = exact_dedup(docs, text_col=text_col, id_col=id_col)
+    docs = docs.join(
+        canon.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
+    )
+    counts["after_exact_dedup"] = docs.count()
+
+    # 2. near-dup clusters: drop every doc that is not its cluster's min id
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, jaccard_threshold=jaccard_threshold
+    )
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    docs = docs.join(losers, id_col, "left_anti")
+    counts["after_near_dedup"] = docs.count()
+
+    # 3. quality filter (char/token + line-level rules)
+    q = quality_cols(F.col(text_col))
+    lq = line_quality_cols(F.col(text_col))
+    docs = docs.where(
+        (q["n_tokens"] >= min_tokens)
+        & (q["punct_ratio"] <= max_punct_ratio)
+        & (lq["dup_line_fraction"] <= max_dup_line_fraction)
+    )
+    counts["after_quality"] = docs.count()
+
+    # 4. decontamination against the benchmark set
+    if benchmark is not None:
+        flags = contamination_flags(
+            docs, benchmark, n=contamination_n, text_col=text_col, id_col=id_col
+        )
+        docs = docs.join(flags.select(id_col), id_col, "left_anti")
+        counts["after_decontamination"] = docs.count()
+
+    # 5. mixture-weighted deterministic sample
+    if mixture_weights is not None:
+        docs = mixture_sample(docs, id_col, stratum_col, mixture_weights)
+        counts["after_mixture"] = docs.count()
+
+    return docs, counts
