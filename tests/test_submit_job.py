@@ -79,3 +79,36 @@ def test_contributions_cli_refuses_existing_output(tmp_path):
     )
     assert r.returncode == 0
     assert "To overwrite use --overwrite" in r.stdout
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_curate_cli(tmp_path):
+    """Corpus-curation CLI: documents parquet in → cleaned parquet +
+    per-stage manifest, via the packaged zip."""
+    import duckdb
+
+    con = duckdb.connect()
+    inp = tmp_path / "docs.parquet"
+    con.execute(f"""
+        COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+        TO '{inp}' (FORMAT parquet)
+    """)
+    zip_out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "submit_job.py"), "--build-zip"],
+        capture_output=True, text=True, check=True, timeout=120,
+    ).stdout.strip().splitlines()[-1]
+    out_dir = tmp_path / "clean"
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_out, str(REPO / "tools" / "submit_job.py"),
+         "--curate", "--input", str(inp), "--output", str(out_dir),
+         "--min-tokens", "3"],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    counts = json.loads((out_dir / "_counts.json").read_text())
+    assert counts["input"] > 0
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/documents/*.parquet')"
+    ).fetchone()[0]
+    assert n == counts["after_quality"]

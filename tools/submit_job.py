@@ -111,6 +111,52 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--curate" in sys.argv:
+        # corpus curation job: documents parquet → cleaned corpus + manifest.
+        # Usage: submit_job.py --curate --input <docs.parquet> --output <dir>
+        #   [--benchmark <bench.parquet>] [--weights src0=0.5,src1=0.5]
+        #   [--jaccard 0.8] [--min-tokens 5] [--ngram 13]
+        import argparse
+        import json as _json
+        from pathlib import Path as _P
+
+        argv = [a for a in sys.argv[1:] if a != "--curate"]
+        ap = argparse.ArgumentParser(prog="submit_job.py --curate")
+        ap.add_argument("--input", required=True)
+        ap.add_argument("--output", required=True)
+        ap.add_argument("--benchmark")
+        ap.add_argument("--weights", default="")
+        ap.add_argument("--jaccard", type=float, default=0.8)
+        ap.add_argument("--min-tokens", type=int, default=5)
+        ap.add_argument("--ngram", type=int, default=13)
+        ns = ap.parse_args(argv)
+        spark = SparkSession.builder.appName("ohsome-planet-spark-curate").getOrCreate()
+        from ohsome_planet_spark.plans.corpus import curate_corpus
+
+        docs = spark.read.parquet(ns.input)
+        bench = spark.read.parquet(ns.benchmark) if ns.benchmark else None
+        weights = None
+        if ns.weights:
+            weights = {
+                k: float(v)
+                for k, v in (pair.split("=") for pair in ns.weights.split(","))
+            }
+        clean, counts = curate_corpus(
+            docs,
+            benchmark=bench,
+            contamination_n=ns.ngram,
+            mixture_weights=weights,
+            jaccard_threshold=ns.jaccard,
+            min_tokens=ns.min_tokens,
+        )
+        out = _P(ns.output)
+        clean.write.mode("overwrite").parquet(str(out / "documents"))
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "_counts.json").write_text(_json.dumps(counts, indent=1))
+        print(" ".join(f"{k}={v}" for k, v in counts.items()))
+        spark.stop()
+        return
+
     pages_dir = sys.argv[1]
     out_dir = sys.argv[2]
     n_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 0
