@@ -2628,12 +2628,12 @@ raw AS (
 ),
 canon AS (
   SELECT url, warc_ts,
-         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+         lower(regexp_extract(split_part(url, '#', 1), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(split_part(url, '#', 1), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
          regexp_replace(
-           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+           regexp_extract(split_part(url, '#', 1), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
            '/+$', '') AS path,
-         regexp_extract(url, '\?([^#]*)', 1) AS query
+         regexp_extract(split_part(url, '#', 1), '\?([^#]*)', 1) AS query
   FROM raw
 ),
 canon2 AS (
@@ -2646,14 +2646,15 @@ canon2 AS (
   FROM canon
 ),
 keyed AS (
-  SELECT scheme || '://' || host || path
-         || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
-           AS canonical_url,
+  SELECT CASE WHEN scheme <> '' AND host <> ''
+              THEN scheme || '://' || host || path
+                   || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+              ELSE url END AS canonical_url,
          url, warc_ts
   FROM canon2
 )
 SELECT canonical_url,
-       arg_max(url, warc_ts) AS latest_url,
+       arg_max(url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%S.%f') || '|' || url) AS latest_url,
        max(warc_ts) AS latest_ts,
        count(*)::BIGINT AS n_captures
 FROM keyed

@@ -489,7 +489,15 @@ def decontaminate(
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bench_text_col: str | None = None,
 ) -> DataFrame:
-    """Drop contaminated documents (left-anti against contamination_flags)."""
-    flags = contamination_flags(docs, benchmark, n=n, text_col=text_col, id_col=id_col)
+    """Drop contaminated documents (left-anti against contamination_flags).
+
+    bench_text_col defaults to text_col — a benchmark frame sharing the
+    corpus column name needs no extra argument, and one with a different
+    text column names it explicitly."""
+    flags = contamination_flags(
+        docs, benchmark, n=n, text_col=text_col, id_col=id_col,
+        bench_text_col=bench_text_col if bench_text_col is not None else text_col,
+    )
     return docs.join(flags.select(id_col), id_col, "left_anti")

@@ -69,6 +69,10 @@ def mixture_rates(
     per-stratum counts are a handful of rows on the driver); feed the
     result to `hash_sample(rate_by=...)` for the deterministic filter.
     """
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    # a zero weight is the natural spelling of "drop this stratum"
+    weights = {k: w for k, w in weights.items() if w > 0}
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -27,21 +27,28 @@ def canonical_url_col(url_c: Column) -> Column:
     * scheme and host lowercased;
     * default port dropped (:80 for http, :443 for https);
     * trailing slashes stripped from the path;
-    * fragment dropped;
+    * fragment dropped FIRST (so a '?' inside the fragment cannot leak
+      bytes into the query);
     * tracking params (utm_*, fbclid, gclid, msclkid, ref) dropped;
     * remaining query params sorted byte-lexicographically.
+
+    A URL that does not parse as `scheme://host...` (scheme-less,
+    `mailto:`, garbage) falls back to its RAW string as its own canonical
+    key — never to a shared sentinel that would collapse unrelated pages
+    into one dedup group.
     """
-    scheme = F.lower(F.regexp_extract(url_c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    base = F.substring_index(url_c, "#", 1)  # drop fragment before anything
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(
-        F.regexp_extract(url_c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     )
     # anchored regexp_replace, so only a default-port suffix is touched
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).when(
         scheme == "https", F.regexp_replace(host, r":443$", "")
     ).otherwise(host)
-    path = F.regexp_extract(url_c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
-    query = F.regexp_extract(url_c, r"\?([^#]*)", 1)
+    query = F.regexp_extract(base, r"\?([^#]*)", 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -49,13 +56,14 @@ def canonical_url_col(url_c: Column) -> Column:
         )
     )
     qs = F.array_join(params, "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+    return F.when((scheme != "") & (host != ""), canon).otherwise(url_c)
 
 
 def dedup_latest_per_url(
@@ -64,10 +72,13 @@ def dedup_latest_per_url(
     """Latest-wins crawl dedup: one row per canonical URL, keeping the raw
     url/timestamp of the newest capture plus the capture count. One
     map-side projection + one aggregation (partial combine before the
-    shuffle); no window, no join."""
+    shuffle); no window, no join. WARC timestamps are second-granularity
+    and collide routinely, so the winner is ordered by (ts, url) — ties
+    break on the raw url string, keeping the result deterministic across
+    runs, retries, and cluster sizes."""
     canon = pages.withColumn("canonical_url", canonical_url_col(F.col(url_col)))
     return canon.groupBy("canonical_url").agg(
-        F.max_by(url_col, ts_col).alias("latest_url"),
+        F.max_by(url_col, F.struct(F.col(ts_col), F.col(url_col))).alias("latest_url"),
         F.max(ts_col).alias("latest_ts"),
         F.count("*").alias("n_captures"),
     )

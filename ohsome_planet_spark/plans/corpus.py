@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import line_quality_cols, quality_cols
 from ..operators.dedup import (
-    contamination_flags,
+    decontaminate,
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
@@ -49,19 +49,32 @@ def curate_corpus(
     min_tokens: int = 5,
     max_punct_ratio: float = 0.5,
     max_dup_line_fraction: float = 0.5,
+    with_manifest: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
-    """Returns (clean_docs, stage_counts). stage_counts records the rows
-    surviving after each stage (computed lazily per stage — at scale, pass
-    the result through `io.snapshots` and read counts from footers instead
-    of forcing extra actions)."""
-    counts: dict[str, int] = {"input": docs.count()}
+    """Returns (clean_docs, stage_counts).
+
+    with_manifest=True counts survivors after every stage; each counted
+    stage is persisted first, so the manifest costs ONE computation of each
+    stage (not a recompute of the whole upstream chain per count) and the
+    final write reuses the cached last stage. with_manifest=False builds a
+    single lazy plan with no actions at all — the scale default when the
+    write path's own footer counts are enough (`io/snapshots`)."""
+    counts: dict[str, int] = {}
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        if with_manifest:
+            df = df.persist()
+            counts[name] = df.count()
+        return df
+
+    docs = stage(docs, "input")
 
     # 1. exact dedup: keep the canonical (min-id) doc per text hash
     canon = exact_dedup(docs, text_col=text_col, id_col=id_col)
     docs = docs.join(
         canon.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
     )
-    counts["after_exact_dedup"] = docs.count()
+    docs = stage(docs, "after_exact_dedup")
 
     # 2. near-dup clusters: drop every doc that is not its cluster's min id
     pairs = minhash_lsh_pairs(
@@ -72,7 +85,7 @@ def curate_corpus(
         F.col("node").alias(id_col)
     )
     docs = docs.join(losers, id_col, "left_anti")
-    counts["after_near_dedup"] = docs.count()
+    docs = stage(docs, "after_near_dedup")
 
     # 3. quality filter (char/token + line-level rules)
     q = quality_cols(F.col(text_col))
@@ -82,19 +95,18 @@ def curate_corpus(
         & (q["punct_ratio"] <= max_punct_ratio)
         & (lq["dup_line_fraction"] <= max_dup_line_fraction)
     )
-    counts["after_quality"] = docs.count()
+    docs = stage(docs, "after_quality")
 
     # 4. decontamination against the benchmark set
     if benchmark is not None:
-        flags = contamination_flags(
+        docs = decontaminate(
             docs, benchmark, n=contamination_n, text_col=text_col, id_col=id_col
         )
-        docs = docs.join(flags.select(id_col), id_col, "left_anti")
-        counts["after_decontamination"] = docs.count()
+        docs = stage(docs, "after_decontamination")
 
     # 5. mixture-weighted deterministic sample
     if mixture_weights is not None:
         docs = mixture_sample(docs, id_col, stratum_col, mixture_weights)
-        counts["after_mixture"] = docs.count()
+        docs = stage(docs, "after_mixture")
 
     return docs, counts

@@ -241,3 +241,14 @@ def test_mixture_sample_hits_target_proportions(spark, sf_dir):
     b = sorted(r["doc_id"] for r in mixture_sample(
         docs, "doc_id", "source", weights).select("doc_id").collect())
     assert a == b
+
+
+def test_mixture_rates_zero_and_negative_weights(spark, sf_dir):
+    from ohsome_planet_spark.operators.sampling import mixture_rates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # zero weight = drop the stratum, not a crash
+    rates = mixture_rates(docs, "source", {"src0": 0.0, "src1": 1.0})
+    assert "src0" not in rates and rates["src1"] == 1.0
+    with pytest.raises(ValueError):
+        mixture_rates(docs, "source", {"src0": 2.0, "src1": -1.0})

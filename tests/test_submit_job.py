@@ -3,6 +3,7 @@
 path — only the zip)."""
 
 import json
+import os
 import shutil
 import subprocess
 import sys
@@ -89,8 +90,9 @@ def test_curate_cli(tmp_path):
 
     con = duckdb.connect()
     inp = tmp_path / "docs.parquet"
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     con.execute(f"""
-        COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+        COPY (SELECT * FROM read_parquet('{sf}/documents.parquet'))
         TO '{inp}' (FORMAT parquet)
     """)
     zip_out = subprocess.run(

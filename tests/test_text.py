@@ -164,3 +164,45 @@ def test_canonical_url_idempotent(spark):
     rows = twice.collect()
     for r in rows:
         assert r["c1"] == r["c2"], r
+
+
+def test_canonical_url_unparseable_falls_back_to_raw(spark):
+    """Scheme-less / non-hierarchical URLs must each keep their own raw
+    string as the canonical key — never collapse to a shared sentinel."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.urls import canonical_url_col
+
+    urls = ["example.com/a", "other.com/b", "mailto:x@y.com", "", "https://ok/p"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonical_url_col(F.col("url"))).collect()]
+    assert got[:4] == urls[:4]          # raw fallbacks, all distinct
+    assert got[4] == "https://ok/p"
+
+
+def test_canonical_url_fragment_question_mark_no_leak(spark):
+    """A '?' inside the fragment must not resurrect as query params."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.urls import canonical_url_col
+
+    df = spark.createDataFrame(
+        [("https://h/p#sec?x=1",), ("https://h/p",)], "url string")
+    got = [r[0] for r in df.select(canonical_url_col(F.col("url"))).collect()]
+    assert got[0] == got[1] == "https://h/p"
+
+
+def test_dedup_latest_per_url_tie_deterministic(spark):
+    """Equal warc_ts captures: the winner is the max (ts, url) pair — not
+    partition-order dependent."""
+    import pandas as pd
+
+    from ohsome_planet_spark.operators.urls import dedup_latest_per_url
+
+    t = pd.Timestamp("2024-01-01 00:00:00").to_pydatetime()
+    rows = [("https://h/p?b=1&a=2", t), ("https://h/p?a=2&b=1", t)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp_ntz").repartition(4)
+    out = dedup_latest_per_url(df).collect()
+    assert len(out) == 1
+    assert out[0]["latest_url"] == "https://h/p?b=1&a=2"  # max url on tie
+    assert out[0]["n_captures"] == 2

@@ -137,10 +137,15 @@ def main() -> None:
         bench = spark.read.parquet(ns.benchmark) if ns.benchmark else None
         weights = None
         if ns.weights:
-            weights = {
-                k: float(v)
-                for k, v in (pair.split("=") for pair in ns.weights.split(","))
-            }
+            weights = {}
+            for pair in ns.weights.split(","):
+                pair = pair.strip()
+                if not pair:
+                    continue  # tolerate trailing commas
+                if "=" not in pair:
+                    ap.error(f"--weights entry without '=': {pair!r}")
+                k, v = pair.split("=", 1)
+                weights[k] = float(v)
         clean, counts = curate_corpus(
             docs,
             benchmark=bench,
