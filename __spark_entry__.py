@@ -2721,6 +2721,63 @@ FROM lines
 """
 
 
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain profile + blocklist filter over messy hosts
+    synthesized from events (subdomains, co.uk-class two-level suffixes,
+    bare domains). Mean text length stays OUT of the hash (multi-term float
+    sums are order-dependent); counts are exact."""
+    from ohsome_planet_spark.operators.urls import (
+        domain_stats,
+        filter_blocked_domains,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    e = F.col("event_id")
+    host = (
+        F.when(e % 5 == 0, F.lit("news.site.co.uk"))
+        .when(e % 5 == 1, F.lit("a.b.site.com"))
+        .when(e % 5 == 2, F.lit("site.com"))
+        .when(e % 5 == 3, F.lit("cdn.other.org"))
+        .otherwise(F.lit("blocked.example"))
+    )
+    pages = ev.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), (e % 9).cast("string")).alias("url"),
+        F.col("event_type").alias("text"),
+    )
+    block = spark.createDataFrame([("blocked.example",)], "domain string")
+    kept = filter_blocked_domains(pages, block)
+    return domain_stats(kept).select(
+        "domain", F.col("n_pages").cast("long").alias("n_pages")
+    )
+
+
+_DOMAIN_STATS_ORACLE_SQL = """
+WITH ev AS (SELECT * FROM events WHERE event_id < 3000),
+hosts AS (
+  SELECT CASE WHEN event_id % 5 = 0 THEN 'news.site.co.uk'
+              WHEN event_id % 5 = 1 THEN 'a.b.site.com'
+              WHEN event_id % 5 = 2 THEN 'site.com'
+              WHEN event_id % 5 = 3 THEN 'cdn.other.org'
+              ELSE 'blocked.example' END AS host
+  FROM ev
+),
+-- registered-domain heuristic: last two labels, three for co.uk-class
+dom AS (
+  SELECT CASE
+    WHEN len(string_split(host, '.')) <= 2 THEN host
+    WHEN array_to_string(string_split(host, '.')[-2:], '.')
+         IN ('co.uk','ac.uk','gov.uk','com.au','net.au','org.au','co.jp',
+             'or.jp','com.br','com.cn','com.mx','co.in','co.nz')
+    THEN array_to_string(string_split(host, '.')[-3:], '.')
+    ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+  FROM hosts
+)
+SELECT domain, count(*)::BIGINT AS n_pages
+FROM dom WHERE domain <> 'blocked.example'
+GROUP BY domain
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -2765,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "line_quality": _q_line_quality,
+        "domain_stats": _q_domain_stats,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -2967,6 +3025,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_ORACLE_SQL,
         "url_canonical_dedup": _URL_DEDUP_ORACLE_SQL,
         "line_quality": _LINE_QUALITY_ORACLE_SQL,
+        "domain_stats": _DOMAIN_STATS_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

@@ -82,3 +82,60 @@ def dedup_latest_per_url(
         F.max(ts_col).alias("latest_ts"),
         F.count("*").alias("n_captures"),
     )
+
+
+def host_col(url_c: Column) -> Column:
+    """Lowercased host of a parseable URL ('' otherwise)."""
+    return F.lower(
+        F.regexp_extract(
+            F.substring_index(url_c, "#", 1),
+            r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1,
+        )
+    )
+
+
+def registered_domain_col(url_c: Column) -> Column:
+    """Registered-domain approximation: the last two host labels, or three
+    when the last two form a common two-level public suffix (co.uk-class).
+
+    A faithful registered domain needs the Public Suffix List; this
+    heuristic (documented, swap point for a PSL table broadcast-joined on
+    the host suffix) covers the dominant cases and is a pure JVM
+    expression."""
+    host = host_col(url_c)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    two_level = F.lit("co.uk ac.uk gov.uk com.au net.au org.au co.jp or.jp "
+                      "com.br com.cn com.mx co.in co.nz").cast("string")
+    is_two_level = F.array_contains(F.split(two_level, " "), last2)
+    return F.when(n <= 2, host).when(
+        is_two_level & (n >= 3),
+        F.concat_ws(".", F.element_at(parts, -3), last2),
+    ).otherwise(last2)
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-registered-domain corpus profile: page count and mean text
+    length — the table a crawl triage ranks and blocklists from. One
+    aggregation; hot domains are exactly the skew case the salted
+    two-level aggregate handles if a single domain dominates a task."""
+    d = pages.withColumn("domain", registered_domain_col(F.col(url_col)))
+    return d.groupBy("domain").agg(
+        F.count("*").alias("n_pages"),
+        F.avg(F.length(F.col(text_col))).alias("mean_text_len"),
+    )
+
+
+def filter_blocked_domains(
+    pages: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop pages whose registered domain is blocklisted (blocklist:
+    one `domain` column, tiny → broadcast anti-join, corpus unshuffled)."""
+    d = pages.withColumn("_domain", registered_domain_col(F.col(url_col)))
+    return d.join(
+        F.broadcast(blocklist.select(F.col("domain").alias("_domain"))),
+        "_domain", "left_anti",
+    ).drop("_domain")

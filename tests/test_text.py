@@ -206,3 +206,21 @@ def test_dedup_latest_per_url_tie_deterministic(spark):
     assert len(out) == 1
     assert out[0]["latest_url"] == "https://h/p?b=1&a=2"  # max url on tie
     assert out[0]["n_captures"] == 2
+
+
+def test_registered_domain_heuristic(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.urls import registered_domain_col
+
+    cases = {
+        "https://news.site.co.uk/x": "site.co.uk",
+        "https://a.b.site.com/x": "site.com",
+        "https://site.com/x": "site.com",
+        "https://localhost/x": "localhost",
+        "https://cdn.other.org/x": "other.org",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = dict(zip(cases, (r[0] for r in df.select(
+        registered_domain_col(F.col("url"))).collect())))
+    assert got == cases
