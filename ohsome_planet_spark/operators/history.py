@@ -649,18 +649,18 @@ def _seg_sums(vals: np.ndarray, segmask: np.ndarray, vc: np.ndarray) -> np.ndarr
     return out
 
 
-def batch_geometries(bufs: _ConvertBufs) -> dict:
+def batch_geometries(counts: np.ndarray, isarea: np.ndarray, ml: np.ndarray,
+                     mt: np.ndarray, mv: np.ndarray,
+                     with_bytes: bool = True) -> dict:
     """Phase B: all geometry values of the partition in one vectorized pass.
 
+    counts: member count per geometry request; isarea: per-request area flag;
+    ml/mt/mv: flat member lon/lat/visible across all requests.
     Exactly reproduces, per request, what the per-row twin computes via
     way_geometry → (bbox, centroid, geodesic area/length, WKB); see the
     float-order note in the section comment above."""
-    R = len(bufs.req_count)
-    counts = np.asarray(bufs.req_count, np.int64)
+    R = counts.size
     moff = np.concatenate([[0], np.cumsum(counts)])
-    ml = np.asarray(bufs.mem_lon, np.float64)
-    mt = np.asarray(bufs.mem_lat, np.float64)
-    mv = np.asarray(bufs.mem_vis, bool)
     ok = (mv & ~np.isnan(ml) & ~np.isnan(mt)
           & (ml >= -180.0) & (ml <= 180.0) & (mt >= -90.0) & (mt <= 90.0))
     cs_ok = np.concatenate([[0], np.cumsum(ok)])
@@ -676,7 +676,6 @@ def batch_geometries(bufs: _ConvertBufs) -> dict:
 
     # kind decision (way_geometry:137-160 order: area+valid ring → Polygon;
     # 0 or ≥2 pts → LineString; 1 pt → Point)
-    isarea = np.asarray(bufs.req_isarea, bool) if R else np.zeros(0, bool)
     closed = np.zeros(R, bool)
     if K:
         closed[nz] = (xs[starts[nz]] == xs[ends[nz] - 1]) & (
@@ -807,13 +806,19 @@ def batch_geometries(bufs: _ConvertBufs) -> dict:
         pts[:, 1] = ys
         be = pts.astype(">f8").view(np.uint8).ravel()
         buf[(dest[:, None] + np.arange(16)).ravel()] = be
-    wkb_all = [buf[ooff[r]:ooff[r + 1]].tobytes() for r in range(R)]
+    wkb_all = (
+        [buf[ooff[r]:ooff[r + 1]].tobytes() for r in range(R)]
+        if with_bytes else None
+    )
 
     return {
         "kind": kind, "empty": empty, "wkb": wkb_all,
         "xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax,
         "cx": cx, "cy": cy, "area": area, "length": length,
         "xs": xs, "ys": ys, "voff": voff,
+        # raw WKB buffer + offsets: the arrow kernel builds a zero-copy
+        # BinaryArray from these instead of the per-request bytes list
+        "wkb_buf": buf, "wkb_off": ooff,
     }
 
 
@@ -840,7 +845,14 @@ def finalize_columnar(bufs: _ConvertBufs, joiner=None, ts_int=False) -> pd.DataF
     N = len(bufs.elem_id)
     if N == 0:
         return pd.DataFrame()
-    geo = batch_geometries(bufs)
+    geo = batch_geometries(
+        np.asarray(bufs.req_count, np.int64),
+        (np.asarray(bufs.req_isarea, bool)
+         if bufs.req_count else np.zeros(0, bool)),
+        np.asarray(bufs.mem_lon, np.float64),
+        np.asarray(bufs.mem_lat, np.float64),
+        np.asarray(bufs.mem_vis, bool),
+    )
     wkb_all = geo["wkb"]
     kind = geo["kind"]
     elem = np.asarray(bufs.elem_id, np.int64)
@@ -1000,7 +1012,19 @@ def with_xz2_from_bbox(df: DataFrame) -> DataFrame:
 
 
 def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> DataFrame:
-    """Distributed temporal merge + conversion.
+    """Distributed temporal merge + conversion (Arrow-native kernel).
+
+    Delegates to `history_arrow.way_contributions_arrow`: same logical plan
+    and output as the dict twin below (`way_contributions_dict`), but the
+    partition kernel is zero-dict/zero-pandas — see history_arrow.py.
+    """
+    from .history_arrow import way_contributions_arrow
+
+    return way_contributions_arrow(ways, nodes, country_index)
+
+
+def way_contributions_dict(ways: DataFrame, nodes: DataFrame, country_index=None) -> DataFrame:
+    """Distributed temporal merge + conversion (dict-kernel cross-check twin).
 
     ways:  id, version, ts, changeset, user_id, user, visible, tags, refs
     nodes: id, version, ts, changeset, user_id, user, visible, lon, lat
@@ -1062,89 +1086,97 @@ def way_contributions(ways: DataFrame, nodes: DataFrame, country_index=None) -> 
         pdf = pd.concat(chunks, ignore_index=True)
         if not len(pdf):
             return
-        # one partition-wide presort + column extraction: per-group work is
-        # then pure-python slice walking (no pandas per group)
-        pdf = pdf.sort_values(
-            ["way_id", "kind", "node_id", "version", "ts"], kind="stable"
-        )
-        way_id_a = pdf["way_id"].to_numpy()
-        kind_a = pdf["kind"].to_numpy()
-        node_id_a = pdf["node_id"].to_numpy()
-        version_a = pdf["version"].to_numpy()
-        # int64-ns time domain: the merge walk compares (ts, changeset)
-        # tuples millions of times — python ints beat pd.Timestamp several-fold
-        ts_a = pdf["ts"].to_numpy().view("i8").tolist()
-        cs_a = pdf["changeset"].to_numpy()
-        uid_a = pdf["user_id"].to_numpy()
-        user_a = pdf["user"].to_numpy()
-        vis_a = pdf["visible"].to_numpy()
-        tags_a = pdf["tags"].to_numpy()
-        refs_a = pdf["refs"].to_numpy()
-        lon_a = pdf["lon"].to_numpy()
-        lat_a = pdf["lat"].to_numpy()
-
-        n = len(pdf)
-        cuts = np.nonzero(way_id_a[1:] != way_id_a[:-1])[0] + 1
-        starts = np.concatenate([[0], cuts])
-        ends = np.concatenate([cuts, [n]])
-
-        bufs = _ConvertBufs()
-        for s, e in zip(starts, ends):
-            majors = []
-            node_rows: dict[int, list] = {}
-            cur_nid = None
-            cur_rows: list[dict] | None = None
-            for i in range(s, e):
-                if kind_a[i] == "n":
-                    nid = int(node_id_a[i])
-                    if nid != cur_nid:
-                        cur_rows = []
-                        node_rows[nid] = cur_rows
-                        cur_nid = nid
-                    cur_rows.append(
-                        {
-                            "ts": ts_a[i],
-                            "changeset": int(cs_a[i]),
-                            "user_id": int(uid_a[i]),
-                            "user": user_a[i],
-                            "version": int(version_a[i]),
-                            "visible": bool(vis_a[i]),
-                            "lon": float(lon_a[i]),
-                            "lat": float(lat_a[i]),
-                        }
-                    )
-                else:
-                    majors.append(
-                        {
-                            "version": int(version_a[i]),
-                            "ts": ts_a[i],
-                            "changeset": int(cs_a[i]),
-                            "user_id": int(uid_a[i]),
-                            "user": user_a[i],
-                            "visible": bool(vis_a[i]),
-                            "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
-                            "refs": [int(x) for x in refs_a[i]],
-                        }
-                    )
-            if not majors:
-                continue
-            majors.sort(key=lambda m: (m["version"], m["ts"]))
-            # _Hist precomputes head keys, so rows must be complete first;
-            # member histories pass the minor-node store filter exactly
-            # where the reference reads them back from RocksDB
-            # (`TransformerWays.fetchMinors:163`)
-            hists = {
-                nid: _Hist(minor_node_filter(rows), max_ts=MAX_TS_NS)
-                for nid, rows in node_rows.items()
-            }
-            raw = merge_contributions(majors, hists, max_ts=MAX_TS_NS)
-            collect_element_columnar(bufs, "way", int(way_id_a[s]), raw,
-                                     valid_to_sentinel=VALID_TO_SENTINEL_NS)
-        out = finalize_columnar(bufs, joiner=joiner, ts_int=True)
+        out = _way_partition_kernel(pdf, joiner)
         if len(out):
             yield out
 
     return with_xz2_from_bbox(packed.mapInPandas(partition_fn, CONTRIB_SCHEMA))
+
+
+def _way_partition_kernel(pdf: pd.DataFrame, joiner=None) -> pd.DataFrame:
+    """One partition of the way merge: presort + array-cursor merge walk.
+
+    Module-level (not a closure) so it is profilable and unit-testable
+    against the per-row dict twin directly."""
+    # one partition-wide presort + column extraction: per-group work is
+    # then pure-python slice walking (no pandas per group)
+    pdf = pdf.sort_values(
+        ["way_id", "kind", "node_id", "version", "ts"], kind="stable"
+    )
+    way_id_a = pdf["way_id"].to_numpy()
+    kind_a = pdf["kind"].to_numpy()
+    node_id_a = pdf["node_id"].to_numpy()
+    version_a = pdf["version"].to_numpy()
+    # int64-ns time domain: the merge walk compares (ts, changeset)
+    # tuples millions of times — python ints beat pd.Timestamp several-fold
+    ts_a = pdf["ts"].to_numpy().view("i8").tolist()
+    cs_a = pdf["changeset"].to_numpy()
+    uid_a = pdf["user_id"].to_numpy()
+    user_a = pdf["user"].to_numpy()
+    vis_a = pdf["visible"].to_numpy()
+    tags_a = pdf["tags"].to_numpy()
+    refs_a = pdf["refs"].to_numpy()
+    lon_a = pdf["lon"].to_numpy()
+    lat_a = pdf["lat"].to_numpy()
+
+    n = len(pdf)
+    cuts = np.nonzero(way_id_a[1:] != way_id_a[:-1])[0] + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [n]])
+
+    bufs = _ConvertBufs()
+    for s, e in zip(starts, ends):
+        majors = []
+        node_rows: dict[int, list] = {}
+        cur_nid = None
+        cur_rows: list[dict] | None = None
+        for i in range(s, e):
+            if kind_a[i] == "n":
+                nid = int(node_id_a[i])
+                if nid != cur_nid:
+                    cur_rows = []
+                    node_rows[nid] = cur_rows
+                    cur_nid = nid
+                cur_rows.append(
+                    {
+                        "ts": ts_a[i],
+                        "changeset": int(cs_a[i]),
+                        "user_id": int(uid_a[i]),
+                        "user": user_a[i],
+                        "version": int(version_a[i]),
+                        "visible": bool(vis_a[i]),
+                        "lon": float(lon_a[i]),
+                        "lat": float(lat_a[i]),
+                    }
+                )
+            else:
+                majors.append(
+                    {
+                        "version": int(version_a[i]),
+                        "ts": ts_a[i],
+                        "changeset": int(cs_a[i]),
+                        "user_id": int(uid_a[i]),
+                        "user": user_a[i],
+                        "visible": bool(vis_a[i]),
+                        "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
+                        "refs": [int(x) for x in refs_a[i]],
+                    }
+                )
+        if not majors:
+            continue
+        majors.sort(key=lambda m: (m["version"], m["ts"]))
+        # _Hist precomputes head keys, so rows must be complete first;
+        # member histories pass the minor-node store filter exactly
+        # where the reference reads them back from RocksDB
+        # (`TransformerWays.fetchMinors:163`)
+        hists = {
+            nid: _Hist(minor_node_filter(rows), max_ts=MAX_TS_NS)
+            for nid, rows in node_rows.items()
+        }
+        raw = merge_contributions(majors, hists, max_ts=MAX_TS_NS)
+        collect_element_columnar(bufs, "way", int(way_id_a[s]), raw,
+                                 valid_to_sentinel=VALID_TO_SENTINEL_NS)
+    return finalize_columnar(bufs, joiner=joiner, ts_int=True)
 
 
 def node_contributions(nodes: DataFrame, country_index=None) -> DataFrame:
@@ -1748,13 +1780,13 @@ class _MemberEntryBatch:
 
     def finalize(self) -> dict:
         if self.keys:
-            bufs = _ConvertBufs()
-            bufs.req_isarea = self.isarea
-            bufs.req_count = self.counts
-            bufs.mem_lon = self.lons
-            bufs.mem_lat = self.lats
-            bufs.mem_vis = self.vis
-            geo = batch_geometries(bufs)
+            geo = batch_geometries(
+                np.asarray(self.counts, np.int64),
+                np.asarray(self.isarea, bool),
+                np.asarray(self.lons, np.float64),
+                np.asarray(self.lats, np.float64),
+                np.asarray(self.vis, bool),
+            )
             moments = batch_gc_moments(geo)
             xs, ys, voff = geo["xs"], geo["ys"], geo["voff"]
             for i, key in enumerate(self.keys):

@@ -85,5 +85,5 @@ def test_history_merge_is_cogroup_not_join_explosion(spark):
     plan = physical(way_contributions(ways, nodes))
     # one shuffle to the way id, then a partition-level Arrow kernel — no
     # per-key apply machinery, no row-explosion join of histories
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
