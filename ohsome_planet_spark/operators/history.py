@@ -1374,7 +1374,8 @@ def node_contributions_kernel(nodes: DataFrame, country_index=None) -> DataFrame
     spark = nodes.sparkSession
     bc = spark.sparkContext.broadcast(country_index) if country_index is not None else None
 
-    repartitioned = nodes.repartition("id")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    repartitioned = nodes.repartition(nparts, "id")
 
     def partition_fn(batches):
         joiner = None
@@ -2213,6 +2214,40 @@ def relation_contributions(
         F.col("members").alias("rel_member_list"),
     )
 
+    # explicit partition count: exempt from AQE post-shuffle coalescing,
+    # which would serialize the compute-bound Python kernel on small-byte
+    # inputs (see the note in history_arrow.way_contributions_arrow)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    all_packed = members_packed.withColumn(
+        "rel_member_list",
+        F.lit(None).cast("array<struct<type:string, id:long, role:string>>"),
+    ).unionByName(rels_packed).repartition(nparts, "rel_id")
+
+    def partition_fn(batches):
+        joiner = None
+        if bc is not None:
+            idx = bc.value
+
+            def joiner(geom_t):
+                return idx.join_geom(geom_t[0], geom_t[1])
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        pdf_out = _relation_partition_kernel(pdf, joiner)
+        if pdf_out is not None and len(pdf_out):
+            yield pdf_out
+
+    return with_xz2_from_bbox(all_packed.mapInPandas(partition_fn, REL_CONTRIB_SCHEMA))
+
+
+def _relation_partition_kernel(pdf: pd.DataFrame, joiner=None):
+    """One partition of the relation merge (module-level: profilable and
+    unit-testable directly; see way twin `_way_partition_kernel`)."""
+
     def merge_one_relation(
         rel_id: int, node_hists: dict, way_rows: dict, majors: list
     ) -> list[dict]:
@@ -2247,150 +2282,131 @@ def relation_contributions(
             ]
         return raw
 
-    all_packed = members_packed.withColumn(
-        "rel_member_list",
-        F.lit(None).cast("array<struct<type:string, id:long, role:string>>"),
-    ).unionByName(rels_packed).repartition("rel_id")
+    # one partition-wide presort + column extraction (same shape as the
+    # way kernel): per-group pandas slicing/itertuples was ~60% of the
+    # relation kernel's profile at ~19 itertuples() calls per relation
+    pdf = pdf.sort_values(
+        ["rel_id", "kind", "member_id", "version", "ts"], kind="stable"
+    )
+    rel_a = pdf["rel_id"].to_numpy()
+    kind_a = pdf["kind"].to_numpy()
+    mid_a = pdf["member_id"].to_numpy()
+    ver_a = pdf["version"].to_numpy()
+    # int64-ns time domain (see the way kernel): cheap queue compares
+    ts_a = pdf["ts"].to_numpy().view("i8").tolist()
+    cs_a = pdf["changeset"].to_numpy()
+    uid_a = pdf["user_id"].to_numpy()
+    user_a = pdf["user"].to_numpy()
+    vis_a = pdf["visible"].to_numpy()
+    tags_a = pdf["tags"].to_numpy()
+    refs_a = pdf["refs"].to_numpy()
+    lon_a = pdf["lon"].to_numpy()
+    lat_a = pdf["lat"].to_numpy()
+    rml_a = pdf["rel_member_list"].to_numpy()
 
-    def partition_fn(batches):
-        joiner = None
-        if bc is not None:
-            idx = bc.value
+    n = len(pdf)
+    cuts = np.nonzero(rel_a[1:] != rel_a[:-1])[0] + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [n]])
 
-            def joiner(geom_t):
-                return idx.join_geom(geom_t[0], geom_t[1])
-
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if not len(pdf):
-            return
-        # one partition-wide presort + column extraction (same shape as the
-        # way kernel): per-group pandas slicing/itertuples was ~60% of the
-        # relation kernel's profile at ~19 itertuples() calls per relation
-        pdf = pdf.sort_values(
-            ["rel_id", "kind", "member_id", "version", "ts"], kind="stable"
+    out_rows: list[dict] = []
+    merged: list[tuple[int, list]] = []
+    for s, e in zip(starts, ends):
+        node_lists: dict[int, list] = {}
+        way_rows: dict[int, list] = {}
+        majors: list[dict] = []
+        for i in range(s, e):
+            k = kind_a[i]
+            if k == "node":
+                node_lists.setdefault(int(mid_a[i]), []).append(
+                    {
+                        "ts": ts_a[i],
+                        "changeset": int(cs_a[i]),
+                        "user_id": int(uid_a[i]),
+                        "user": user_a[i],
+                        "version": int(ver_a[i]),
+                        "visible": bool(vis_a[i]),
+                        "lon": float(lon_a[i]),
+                        "lat": float(lat_a[i]),
+                    }
+                )
+            elif k == "way":
+                way_rows.setdefault(int(mid_a[i]), []).append(
+                    {
+                        "version": int(ver_a[i]),
+                        "ts": ts_a[i],
+                        "changeset": int(cs_a[i]),
+                        "user_id": int(uid_a[i]),
+                        "user": user_a[i],
+                        "visible": bool(vis_a[i]),
+                        "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
+                        "refs": [int(x) for x in refs_a[i]] if refs_a[i] is not None else [],
+                    }
+                )
+            else:  # rel major
+                rml = rml_a[i]
+                majors.append(
+                    {
+                        "version": int(ver_a[i]),
+                        "ts": ts_a[i],
+                        "changeset": int(cs_a[i]),
+                        "user_id": int(uid_a[i]),
+                        "user": user_a[i],
+                        "visible": bool(vis_a[i]),
+                        "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
+                        "refs": [
+                            (m["type"], int(m["id"]), m["role"] or "")
+                            for m in (rml if rml is not None else [])
+                        ],
+                    }
+                )
+        if not majors:
+            continue
+        # member ways and nodes both resolve through their minor-store
+        # filters (`Contributions.memberOf(minorNodes, minorWays)`,
+        # Contributions2Parquet.processRelation:259-268)
+        node_hists = {
+            nid: _Hist(minor_node_filter(rows), max_ts=MAX_TS_NS)
+            for nid, rows in node_lists.items()
+        }
+        way_rows = {
+            wid: minor_way_filter(rows) for wid, rows in way_rows.items()
+        }
+        merged.append(
+            (int(rel_a[s]),
+             merge_one_relation(int(rel_a[s]), node_hists, way_rows, majors))
         )
-        rel_a = pdf["rel_id"].to_numpy()
-        kind_a = pdf["kind"].to_numpy()
-        mid_a = pdf["member_id"].to_numpy()
-        ver_a = pdf["version"].to_numpy()
-        # int64-ns time domain (see the way kernel): cheap queue compares
-        ts_a = pdf["ts"].to_numpy().view("i8").tolist()
-        cs_a = pdf["changeset"].to_numpy()
-        uid_a = pdf["user_id"].to_numpy()
-        user_a = pdf["user"].to_numpy()
-        vis_a = pdf["visible"].to_numpy()
-        tags_a = pdf["tags"].to_numpy()
-        refs_a = pdf["refs"].to_numpy()
-        lon_a = pdf["lon"].to_numpy()
-        lat_a = pdf["lat"].to_numpy()
-        rml_a = pdf["rel_member_list"].to_numpy()
+    # batch ALL member-snapshot geometry of the partition in one pass,
+    # then convert each relation against the pre-filled entry cache
+    batcher = _MemberEntryBatch()
+    for _, raw in merged:
+        for c in raw:
+            for m in c["rel_members"]:
+                batcher.scan(m)
+    entry_cache = batcher.finalize()
+    for rel_id, raw in merged:
+        out_rows.extend(convert_relation_contributions(
+            rel_id, raw, country_join=joiner,
+            valid_to_sentinel=VALID_TO_SENTINEL_NS,
+            entry_cache=entry_cache,
+        ))
+    if out_rows:
+        # back to datetime64 BEFORE DataFrame construction: pandas would
+        # coerce the int/None osm_last_edit mix to float64 and int-ns
+        # values exceed 2^53 (silent precision loss)
+        nat = np.iinfo(np.int64).min
+        n_out = len(out_rows)
+        vf = np.fromiter((r["valid_from"] for r in out_rows),
+                         np.int64, n_out).view("M8[ns]")
+        vt = np.fromiter((r["valid_to"] for r in out_rows),
+                         np.int64, n_out).view("M8[ns]")
+        le = np.fromiter(
+            (r["osm_last_edit"] if r["osm_last_edit"] is not None else nat
+             for r in out_rows), np.int64, n_out).view("M8[ns]")
+        pdf_out = pd.DataFrame(out_rows)
+        pdf_out["valid_from"] = vf
+        pdf_out["valid_to"] = vt
+        pdf_out["osm_last_edit"] = le
+        return pdf_out
+    return None
 
-        n = len(pdf)
-        cuts = np.nonzero(rel_a[1:] != rel_a[:-1])[0] + 1
-        starts = np.concatenate([[0], cuts])
-        ends = np.concatenate([cuts, [n]])
-
-        out_rows: list[dict] = []
-        merged: list[tuple[int, list]] = []
-        for s, e in zip(starts, ends):
-            node_lists: dict[int, list] = {}
-            way_rows: dict[int, list] = {}
-            majors: list[dict] = []
-            for i in range(s, e):
-                k = kind_a[i]
-                if k == "node":
-                    node_lists.setdefault(int(mid_a[i]), []).append(
-                        {
-                            "ts": ts_a[i],
-                            "changeset": int(cs_a[i]),
-                            "user_id": int(uid_a[i]),
-                            "user": user_a[i],
-                            "version": int(ver_a[i]),
-                            "visible": bool(vis_a[i]),
-                            "lon": float(lon_a[i]),
-                            "lat": float(lat_a[i]),
-                        }
-                    )
-                elif k == "way":
-                    way_rows.setdefault(int(mid_a[i]), []).append(
-                        {
-                            "version": int(ver_a[i]),
-                            "ts": ts_a[i],
-                            "changeset": int(cs_a[i]),
-                            "user_id": int(uid_a[i]),
-                            "user": user_a[i],
-                            "visible": bool(vis_a[i]),
-                            "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
-                            "refs": [int(x) for x in refs_a[i]] if refs_a[i] is not None else [],
-                        }
-                    )
-                else:  # rel major
-                    rml = rml_a[i]
-                    majors.append(
-                        {
-                            "version": int(ver_a[i]),
-                            "ts": ts_a[i],
-                            "changeset": int(cs_a[i]),
-                            "user_id": int(uid_a[i]),
-                            "user": user_a[i],
-                            "visible": bool(vis_a[i]),
-                            "tags": dict(tags_a[i]) if tags_a[i] is not None else {},
-                            "refs": [
-                                (m["type"], int(m["id"]), m["role"] or "")
-                                for m in (rml if rml is not None else [])
-                            ],
-                        }
-                    )
-            if not majors:
-                continue
-            # member ways and nodes both resolve through their minor-store
-            # filters (`Contributions.memberOf(minorNodes, minorWays)`,
-            # Contributions2Parquet.processRelation:259-268)
-            node_hists = {
-                nid: _Hist(minor_node_filter(rows), max_ts=MAX_TS_NS)
-                for nid, rows in node_lists.items()
-            }
-            way_rows = {
-                wid: minor_way_filter(rows) for wid, rows in way_rows.items()
-            }
-            merged.append(
-                (int(rel_a[s]),
-                 merge_one_relation(int(rel_a[s]), node_hists, way_rows, majors))
-            )
-        # batch ALL member-snapshot geometry of the partition in one pass,
-        # then convert each relation against the pre-filled entry cache
-        batcher = _MemberEntryBatch()
-        for _, raw in merged:
-            for c in raw:
-                for m in c["rel_members"]:
-                    batcher.scan(m)
-        entry_cache = batcher.finalize()
-        for rel_id, raw in merged:
-            out_rows.extend(convert_relation_contributions(
-                rel_id, raw, country_join=joiner,
-                valid_to_sentinel=VALID_TO_SENTINEL_NS,
-                entry_cache=entry_cache,
-            ))
-        if out_rows:
-            # back to datetime64 BEFORE DataFrame construction: pandas would
-            # coerce the int/None osm_last_edit mix to float64 and int-ns
-            # values exceed 2^53 (silent precision loss)
-            nat = np.iinfo(np.int64).min
-            n_out = len(out_rows)
-            vf = np.fromiter((r["valid_from"] for r in out_rows),
-                             np.int64, n_out).view("M8[ns]")
-            vt = np.fromiter((r["valid_to"] for r in out_rows),
-                             np.int64, n_out).view("M8[ns]")
-            le = np.fromiter(
-                (r["osm_last_edit"] if r["osm_last_edit"] is not None else nat
-                 for r in out_rows), np.int64, n_out).view("M8[ns]")
-            pdf_out = pd.DataFrame(out_rows)
-            pdf_out["valid_from"] = vf
-            pdf_out["valid_to"] = vt
-            pdf_out["osm_last_edit"] = le
-            yield pdf_out
-
-    return with_xz2_from_bbox(all_packed.mapInPandas(partition_fn, REL_CONTRIB_SCHEMA))

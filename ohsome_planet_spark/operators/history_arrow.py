@@ -650,6 +650,12 @@ def way_contributions_arrow(ways, nodes, country_index=None):
         F.lit(None).cast("array<long>").alias("refs"),
         "node_id", "lon", "lat",
     )
+    # bare repartition(col) ON PURPOSE: AQE post-shuffle coalescing may
+    # merge small packed tables, and for THIS kernel that is the right
+    # trade — the per-row Python cost is low enough that per-partition
+    # worker startup dominates on small inputs, while at scale AQE leaves
+    # full parallelism alone. The relation op makes the opposite call
+    # (explicit count) because its per-row kernel cost is ~20× higher.
     packed = (
         ways_packed.unionByName(nodes_packed)
         .repartition("way_id")
