@@ -2662,6 +2662,138 @@ GROUP BY canonical_url
 """
 
 
+def _q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED corpus-curation pipeline (plans/corpus.curate_corpus) end to
+    end: exact dedup → MinHash-LSH near-dup clustering → quality filter →
+    3-gram decontamination, over a corpus with planted exact copies,
+    near-dup tails, punctuation-noise docs, duplicate-line docs, and a
+    benchmark slice. The DuckDB oracle replays every stage (near-dup via
+    ALL-PAIRS verified Jaccard + recursive-CTE components — LSH only
+    proposes candidates, so on this deterministic fixture the verified
+    results coincide; survivors value-checked by md5)."""
+    from ohsome_planet_spark.plans.corpus import curate_corpus
+
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", "text", "source"
+    )
+    d = F.col("doc_id")
+    corpus = (
+        base
+        .unionByName(base.where(d % 2 == 0).select(
+            (d + 100000).alias("doc_id"), "text", "source"))
+        .unionByName(base.where(d % 3 == 0).select(
+            (d + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" zq")).alias("text"), "source"))
+        .unionByName(base.where(d % 5 == 0).select(
+            (d + 300000).alias("doc_id"),
+            F.concat(F.lit("!!! ??? "), d.cast("string")).alias("text"),
+            "source"))
+        .unionByName(base.where(d % 7 == 0).select(
+            (d + 400000).alias("doc_id"),
+            F.concat_ws("\n", F.substring("text", 1, 30),
+                        F.substring("text", 1, 30),
+                        F.substring("text", 1, 30)).alias("text"),
+            "source"))
+    )
+    bench = base.where(d % 37 == 0).select("text")
+    clean, _counts = curate_corpus(
+        corpus, benchmark=bench, contamination_n=3, with_manifest=False
+    )
+    return clean.select("doc_id", "source", F.md5("text").alias("text_md5"))
+
+
+_CORPUS_E2E_ORACLE_SQL = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id < 200
+),
+corpus AS (
+  SELECT doc_id, text, source FROM base
+  UNION ALL
+  SELECT doc_id + 100000, text, source FROM base WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zq', source FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 300000, '!!! ??? ' || CAST(doc_id AS VARCHAR), source
+  FROM base WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 400000,
+         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10)
+           || substr(text, 1, 30),
+         source
+  FROM base WHERE doc_id % 7 = 0
+),
+s1 AS (
+  SELECT * FROM corpus
+  WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY md5(text))
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM s1)
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
+        THEN round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+        ELSE 1.0 END >= 0.8
+),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION SELECT pb, pa FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> cluster_id),
+s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT node FROM losers)),
+s3 AS (
+  SELECT * FROM s2
+  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 5
+    AND (CASE WHEN length(text) > 0
+         THEN (length(text)
+               - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+              / CAST(length(text) AS DOUBLE)
+         ELSE 0.0 END) <= 0.5
+    AND (CASE WHEN len(list_filter(list_transform(
+               string_split(text, chr(10)), l -> trim(l)), l -> l <> '')) > 0
+         THEN CAST(len(list_filter(list_transform(
+                string_split(text, chr(10)), l -> trim(l)), l -> l <> ''))
+              - len(list_distinct(list_filter(list_transform(
+                string_split(text, chr(10)), l -> trim(l)), l -> l <> '')))
+              AS DOUBLE)
+              / len(list_filter(list_transform(
+                string_split(text, chr(10)), l -> trim(l)), l -> l <> ''))
+         ELSE 0.0 END) <= 0.5
+),
+bwords AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM base WHERE doc_id % 37 = 0
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS gram
+  FROM bwords, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+dwords AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM s3
+),
+dgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM dwords, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+contaminated AS (SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (gram))
+SELECT doc_id, source, md5(text) AS text_md5
+FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 def _q_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style line-level quality signals over multi-line texts
     synthesized from events (duplicate lines, bullet lines, ellipsis
@@ -2822,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "line_quality": _q_line_quality,
+        "corpus_curation_e2e": _q_corpus_curation_e2e,
         "domain_stats": _q_domain_stats,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -3025,6 +3158,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_ORACLE_SQL,
         "url_canonical_dedup": _URL_DEDUP_ORACLE_SQL,
         "line_quality": _LINE_QUALITY_ORACLE_SQL,
+        "corpus_curation_e2e": _CORPUS_E2E_ORACLE_SQL,
         "domain_stats": _DOMAIN_STATS_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),

@@ -18,6 +18,24 @@ Parity notes (semantics only, no code taken):
   into a true hexagonal lattice (pointy-top axial coords, cube rounding) whose
   per-resolution cell area tracks H3 res 7–10; if the real `h3` package is
   importable at runtime it is used instead (same column contract: int64).
+
+  Why this is NOT a from-scratch real-H3 port (investigated round 4): the
+  H3 *algorithm* (icosahedral gnomonic projection, aperture-7 IJK
+  hierarchy, Class II/III alternation) is published and implementable, but
+  emitting bit-identical H3 ids additionally requires two pure-DATA
+  conventions — the 122-base-cell numbering (`baseCellData`) and the
+  540-entry face→IJK→base-cell assignment (`faceIjkBaseCells`). Those
+  tables are an arbitrary labeling choice, not derivable from the
+  algorithm (the numbering is not, e.g., strict latitude order — the
+  pentagon ranks refute that), and this sandbox has no copy of them (no
+  wheel, no jar, no extension) and no way to verify a reconstruction
+  beyond two memorized doc vectors covering a single icosahedron face.
+  A guessed table would silently mis-index most of the globe while
+  claiming H3 compatibility — strictly worse than the honest engine-local
+  lattice. The auto-upgrade path (`HAVE_H3`) plus the gated contract test
+  (tests/test_cells.py `test_hex_cell_real_h3_upgrade`) remain the
+  correct integration: one `pip install h3` on a real cluster turns the
+  column into real H3 ids with no code change.
 """
 
 from __future__ import annotations
