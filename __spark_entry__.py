@@ -2866,48 +2866,83 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
     e = F.col("event_id")
     host = (
-        F.when(e % 5 == 0, F.lit("news.site.co.uk"))
-        .when(e % 5 == 1, F.lit("a.b.site.com"))
-        .when(e % 5 == 2, F.lit("site.com"))
-        .when(e % 5 == 3, F.lit("cdn.other.org"))
+        F.when(e % 10 == 0, F.lit("news.site.co.uk"))
+        .when(e % 10 == 1, F.lit("a.b.site.com"))
+        .when(e % 10 == 2, F.lit("site.com"))
+        .when(e % 10 == 3, F.lit("cdn.other.org"))
+        .when(e % 10 == 4, F.lit("shop.mall.com.au"))
+        .when(e % 10 == 5, F.lit("user.github.io"))
+        .when(e % 10 == 6, F.lit("media.bucket.s3.amazonaws.com"))
+        .when(e % 10 == 7, F.lit("a.b.ck"))  # wildcard *.ck
+        .when(e % 10 == 8, F.lit("x.www.ck"))  # exception !www.ck
         .otherwise(F.lit("blocked.example"))
     )
     pages = ev.select(
         F.concat(F.lit("https://"), host, F.lit("/p/"), (e % 9).cast("string")).alias("url"),
         F.col("event_type").alias("text"),
     )
-    block = spark.createDataFrame([("blocked.example",)], "domain string")
+    # blocklisting a PSL-private registrable (user.github.io) must drop
+    # exactly that user's pages, not all of github.io
+    block = spark.createDataFrame(
+        [("blocked.example",), ("user.github.io",)], "domain string"
+    )
     kept = filter_blocked_domains(pages, block)
     return domain_stats(kept).select(
         "domain", F.col("n_pages").cast("long").alias("n_pages")
     )
 
 
-_DOMAIN_STATS_ORACLE_SQL = """
+def _domain_stats_oracle_sql() -> str:
+    """DuckDB twin of the PSL matcher, IN-lists generated from the SAME
+    vendored snapshot (`data/public_suffix.py`) — one source of truth."""
+    from ohsome_planet_spark.data.public_suffix import SNAPSHOT
+
+    def inlist(vals) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    return f"""
 WITH ev AS (SELECT * FROM events WHERE event_id < 3000),
 hosts AS (
-  SELECT CASE WHEN event_id % 5 = 0 THEN 'news.site.co.uk'
-              WHEN event_id % 5 = 1 THEN 'a.b.site.com'
-              WHEN event_id % 5 = 2 THEN 'site.com'
-              WHEN event_id % 5 = 3 THEN 'cdn.other.org'
+  SELECT CASE WHEN event_id % 10 = 0 THEN 'news.site.co.uk'
+              WHEN event_id % 10 = 1 THEN 'a.b.site.com'
+              WHEN event_id % 10 = 2 THEN 'site.com'
+              WHEN event_id % 10 = 3 THEN 'cdn.other.org'
+              WHEN event_id % 10 = 4 THEN 'shop.mall.com.au'
+              WHEN event_id % 10 = 5 THEN 'user.github.io'
+              WHEN event_id % 10 = 6 THEN 'media.bucket.s3.amazonaws.com'
+              WHEN event_id % 10 = 7 THEN 'a.b.ck'
+              WHEN event_id % 10 = 8 THEN 'x.www.ck'
               ELSE 'blocked.example' END AS host
   FROM ev
 ),
--- registered-domain heuristic: last two labels, three for co.uk-class
+-- Public-Suffix-List matcher (longest rule wins, exception beats wildcard,
+-- unlisted TLD -> last label; registrable = suffix + 1 label)
+parts AS (SELECT host, string_split(host, '.') AS p FROM hosts),
+sl AS (
+  SELECT host, p, len(p) AS n,
+    CASE
+      WHEN len(p) >= 3 AND array_to_string(p[-3:], '.')
+           IN ({inlist(SNAPSHOT.suffixes_3)}) THEN 3
+      WHEN len(p) >= 2 AND array_to_string(p[-2:], '.')
+           IN ({inlist(SNAPSHOT.exceptions_2)}) THEN 1
+      WHEN len(p) >= 2 AND (array_to_string(p[-2:], '.')
+           IN ({inlist(SNAPSHOT.suffixes_2)})
+           OR p[-1] IN ({inlist(SNAPSHOT.wildcard_1)})) THEN 2
+      ELSE 1 END AS s
+  FROM parts
+),
 dom AS (
-  SELECT CASE
-    WHEN len(string_split(host, '.')) <= 2 THEN host
-    WHEN array_to_string(string_split(host, '.')[-2:], '.')
-         IN ('co.uk','ac.uk','gov.uk','com.au','net.au','org.au','co.jp',
-             'or.jp','com.br','com.cn','com.mx','co.in','co.nz')
-    THEN array_to_string(string_split(host, '.')[-3:], '.')
-    ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
-  FROM hosts
+  SELECT CASE WHEN n <= s THEN host
+         ELSE array_to_string(p[-(s+1):], '.') END AS domain
+  FROM sl
 )
 SELECT domain, count(*)::BIGINT AS n_pages
-FROM dom WHERE domain <> 'blocked.example'
+FROM dom WHERE domain NOT IN ('blocked.example', 'user.github.io')
 GROUP BY domain
 """
+
+
+_DOMAIN_STATS_ORACLE_SQL = _domain_stats_oracle_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

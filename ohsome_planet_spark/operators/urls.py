@@ -94,25 +94,51 @@ def host_col(url_c: Column) -> Column:
     )
 
 
-def registered_domain_col(url_c: Column) -> Column:
-    """Registered-domain approximation: the last two host labels, or three
-    when the last two form a common two-level public suffix (co.uk-class).
+def registered_domain_col(url_c: Column, rules=None) -> Column:
+    """Registered (eTLD+1) domain via the vendored Public Suffix List
+    snapshot (`data/public_suffix.py` — ICANN country second-levels +
+    private-section hosting suffixes, wildcard and exception rules), as a
+    pure JVM expression: the suffix sets compile into Catalyst `InSet`
+    hash lookups, so no UDF and no join.
 
-    A faithful registered domain needs the Public Suffix List; this
-    heuristic (documented, swap point for a PSL table broadcast-joined on
-    the host suffix) covers the dominant cases and is a pure JVM
-    expression."""
+    Matching follows the published PSL algorithm (longest rule wins,
+    exceptions beat wildcards, unlisted TLD ⇒ last label). Pass
+    `rules=load_psl(path)` to use a complete PSL file instead of the
+    snapshot subset — identical semantics, zero code change."""
+    from ..data.public_suffix import SNAPSHOT
+
+    if rules is None:
+        rules = SNAPSHOT
     host = host_col(url_c)
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    two_level = F.lit("co.uk ac.uk gov.uk com.au net.au org.au co.jp or.jp "
-                      "com.br com.cn com.mx co.in co.nz").cast("string")
-    is_two_level = F.array_contains(F.split(two_level, " "), last2)
-    return F.when(n <= 2, host).when(
-        is_two_level & (n >= 3),
-        F.concat_ws(".", F.element_at(parts, -3), last2),
-    ).otherwise(last2)
+    last1 = F.element_at(parts, -1)
+    # ANSI mode: element_at(-k) throws on short arrays, and CaseWhen only
+    # evaluates VALUE branches lazily (conditions are eager) — so the
+    # suffix keys are built inside guarded value branches
+    last2 = F.when(
+        n >= 2, F.array_join(F.slice(parts, -2, 2), ".")
+    ).otherwise(F.lit(""))
+    last3 = F.when(
+        n >= 3, F.array_join(F.slice(parts, -3, 3), ".")
+    ).otherwise(F.lit(""))
+    suffix_len = (
+        F.when((n >= 3) & last3.isin(*sorted(rules.suffixes_3)), F.lit(3))
+        .when((n >= 2) & last2.isin(*sorted(rules.exceptions_2)), F.lit(1))
+        .when(
+            (n >= 2)
+            & (last2.isin(*sorted(rules.suffixes_2))
+               | last1.isin(*sorted(rules.wildcard_1))),
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+    )
+    # registrable = suffix + 1 label; hosts at/below the suffix stay whole
+    return F.when(
+        n <= suffix_len, host
+    ).otherwise(
+        F.array_join(F.slice(parts, n - suffix_len, suffix_len + 1), ".")
+    )
 
 
 def domain_stats(
