@@ -113,6 +113,17 @@ def enrich_tile_counts(
     includes the complete encode work the metric advertises.
     """
     enriched = enrich_pages(spark, pages, with_geometry=False)
+    return tile_counts_from_enriched(enriched, salted=salted)
+
+
+def tile_counts_from_enriched(enriched: DataFrame, salted: bool = True) -> DataFrame:
+    """The aggregate half of enrich_tile_counts, over already-enriched rows.
+
+    Factored out so the STREAMING twin shares it verbatim: the stream stage
+    materializes enriched rows (per-row transforms only — nothing in the
+    micro-batch shuffles) and this aggregate runs over the sink, because
+    count_distinct partials are not incrementally mergeable across batches.
+    """
     exploded = enriched.where(F.col("coord_valid")).select(
         "hex_r7", "hex_r8", "hex_r9", "hex_r10", "s2_cell", "zxy_cell", "xz2_code",
         F.explode_outer("countries").alias("country"),
