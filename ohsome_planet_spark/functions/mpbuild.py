@@ -40,20 +40,40 @@ is `difference_faces` below — a planar face trace replacing the JTS boolean
 op (no GEOS in this container), golden-tested by
 test_mpbuild.test_722_inners_split_outer.
 
-Same-role ring overlaps (`handleIntersectingAndTouchingPolygons:146-156`):
-a LineString ring∩ring intersection means shared/collinear boundary edges —
-INNER rings are resolved by union (`polyA.union(polyB)`, keeping only the
-union's exterior ring as the hole, so a pocket enclosed between two
-C-shaped inners is punched out with them, exactly as the reference's
-`innerPoly.getExteriorRing()` does); OUTER rings raise "Overlapping outer
-rings". `_refine_collinear` first splits edges at collinear-overlap
-vertices so partially-overlapping edges become vertex-matched (the JTS
-overlay does this implicitly); a bare T-touch is NOT refined, preserving
-the "Touching polygons without common node" error. The union here is a
-directed-edge cancellation + face trace valid for interior-disjoint rings;
-interior-overlapping same-direction boundary sharing (JTS would still union)
-stays an error — at that point the inputs are already degenerate enough
-that the reference's own nesting has mis-sorted them.
+Same-role ring overlaps (`handleIntersectingAndTouchingPolygons:114-156`)
+— the full decision table, reproduced exactly (round-4 residual closure;
+every row below is golden-tested in tests/test_mpbuild.py):
+
+* shared boundary arriving as IDENTICAL 2-node segments never reaches the
+  polygon-level handler at all: the segment layer dedups the copies
+  (`NodeSegments.add:11-18` HashSet + `filterOutRedundantSegments:41-59`
+  at the resulting odd-degree junctions), so e.g. two interlocking
+  C-shaped inners re-assemble as the combined square PLUS the enclosed
+  pocket as separate rings, and nesting makes the pocket an explicit
+  ISLAND polygon (test_7xx_two_c_pocket_identical_segments_island);
+* PARTIAL-edge overlaps (distinct vertices) keep the rings whole and the
+  intersection classifies as (Multi)LineString → INNER rings are resolved
+  by union (`polyA.union(polyB)` + the later `getExteriorRing()` hole
+  punch — an enclosed pocket is DROPPED, not islanded:
+  test_7xx_two_c_pocket_partial_edges_union_drops_pocket); OUTER rings
+  raise "Overlapping outer rings". `_refine_collinear` first splits edges
+  at collinear-overlap vertices so these runs become vertex-matched (the
+  JTS overlay nodes implicitly); a bare T-touch is NOT refined, keeping
+  the "Touching polygons without common node" error;
+* an intersection MIXING shared lines with isolated point contacts (a
+  lone shared vertex, a transversal crossing, a T-touch alongside an edge
+  run) is a JTS GeometryCollection, which matches NEITHER instanceof
+  branch of the reference's handler — it falls through SILENTLY and both
+  rings ship verbatim (the multipolygon is then simply invalid, and the
+  reference stores it as-is). `_rings_mixed_intersection` reproduces that
+  fall-through (test_mixed_intersection_fallthrough_keeps_overlapping_
+  holes). One documented divergence remains: a fall-through pair
+  COMBINED with a separate repair-needing contact in the same polygon
+  degenerates to the empty-geometry error here (the planar face trace
+  cannot overlay overlapping holes; JTS's difference could);
+* one inner CONTAINED in another while sharing boundary runs never
+  reaches the handler either — nesting alternation makes it an island
+  (test_contained_inner_sharing_run_with_containing_inner_is_island).
 """
 
 from __future__ import annotations
@@ -647,6 +667,70 @@ def _edge_overlap(ra, rb) -> bool:
     return bool(_ring_edges(ra) & _ring_edges(rb))
 
 
+def _seg_proper_cross(p, q, r, s) -> bool:
+    """True if segments pq and rs intersect at a point interior to both
+    (a transversal crossing — JTS would emit a Point component there)."""
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    o1, o2 = orient(p, q, r), orient(p, q, s)
+    o3, o4 = orient(r, s, p), orient(r, s, q)
+    return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
+
+
+def _on_open_segment(pt, a, b) -> bool:
+    """pt strictly inside segment ab (collinear, between, not an endpoint)."""
+    if pt == a or pt == b:
+        return False
+    cross = (b[0] - a[0]) * (pt[1] - a[1]) - (b[1] - a[1]) * (pt[0] - a[0])
+    if cross != 0:
+        return False
+    return (min(a[0], b[0]) <= pt[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= pt[1] <= max(a[1], b[1]))
+
+
+def _rings_mixed_intersection(ra, rb) -> bool:
+    """True when the ring∩ring intersection mixes shared EDGES with
+    isolated POINT contacts — the class JTS reports as a
+    GeometryCollection, which `handleIntersectingAndTouchingPolygons`
+    matches with NEITHER of its instanceof branches and therefore skips
+    silently (`GeometryBuilder.java:114-155`: no error, no union, both
+    polygons kept — the assembled multipolygon is simply invalid). The
+    build mirrors that fall-through exactly, so this classifier detects:
+
+    * a shared vertex not incident to any shared edge (lone touch), or
+    * a transversal proper crossing between non-shared edges, or
+    * a vertex of one ring strictly inside a non-shared edge of the other
+      (T-touch).
+    """
+    ea = _ring_edges(ra)
+    eb = _ring_edges(rb)
+    shared = ea & eb
+    if not shared:
+        return False
+    shared_pts = {p for e in shared for p in e}
+    va = {tuple(p) for p in ra[:-1]}
+    vb = {tuple(p) for p in rb[:-1]}
+    if (va & vb) - shared_pts:
+        return True
+    only_a = [tuple(e) for e in ea - shared]
+    only_b = [tuple(e) for e in eb - shared]
+    for p, q in only_a:
+        for r, s in only_b:
+            if _seg_proper_cross(p, q, r, s):
+                return True
+    for pt in va:
+        for r, s in only_b:
+            if _on_open_segment(pt, r, s):
+                return True
+    for pt in vb:
+        for p, q in only_a:
+            if _on_open_segment(pt, p, q):
+                return True
+    return False
+
+
 def _refine_collinear(rings: list[list[tuple]]) -> list[list[tuple]]:
     """Split ring edges at other rings' vertices that lie in the edge
     interior AND belong to a collinear adjacent edge — making collinear
@@ -863,6 +947,8 @@ def build_multipolygon(
             for j in range(i + 1, len(outers)):
                 shared = _rings_intersection_nodes(outers[i], outers[j])
                 if _edge_overlap(outers[i], outers[j]):
+                    if _rings_mixed_intersection(outers[i], outers[j]):
+                        continue  # GeometryCollection fall-through (see inners)
                     raise MultiPolygonBuildError("Overlapping outer rings")
                 if len(shared) >= 2 and _interiors_overlap(outers[i], outers[j]):
                     a_new = _difference_single(outers[i], outers[j])
@@ -887,12 +973,21 @@ def build_multipolygon(
         # keeping only the union's exterior ring (mergeTouching=true branch:
         # polyA.union(polyB) + the later getExteriorRing() hole punch)
         inners = list(inners)
+        # pairs whose intersection mixes shared edges with isolated point
+        # contacts: the reference's GeometryCollection fall-through — both
+        # rings kept verbatim, no union, no error (the output multipolygon
+        # is then simply invalid, exactly as the reference emits it)
+        fallthrough: set[frozenset] = set()
         merged_any = True
         while merged_any:
             merged_any = False
             for a in range(len(inners)):
                 for b in range(a + 1, len(inners)):
                     if _edge_overlap(inners[a], inners[b]):
+                        if _rings_mixed_intersection(inners[a], inners[b]):
+                            fallthrough.add(
+                                frozenset((id(inners[a]), id(inners[b]))))
+                            continue
                         inners[a] = _union_two_rings(inners[a], inners[b])
                         del inners[b]
                         merged_any = True
@@ -912,12 +1007,23 @@ def build_multipolygon(
                     break
         # does this polygon need the difference repair? (reference:
         # formsEnclosedAreas from inner-inner touches `buildMultiPolygon:
-        # 78-85`, or a non-Point inner∩outer intersection `:87-105`)
+        # 78-85`, or a non-Point inner∩outer intersection `:87-105`).
+        # A GeometryCollection fall-through pair sets NOTHING in the
+        # reference (its branch skips silently), so those holes ship raw.
         needs_difference = False
         for a in range(len(inners)):
             for b in range(a + 1, len(inners)):
+                if frozenset((id(inners[a]), id(inners[b]))) in fallthrough:
+                    continue
                 if _rings_intersection_nodes(inners[a], inners[b]):
                     needs_difference = True
+        if fallthrough and needs_difference:
+            # overlapping fall-through holes + a repair-needing contact:
+            # the face trace cannot overlay overlapping holes (JTS's
+            # difference could); degenerate to the empty-geometry error —
+            # documented divergence for this doubly-degenerate input class
+            raise MultiPolygonBuildError(
+                "mixed-intersection holes alongside repair-needing contacts")
         for inner in inners:
             shared = _rings_intersection_nodes(outer_ring, inner)
             if len(shared) >= 2:

@@ -691,3 +691,131 @@ def test_compound_notch_classes(name, inners, expected):
     big = [(0, 0), (20, 0), (20, 10), (0, 10), (0, 0)]
     kind, polys = build_multipolygon([list(big)], [list(map(tuple, r)) for r in inners])
     assert _planar_area(polys) == pytest.approx(expected)
+
+
+# --- round 4: residual-closure goldens + further 7xx-class families ---------
+
+
+def test_7xx_two_c_pocket_identical_segments_island():
+    """Two interlocking C-shaped inners whose shared boundary arrives as
+    IDENTICAL 2-node segments: the segment layer dedups them
+    (`splitWays` segment HashSet + `NodeSegments.add` dup tracking +
+    `filterOutRedundantSegments` at the odd-degree junctions,
+    NodeSegments.java:11-59), so ring assembly yields the combined square
+    plus the enclosed pocket as SEPARATE rings and area-desc nesting makes
+    the pocket an explicit ISLAND polygon. Ring-structure golden (not just
+    moments) — this is the reference's grouping on this input class; the
+    JTS union/getExteriorRing path is never reached here."""
+    outer = [(0, 0), (20, 0), (20, 20), (0, 20), (0, 0)]
+    c1 = [(4, 4), (10, 4), (10, 6), (6, 6), (6, 14), (10, 14), (10, 16),
+          (4, 16), (4, 4)]
+    c2 = [(10, 4), (16, 4), (16, 16), (10, 16), (10, 14), (14, 14), (14, 6),
+          (10, 6), (10, 4)]
+    got = norm_mp(build_multipolygon([outer], [c1, c2]))
+    exp = mp_from_wkt(
+        "MULTIPOLYGON(((0 0,20 0,20 20,0 20,0 0),"
+        "(4 4,10 4,16 4,16 16,10 16,4 16,4 4)),"
+        "((6 6,10 6,14 6,14 14,10 14,6 14,6 6)))"
+    )
+    assert got == exp
+
+
+def test_7xx_two_c_pocket_partial_edges_union_drops_pocket():
+    """Same pocket topology but the shared boundary runs are PARTIAL edge
+    overlaps (no shared 2-node segments, no shared vertices): segments stay
+    distinct, both C rings assemble whole, nesting sees two same-shell
+    inners with a line intersection → the union branch
+    (`handleIntersectingAndTouchingPolygons:146-156` mergeTouching) fires
+    and `getExteriorRing()` keeps ONLY the union shell as the hole — the
+    enclosed pocket is dropped from the result entirely. Structure golden
+    for the union-path grouping (pocket NOT an island here)."""
+    outer = [(0, 0), (20, 0), (20, 20), (0, 20), (0, 0)]
+    c1 = [(4, 4), (10, 4), (10, 6), (6, 6), (6, 14), (10, 14), (10, 16),
+          (4, 16), (4, 4)]
+    c2 = [(10, 5), (16, 5), (16, 15), (10, 15), (10, 13), (14, 13), (14, 7),
+          (10, 7), (10, 5)]
+    kind, polys = build_multipolygon([outer], [c1, c2])
+    assert len(polys) == 1 and len(polys[0]) == 2  # shell + ONE hole, no island
+    hole = polys[0][1]
+    xs = [p[0] for p in hole]
+    ys = [p[1] for p in hole]
+    assert (min(xs), min(ys), max(xs), max(ys)) == (4.0, 4.0, 16.0, 16.0)
+
+
+def test_contained_inner_sharing_run_with_containing_inner_is_island():
+    """An inner wholly inside another inner while sharing part of its
+    boundary run: the reference's nesting (`buildMultiPolygon:33-49`,
+    `prevPoly.contains(currPoly)` with isInner alternation) makes it an
+    ISLAND polygon — no union, no error. Grouping golden."""
+    shell = [(0, 0), (20, 0), (20, 20), (0, 20), (0, 0)]
+    a = [(2, 2), (10, 2), (10, 10), (2, 10), (2, 2)]
+    b = [(3, 2), (7, 2), (7, 6), (3, 6), (3, 2)]
+    kind, polys = build_multipolygon([shell], [a, b])
+    assert len(polys) == 2
+    assert sorted(len(p) for p in polys) == [1, 2]
+    assert _planar_area(polys) == pytest.approx(400.0 - 64.0 + 16.0)
+
+
+def test_mixed_intersection_fallthrough_keeps_overlapping_holes():
+    """Interior-overlapping inners sharing a boundary run AND crossing
+    transversally at a non-vertex: JTS reports the ring intersection as a
+    GeometryCollection, which matches NEITHER instanceof branch of
+    `handleIntersectingAndTouchingPolygons` — the reference SKIPS the pair
+    silently and emits the polygon with both overlapping holes (an invalid
+    multipolygon, stored as-is). The build now mirrors that fall-through
+    instead of erroring. This closes the former 'interior-overlapping
+    same-direction boundary sharing stays an error' docstring caveat."""
+    shell = [(0, 0), (20, 0), (20, 20), (0, 20), (0, 0)]
+    a = [(2, 2), (8, 2), (8, 8), (2, 8), (2, 2)]
+    b = [(5, 2), (12, 2), (12, 6), (5, 6), (5, 2)]
+    kind, polys = build_multipolygon([shell], [a, b])
+    assert len(polys) == 1 and len(polys[0]) == 3  # shell + BOTH holes, verbatim
+    holes = {norm_ring(r) for r in polys[0][1:]}
+    assert holes == {
+        norm_ring([(2, 2), (5, 2), (8, 2), (8, 8), (2, 8), (2, 2)]),
+        norm_ring([(5, 2), (8, 2), (12, 2), (12, 6), (5, 6), (5, 2)]),
+    }
+
+
+def test_7xx_inner_role_outside_outer_salvaged_as_polygon():
+    """Role-mismatch salvage: an inner-role ring DISJOINT from every outer
+    is its own polygon (roles ignored, area-desc nesting only)."""
+    a = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    stray = [(20, 20), (24, 20), (24, 24), (20, 24), (20, 20)]
+    kind, polys = build_multipolygon([a], [stray])
+    assert len(polys) == 2
+    assert _planar_area(polys) == pytest.approx(100.0 + 16.0)
+
+
+def test_7xx_duplicate_way_deduped():
+    """The same closed way appearing twice (duplicate member): `splitWays`
+    dedups ways by coordinate SET (`GeometryBuilder.java:225-233`) — one
+    polygon, not a parity error."""
+    ring = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    kind, polys = build_multipolygon([ring, list(ring)], [])
+    assert len(polys) == 1
+    assert _planar_area(polys) == pytest.approx(16.0)
+
+
+def test_7xx_dangling_chain_parity_error_and_legacy_salvage():
+    """A closed square plus an open dangling chain from another way: DEFAULT
+    mode fails parity (odd degrees at the chain ends); LEGACY mode removes
+    the mismatched single-way segments (`removeMismatchedSegments:105-135`)
+    and salvages the square."""
+    square = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    dangle = [(4, 4), (6, 6), (8, 6)]
+    with pytest.raises(MultiPolygonBuildError):
+        build_multipolygon([square, dangle], [])
+    kind, polys = build_multipolygon([square, dangle], [], mode="legacy")
+    assert len(polys) == 1
+    assert _planar_area(polys) == pytest.approx(16.0)
+
+
+def test_7xx_hole_touching_outer_at_single_node():
+    """Inner sharing exactly one vertex with the outer: Point-class
+    intersection — allowed, plain hole (no difference repair)."""
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    hole = [(0, 0), (4, 2), (2, 4), (0, 0)]
+    kind, polys = build_multipolygon([outer], [hole])
+    assert len(polys) == 1 and len(polys[0]) == 2
+    assert _planar_area(polys) == pytest.approx(100.0 - 6.0)
