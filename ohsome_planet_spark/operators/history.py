@@ -2021,7 +2021,12 @@ def convert_relation_contributions(
             minor_version += 1
         edits += 1
 
-        entries = [_member_entry(cache, m) for m in c["rel_members"]]
+        # the array kernel (operators/relation_arrow.py) pre-resolves member
+        # entries batched; the dict path resolves per snapshot via the cache
+        entries = [
+            m["entry"] if "entry" in m else _member_entry(cache, m)
+            for m in c["rel_members"]
+        ]
         if c["visible"]:
             info = _relation_geom_info(
                 c["tags"], c["rel_members"], entries, joiner=country_join)
@@ -2237,7 +2242,9 @@ def relation_contributions(
         pdf = pd.concat(chunks, ignore_index=True)
         if not len(pdf):
             return
-        pdf_out = _relation_partition_kernel(pdf, joiner)
+        from .relation_arrow import relation_partition_kernel
+
+        pdf_out = relation_partition_kernel(pdf, joiner)
         if pdf_out is not None and len(pdf_out):
             yield pdf_out
 
