@@ -86,4 +86,7 @@ def test_history_merge_is_cogroup_not_join_explosion(spark):
     # one shuffle to the way id, then a partition-level Arrow kernel — no
     # per-key apply machinery, no row-explosion join of histories
     assert "MapInArrow" in plan
+    # XZ2 is computed IN-kernel on the arrow path: no ArrowEvalPython
+    # post-pass may reappear (it would re-transfer the whole output)
+    assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
