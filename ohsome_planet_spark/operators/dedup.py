@@ -39,7 +39,30 @@ def words_col(text_c: Column) -> Column:
 
 
 def shingles_col(text_c: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> — pure JVM expressions."""
+    """Word n-gram shingles as array<string> — ONE codegen'd regex pass.
+
+    Overlapping n-word windows via a capturing lookahead anchored at word
+    boundaries: the pattern `(?:^| )(?=((\\S+ ){n-1}\\S+))` consumes the
+    boundary (so the scan advances word by word) while the lookahead
+    captures the n-gram without consuming it. Whitespace is normalized to
+    single spaces first, making the captures byte-identical to
+    concat_ws(' ', slice(words, i, n)) — the HOF formulation this
+    replaces (`shingles_col_hof`, kept as the property-test twin): the
+    transform/slice/concat chain runs on Spark's interpreted
+    higher-order-function path and was ~10× slower per corpus scan.
+    DuckDB oracles keep their split+slice formulation (RE2 has no
+    lookahead); values are equal, which is what the compare checks."""
+    norm = F.regexp_replace(F.lower(F.trim(text_c)), r"\s+", " ")
+    pat = r"(?:^| )(?=(" + r" ".join([r"\S+"] * n) + r"))"
+    return F.coalesce(
+        F.regexp_extract_all(norm, F.lit(pat), F.lit(1)),
+        F.array().cast("array<string>"),
+    )
+
+
+def shingles_col_hof(text_c: Column, n: int = 3) -> Column:
+    """Original higher-order-function shingles — the semantics twin
+    shingles_col is property-tested against (see test_dedup)."""
     w = words_col(text_c)
     count = F.size(w) - (n - 1)
     # sequence(1, 0) descends — guard texts shorter than one shingle
