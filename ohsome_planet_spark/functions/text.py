@@ -51,14 +51,21 @@ def hashtags_py(hashtags_field: str | None, comment_field: str | None) -> list[s
 
 
 def hashtags_col(hashtags_c: Column, comment_c: Column) -> Column:
-    """JVM-side equivalent of hashtags_py over two string columns."""
+    """JVM-side equivalent of hashtags_py over two string columns.
+
+    The len≥2 and not-all-digits rules are folded INTO the extraction
+    regex (quantifier + a negative lookahead for a digit run ending at an
+    excluded char or end-of-string), so no interpreted higher-order
+    transform/filter runs per tag — the whole extraction stays in
+    whole-stage codegen; only the native array_distinct/array_sort
+    expressions follow. Property-tested equal to hashtags_py."""
+    pat = f"#(?!\\d+(?:[{_HASHTAG_EXCL}]|$))([^{_HASHTAG_EXCL}]{{2,}})"
+
     def extract(c: Column) -> Column:
         cleaned = F.regexp_replace(F.coalesce(c, F.lit("")), r"http\S*", "")
-        return F.regexp_extract_all(cleaned, F.lit(f"(#[^{_HASHTAG_EXCL}]+)"), 1)
+        return F.regexp_extract_all(cleaned, F.lit(pat), 1)
 
     tags = F.concat(extract(hashtags_c), extract(comment_c))
-    tags = F.transform(tags, lambda t: F.substring(t, 2, 1 << 30))
-    tags = F.filter(tags, lambda t: (F.length(t) >= 2) & ~t.rlike(r"^\d+$"))
     return F.array_sort(F.array_distinct(tags))
 
 

@@ -224,3 +224,34 @@ def test_registered_domain_heuristic(spark):
     got = dict(zip(cases, (r[0] for r in df.select(
         registered_domain_col(F.col("url"))).collect())))
     assert got == cases
+
+
+def test_hashtags_col_matches_py_randomized(spark):
+    """The folded-regex hashtags_col == hashtags_py across randomized
+    strings mixing tags, urls, digits-only tags, short tags, punctuation
+    boundaries, and unicode-space separators."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    pieces = ["#ok", "#no", "#x", "#12", "#12ab", "#tag-1", "#тег", "#A_B",
+              "http://e.com/#skip", "https://x#y", "plain", "#", "##d",
+              "#ok#ok2", "#end.", "#mid,tail", "#123", "#1", " #nb",
+              "#emoji🎉", "# space", "#tab\t#after"]
+    rows = []
+    for i in range(300):
+        a = " ".join(rng.choices(pieces, k=rng.randint(0, 6))) or None
+        b = " ".join(rng.choices(pieces, k=rng.randint(0, 6))) or None
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    from ohsome_planet_spark.functions.text import hashtags_col, hashtags_py
+
+    got = {
+        r["i"]: list(r["tags"])
+        for r in df.select(
+            "i", hashtags_col(F.col("a"), F.col("b")).alias("tags")
+        ).collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == hashtags_py(a, b), (i, a, b)
