@@ -126,10 +126,31 @@ def minhash_lsh_pairs(
     surfaces).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
-        minhash_signature_col(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    # STAGED signature build: the one-expression minhash_signature_col
+    # embeds the shingle+base-hash subtree inside EVERY one of the
+    # num_hashes array_min branches (Catalyst does not CSE across them),
+    # recomputing shingling 32×. Materializing _sh → base → pmod as
+    # projection steps computes each stage once per row — CollapseProject
+    # keeps non-cheap aliases used more than once as real projections.
+    # Values are bit-identical (same (a·h+b) mod p arithmetic).
+    sig = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
+        )
+        .select("_id", "_sh",
+                F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hb"))
+        .select("_id", "_sh",
+                F.transform("_hb", lambda h: F.pmod(h, F.lit(MERSENNE))).alias("_hm"))
+        .select(
+            "_id", "_sh",
+            F.array(*[
+                F.array_min(F.transform(
+                    "_hm",
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE))))
+                for a, b in _hash_params(num_hashes)
+            ]).alias("_sig"),
+        )
     )
     band_cols = [
         F.hash(F.slice("_sig", i * rows_per_band + 1, rows_per_band), F.lit(i)).alias("_b")
