@@ -310,6 +310,56 @@ def simhash_col(text_c: Column, num_bits: int = 64, hash_mode: str = "xxhash64")
     return F.coalesce(sig, F.lit(0).cast("long"))  # null text → 0, like empty
 
 
+def with_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 64,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(_id, _sig) via explode + codegen'd per-bit SUM aggregation.
+
+    The one-expression `simhash_col` runs an interpreted aggregate() that
+    rebuilds a 64-element vote array per TOKEN (≈128 interpreted ops +
+    an array allocation each) — measured 5.3s over sf0.1 docs. Here the
+    tokens explode and 64 plain `sum((h >> b) & 1)` columns aggregate per
+    doc inside whole-stage codegen; vote_b = 2·s_b − n, bits are disjoint
+    so the signature assembles as a sum. Map-side partial aggregation
+    compresses each input partition to ~one row per doc BEFORE the
+    shuffle, so the shuffle volume is O(docs), not O(tokens) — the
+    100 TB-safe shape. Signatures are bit-identical to simhash_col
+    (property-tested)."""
+    if hash_mode == "md5":
+        base = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
+    else:
+        base = F.xxhash64(F.col("_t"))
+    toks = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(words_col(F.col(text_col))).alias("_t"))
+        .where(F.col("_t") != "")
+        .select("_id", base.alias("_h"))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1))).alias(f"_s{b}")
+        for b in range(num_bits)
+    ]
+    g = toks.groupBy("_id").agg(*aggs)
+    sig = None
+    for b in range(num_bits):
+        power = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        term = F.when(2 * F.col(f"_s{b}") - F.col("_n") > 0, power).otherwise(
+            F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    g = g.select("_id", sig.alias("_sig"))
+    # docs with zero tokens have no exploded rows: left join + 0 default
+    # (simhash_col returns 0 for empty/null text)
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(g, "_id", "left")
+        .select("_id", F.coalesce("_sig", F.lit(0).cast("long")).alias("_sig"))
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -321,10 +371,7 @@ def simhash_near_dups(
     """SimHash near-dup pairs: block the 64-bit signature into `blocks`
     16-bit keys (pigeonhole: hamming ≤ blocks-1 ⇒ some block equal), join on
     any equal block, verify hamming distance ≤ max_hamming JVM-side."""
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        simhash_col(F.col(text_col), hash_mode=hash_mode).alias("_sig"),
-    )
+    sig = with_simhash(df, id_col=id_col, text_col=text_col, hash_mode=hash_mode)
     width = 64 // blocks
     mask = (1 << width) - 1
     block_cols = [
