@@ -416,16 +416,22 @@ def embedding_near_dups(
     in-bucket exact cosine verification (JVM higher-order array math)."""
     rng = np.random.default_rng(seed)
     hyper = rng.standard_normal((planes, dim))
-    to_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # staged: the doubled vector, its norm, and the bucket materialize once
+    # per ROW (the inline form re-embedded the double-cast transform in all
+    # `planes` sign branches and re-folded both norms per PAIR)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
     sign_bits = []
     for p in range(planes):
         coeffs = F.array(*[F.lit(float(x)) for x in hyper[p]])
         dot = F.aggregate(
-            F.zip_with(to_dbl, coeffs, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+            F.zip_with("_v", coeffs, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
         )
         sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
     bucket = sum(sign_bits[1:], sign_bits[0])
-    tagged = df.select(F.col(id_col).alias("_id"), to_dbl.alias("_v"), bucket.alias("_bkt"))
+    tagged = base.select("_id", "_v", bucket.alias("_bkt"))
     cand = (
         tagged.alias("l")
         .join(
@@ -439,6 +445,9 @@ def embedding_near_dups(
             F.col("r._v").alias("vb"),
         )
     )
+    # norms stay per PAIR here: tight LSH buckets make pairs ≪ rows, so
+    # per-row staging would cost MORE folds (the topk ops make the
+    # opposite call — their pair fan-out dwarfs the row count)
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, v: acc + v * v))

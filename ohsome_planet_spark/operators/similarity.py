@@ -28,6 +28,18 @@ def cosine_col(a, b) -> Column:
     return dot / (na * nb)
 
 
+def norm_col(a) -> Column:
+    """Sequential-fold L2 norm — the same left-fold order as cosine_col's
+    inline norms, so staging it per VECTOR (instead of per pair) keeps
+    scores bit-identical."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _dot_over_norms(a, b, na, nb) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (na * nb)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -36,12 +48,23 @@ def brute_force_topk(
     cand_id: str = "cand_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k (rank on round(cos,4), id tiebreak)."""
-    q = queries.select(F.col(query_id), _to_double(F.col(vec_col)).alias("qv"))
-    c = candidates.select(F.col(cand_id), _to_double(F.col(vec_col)).alias("cv"))
+    """Exact cosine top-k (rank on round(cos,4), id tiebreak).
+
+    Norms are staged per VECTOR before the join — the inline formulation
+    re-ran both interpreted norm folds for every PAIR (3× the HOF work of
+    the dot product alone). Same float ops in the same order → scores
+    unchanged."""
+    q = queries.select(
+        F.col(query_id), _to_double(F.col(vec_col)).alias("qv")
+    ).select(query_id, "qv", norm_col(F.col("qv")).alias("qn"))
+    c = candidates.select(
+        F.col(cand_id), _to_double(F.col(vec_col)).alias("cv")
+    ).select(cand_id, "cv", norm_col(F.col("cv")).alias("cn"))
     pairs = q.crossJoin(c).where(F.col(query_id) != F.col(cand_id))
     scored = pairs.select(
-        query_id, cand_id, F.round(cosine_col(F.col("qv"), F.col("cv")), 4).alias("cos_sim")
+        query_id, cand_id,
+        F.round(_dot_over_norms(F.col("qv"), F.col("cv"),
+                                F.col("qn"), F.col("cn")), 4).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
@@ -83,26 +106,33 @@ def ann_topk(
     """
     rng = np.random.default_rng(seed)
     hyper = rng.standard_normal((planes, dim))
+    # staged projections: the doubled vector and its norm materialize once
+    # per ROW; the per-plane bucket aggregates and the per-pair dot then
+    # reference plain column attributes (no re-embedded HOF subtrees)
     q = queries.select(
-        F.col(query_id),
-        _to_double(F.col(vec_col)).alias("qv"),
-        _bucket_col(_to_double(F.col(vec_col)), hyper).alias("_b0"),
+        F.col(query_id), _to_double(F.col(vec_col)).alias("qv")
+    ).select(
+        query_id, "qv", norm_col(F.col("qv")).alias("qn"),
+        _bucket_col(F.col("qv"), hyper).alias("_b0"),
     )
     if multiprobe:
         probes = F.array(
             F.col("_b0"), *[F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
         )
-        q = q.select(query_id, "qv", F.explode(probes).alias("_bkt"))
+        q = q.select(query_id, "qv", "qn", F.explode(probes).alias("_bkt"))
     else:
-        q = q.select(query_id, "qv", F.col("_b0").alias("_bkt"))
+        q = q.select(query_id, "qv", "qn", F.col("_b0").alias("_bkt"))
     c = candidates.select(
-        F.col(cand_id),
-        _to_double(F.col(vec_col)).alias("cv"),
-        _bucket_col(_to_double(F.col(vec_col)), hyper).alias("_bkt"),
+        F.col(cand_id), _to_double(F.col(vec_col)).alias("cv")
+    ).select(
+        cand_id, "cv", norm_col(F.col("cv")).alias("cn"),
+        _bucket_col(F.col("cv"), hyper).alias("_bkt"),
     )
     pairs = q.join(c, "_bkt").where(F.col(query_id) != F.col(cand_id))
     scored = pairs.select(
-        query_id, cand_id, F.round(cosine_col(F.col("qv"), F.col("cv")), 4).alias("cos_sim")
+        query_id, cand_id,
+        F.round(_dot_over_norms(F.col("qv"), F.col("cv"),
+                                F.col("qn"), F.col("cn")), 4).alias("cos_sim"),
     ).dropDuplicates([query_id, cand_id])
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
@@ -170,15 +200,17 @@ def ivf_topk(
         F.col(cand_id),
         _to_double(F.col(vec_col)).alias("cv"),
         F.element_at(lists_udf(1)(F.col(vec_col)), 1).alias("_list"),
-    )
+    ).select(cand_id, "cv", "_list", norm_col(F.col("cv")).alias("cn"))
     q_assigned = queries.select(
         F.col(query_id),
         _to_double(F.col(vec_col)).alias("qv"),
         F.explode(lists_udf(nprobe)(F.col(vec_col))).alias("_list"),
-    )
+    ).select(query_id, "qv", "_list", norm_col(F.col("qv")).alias("qn"))
     pairs = q_assigned.join(c_assigned, "_list").where(F.col(query_id) != F.col(cand_id))
     scored = pairs.select(
-        query_id, cand_id, F.round(cosine_col(F.col("qv"), F.col("cv")), 4).alias("cos_sim")
+        query_id, cand_id,
+        F.round(_dot_over_norms(F.col("qv"), F.col("cv"),
+                                F.col("qn"), F.col("cn")), 4).alias("cos_sim"),
     ).dropDuplicates([query_id, cand_id])
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
