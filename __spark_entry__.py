@@ -2662,6 +2662,132 @@ GROUP BY canonical_url
 """
 
 
+def _q_gopher_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher lexical rules (Rae et al. 2021 A1): mean word length,
+    symbol-to-word ratio (# and ellipses), fraction of words with a
+    letter, stop-word count — all whole-stage-codegen expressions; the
+    DuckDB twin replays the same arithmetic (int/int → double divisions
+    are IEEE-identical cross-engine)."""
+    from ohsome_planet_spark.functions.text import gopher_lexical_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_lexical_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g["n_words"].cast("long").alias("n_words"),
+        g["mean_word_length"].alias("mean_word_length"),
+        g["symbol_to_word_ratio"].alias("symbol_to_word_ratio"),
+        g["frac_words_alpha"].alias("frac_words_alpha"),
+        g["n_stop_words"].cast("long").alias("n_stop_words"),
+    )
+
+
+_GOPHER_LEXICAL_ORACLE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+),
+b AS (
+  SELECT doc_id, norm, length(norm) AS len,
+         CASE WHEN length(norm) > 0
+              THEN len(string_split(norm, ' ')) ELSE 0 END AS nw,
+         string_split(norm, ' ') AS w
+  FROM base
+)
+SELECT doc_id,
+       nw::BIGINT AS n_words,
+       CASE WHEN nw > 0 THEN (len - (nw - 1)) / CAST(nw AS DOUBLE)
+            ELSE 0.0 END AS mean_word_length,
+       CASE WHEN nw > 0 THEN
+         (length(norm) - length(replace(norm, '#', ''))
+          + len(regexp_extract_all(norm, '(\.\.\.|…)'))) / CAST(nw AS DOUBLE)
+         ELSE 0.0 END AS symbol_to_word_ratio,
+       CASE WHEN nw > 0 THEN
+         len(regexp_extract_all(norm, '(?:^| )([^ ]*\pL[^ ]*)', 1))
+           / CAST(nw AS DOUBLE)
+         ELSE 0.0 END AS frac_words_alpha,
+       len(list_filter(w, x -> x IN
+         ('the','be','to','of','and','that','have','with')))::BIGINT
+         AS n_stop_words
+FROM b
+"""
+
+
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition fractions (top 2/3-gram chars, duplicate
+    5/6-gram chars) over the documents table plus planted pathological
+    docs (one looping 2-gram, one with a repeated 6-gram block). One
+    explode for all n; counts combine map-side."""
+    from ohsome_planet_spark.functions.text import with_gopher_repetition
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    loops = base.where(d % 11 == 0).select(
+        (d + 500000).alias("doc_id"),
+        F.lit("spam ham spam ham spam ham spam ham end").alias("text"))
+    blocks = base.where(d % 13 == 0).select(
+        (d + 600000).alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.col("text")).alias("text"))
+    corpus = base.unionByName(loops).unionByName(blocks)
+    return with_gopher_repetition(
+        corpus, top_ns=(2, 3), dup_ns=(5, 6)
+    )
+
+
+def _gopher_repetition_oracle_sql() -> str:
+    ns = (2, 3, 5, 6)
+    gram_branches = " UNION ALL ".join(f"""
+      SELECT doc_id, {n} AS n, array_to_string(w[i:i+{n - 1}], ' ') AS g
+      FROM words, unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)"""
+        for n in ns)
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 500000, 'spam ham spam ham spam ham spam ham end'
+  FROM base WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 600000,
+         'alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon zeta ' || text
+  FROM base WHERE doc_id % 13 = 0
+),
+lens AS (
+  SELECT doc_id,
+         length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS len
+  FROM corpus
+),
+words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM corpus
+),
+grams AS ({gram_branches}),
+counts AS (
+  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g
+),
+per AS (
+  SELECT doc_id, n,
+         max(c * length(g)) AS top_chars,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup_chars
+  FROM counts GROUP BY doc_id, n
+)
+SELECT l.doc_id,
+       CASE WHEN len > 0 THEN coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0)
+            / CAST(len AS DOUBLE) ELSE 0.0 END AS frac_chars_top_2gram,
+       CASE WHEN len > 0 THEN coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0)
+            / CAST(len AS DOUBLE) ELSE 0.0 END AS frac_chars_top_3gram,
+       CASE WHEN len > 0 THEN coalesce(max(CASE WHEN n = 5 THEN dup_chars END), 0)
+            / CAST(len AS DOUBLE) ELSE 0.0 END AS frac_chars_dup_5grams,
+       CASE WHEN len > 0 THEN coalesce(max(CASE WHEN n = 6 THEN dup_chars END), 0)
+            / CAST(len AS DOUBLE) ELSE 0.0 END AS frac_chars_dup_6grams
+FROM lens l LEFT JOIN per USING (doc_id)
+GROUP BY l.doc_id, len
+"""
+
+
 def _q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSED corpus-curation pipeline (plans/corpus.curate_corpus) end to
     end: exact dedup → MinHash-LSH near-dup clustering → quality filter →
@@ -2990,6 +3116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "line_quality": _q_line_quality,
         "corpus_curation_e2e": _q_corpus_curation_e2e,
+        "gopher_lexical": _q_gopher_lexical,
+        "gopher_repetition": _q_gopher_repetition,
         "domain_stats": _q_domain_stats,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -3194,6 +3322,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": _URL_DEDUP_ORACLE_SQL,
         "line_quality": _LINE_QUALITY_ORACLE_SQL,
         "corpus_curation_e2e": _CORPUS_E2E_ORACLE_SQL,
+        "gopher_lexical": _GOPHER_LEXICAL_ORACLE_SQL,
+        "gopher_repetition": _gopher_repetition_oracle_sql(),
         "domain_stats": _DOMAIN_STATS_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),

@@ -227,3 +227,114 @@ def doc_fingerprint_py(text: str, window: int = 64) -> int:
 
 def sha256_hex(text: str) -> str:
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText repetition + lexical rules (Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_lexical_cols(text_c: Column) -> dict[str, Column]:
+    """The scalar Gopher lexical signals, all inside whole-stage codegen:
+
+    * mean_word_length — pure arithmetic over the single-space-normalized
+      text (chars minus separators over word count);
+    * symbol_to_word_ratio — '#' and ellipsis ('...' or '…') occurrences
+      per word;
+    * frac_words_alpha — fraction of words containing at least one letter
+      (boundary-consuming scan, same trick as the shingle extraction);
+    * n_stop_words — occurrences of the 8 Gopher stop words (boundary
+      consumed, trailing boundary via lookahead so adjacent stop words
+      both count).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text_c)), r"\s+", " ")
+    n_words = F.when(F.length(norm) > 0,
+                     F.size(F.split(norm, " "))).otherwise(F.lit(0))
+    n_chars = F.length(norm)
+    mean_wl = F.when(n_words > 0,
+                     (n_chars - (n_words - 1)) / n_words.cast("double")
+                     ).otherwise(F.lit(0.0))
+    n_sym = (F.length(norm) - F.length(F.regexp_replace(norm, r"#", ""))
+             + F.size(F.regexp_extract_all(norm, F.lit(r"(\.\.\.|…)"), 0)))
+    sym_ratio = F.when(n_words > 0,
+                       n_sym.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.regexp_extract_all(
+        norm, F.lit(r"(?:^| )([^ ]*\p{L}[^ ]*)"), 1))
+    frac_alpha = F.when(n_words > 0,
+                        n_alpha.cast("double") / n_words).otherwise(F.lit(0.0))
+    stop_pat = r"(?:^| )(?:" + "|".join(GOPHER_STOP_WORDS) + r")(?= |$)"
+    n_stop = F.size(F.regexp_extract_all(norm, F.lit(stop_pat), 0))
+    return {
+        "n_words": n_words,
+        "mean_word_length": mean_wl,
+        "symbol_to_word_ratio": sym_ratio,
+        "frac_words_alpha": frac_alpha,
+        "n_stop_words": n_stop,
+    }
+
+
+def with_gopher_repetition(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+):
+    """Gopher n-gram repetition signals per document, ONE explode total.
+
+    For each n in top_ns: `frac_chars_top_{n}gram` — characters of the
+    most frequent word n-gram (count × gram length) over the normalized
+    text length. For each n in dup_ns: `frac_chars_dup_{n}grams` —
+    characters inside n-grams occurring more than once (count × length,
+    summed) over the normalized length. (The paper does not pin the
+    overlap accounting; this count-times-length variant is deterministic,
+    integer-exact until the final division, and replayed verbatim by the
+    DuckDB oracle.)
+
+    Scale shape: ALL requested n produce their grams into one exploded
+    (doc, n, gram) stream; the (doc, n, gram) count aggregate combines
+    map-side, so the shuffle carries distinct grams, not occurrences, and
+    the per-doc reduction is a second tiny aggregate. No HOF per-row gram
+    counting (interpreted) and no O(n_ns) scans of the corpus.
+    """
+    from ..operators.dedup import shingles_col
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    norm_len = F.length(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                         r"\s+", " "))
+    base = df.select(F.col(id_col).alias("_id"), norm_len.alias("_len"),
+                     F.col(text_col).alias("_t"))
+    grams = base.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(n).alias("n"),
+                     shingles_col(F.col("_t"), n).alias("g"))
+            for n in all_ns
+        ])).alias("_e"),
+    ).select("_id", F.col("_e.n").alias("_n"), F.explode("_e.g").alias("_g"))
+    counts = grams.groupBy("_id", "_n", "_g").agg(F.count("*").alias("_c"))
+    per_doc = counts.groupBy("_id", "_n").agg(
+        F.max(F.col("_c") * F.length("_g")).alias("_top_chars"),
+        F.sum(F.when(F.col("_c") > 1,
+                     F.col("_c") * F.length("_g")).otherwise(F.lit(0))
+              ).alias("_dup_chars"),
+    )
+    pivoted = per_doc.groupBy("_id").pivot("_n", list(all_ns)).agg(
+        F.first("_top_chars").alias("top"), F.first("_dup_chars").alias("dup")
+    )
+    out = base.select("_id", "_len").join(pivoted, "_id", "left")
+
+    def frac(col: Column) -> Column:
+        return F.when(
+            F.col("_len") > 0,
+            F.coalesce(col, F.lit(0)).cast("double") / F.col("_len"),
+        ).otherwise(F.lit(0.0))
+
+    sel = [F.col("_id").alias(id_col)]
+    for n in top_ns:
+        sel.append(frac(F.col(f"{n}_top")).alias(f"frac_chars_top_{n}gram"))
+    for n in dup_ns:
+        sel.append(frac(F.col(f"{n}_dup")).alias(f"frac_chars_dup_{n}grams"))
+    return out.select(*sel)

@@ -255,3 +255,50 @@ def test_hashtags_col_matches_py_randomized(spark):
     }
     for i, a, b in rows:
         assert got[i] == hashtags_py(a, b), (i, a, b)
+
+
+def test_gopher_repetition_signals(spark):
+    """The repetition fractions must actually separate pathological docs:
+    a looping 2-gram doc scores near-1 on top-2gram chars, a doc with a
+    repeated 6-word block scores high on dup-6gram chars, and normal
+    text scores low on both."""
+    from ohsome_planet_spark.functions.text import with_gopher_repetition
+
+    rows = [
+        (1, "spam ham spam ham spam ham spam ham end"),
+        (2, "alpha beta gamma delta epsilon zeta "
+            "alpha beta gamma delta epsilon zeta tail words here now"),
+        (3, "perfectly ordinary sentence with no repeated phrasing at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_gopher_repetition(
+        df, top_ns=(2,), dup_ns=(6,)).collect()}
+    assert out[1]["frac_chars_top_2gram"] > 0.8
+    assert out[2]["frac_chars_dup_6grams"] > 0.5
+    assert out[3]["frac_chars_top_2gram"] < 0.5
+    assert out[3]["frac_chars_dup_6grams"] == 0.0
+    assert out[4]["frac_chars_top_2gram"] == 0.0
+
+
+def test_gopher_lexical_values(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.text import gopher_lexical_cols
+
+    rows = [(1, "the cat and the hat"), (2, "### ... … x1"), (3, ""),
+            (4, "12 34 abc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = gopher_lexical_cols(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in g.items()]).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 5 and r1["n_stop_words"] == 3  # the, and, the
+    assert r1["mean_word_length"] == (19 - 4) / 5
+    assert r1["frac_words_alpha"] == 1.0
+    r2 = out[2]
+    assert r2["n_words"] == 4
+    assert r2["symbol_to_word_ratio"] == (3 + 2) / 4  # 3×'#', '...', '…'
+    assert r2["frac_words_alpha"] == 0.25
+    assert out[3]["n_words"] == 0 and out[3]["mean_word_length"] == 0.0
+    assert out[4]["frac_words_alpha"] == pytest.approx(1 / 3)
