@@ -49,6 +49,8 @@ def curate_corpus(
     min_tokens: int = 5,
     max_punct_ratio: float = 0.5,
     max_dup_line_fraction: float = 0.5,
+    gopher_lexical: dict | None = None,
+    gopher_repetition: dict | None = None,
     with_manifest: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (clean_docs, stage_counts).
@@ -96,6 +98,40 @@ def curate_corpus(
         & (lq["dup_line_fraction"] <= max_dup_line_fraction)
     )
     docs = stage(docs, "after_quality")
+
+    # 3b. optional full Gopher rule set: lexical thresholds are per-row
+    #     codegen predicates; repetition thresholds join the one-explode
+    #     n-gram stats (see functions/text.with_gopher_repetition).
+    #     gopher_lexical: {column: (min, max)} over gopher_lexical_cols;
+    #     gopher_repetition: {"top_ns": {n: max_frac}, "dup_ns": {n: max}}
+    if gopher_lexical:
+        from ..functions.text import gopher_lexical_cols
+
+        gl = gopher_lexical_cols(F.col(text_col))
+        for name, (lo, hi) in gopher_lexical.items():
+            col = gl[name]
+            if lo is not None:
+                docs = docs.where(col >= lo)
+            if hi is not None:
+                docs = docs.where(col <= hi)
+        docs = stage(docs, "after_gopher_lexical")
+    if gopher_repetition:
+        from ..functions.text import with_gopher_repetition
+
+        top = gopher_repetition.get("top_ns", {})
+        dup = gopher_repetition.get("dup_ns", {})
+        stats = with_gopher_repetition(
+            docs, id_col=id_col, text_col=text_col,
+            top_ns=tuple(top), dup_ns=tuple(dup),
+        )
+        cond = F.lit(True)
+        for n, mx in top.items():
+            cond = cond & (F.col(f"frac_chars_top_{n}gram") <= mx)
+        for n, mx in dup.items():
+            cond = cond & (F.col(f"frac_chars_dup_{n}grams") <= mx)
+        keep = stats.where(cond).select(id_col)
+        docs = docs.join(keep, id_col, "left_semi")
+        docs = stage(docs, "after_gopher_repetition")
 
     # 4. decontamination against the benchmark set
     if benchmark is not None:

@@ -42,3 +42,29 @@ def test_curate_corpus_stages(spark, sf_dir):
     )
     assert counts2 == counts
     assert {r["doc_id"] for r in clean2.select("doc_id").collect()} == out_ids
+
+
+def test_curate_corpus_gopher_stages(spark):
+    """Optional Gopher stages drop exactly the pathological docs."""
+    from ohsome_planet_spark.plans.corpus import curate_corpus
+
+    rows = [
+        (1, "a perfectly normal document with plenty of distinct words here",
+         "web"),
+        (2, "spam ham spam ham spam ham spam ham spam ham spam ham", "web"),
+        (3, "#### ##### ###### ####### ######## #########", "web"),
+        (4, "another clean document about something else entirely today",
+         "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    clean, counts = curate_corpus(
+        docs,
+        min_tokens=3, max_punct_ratio=1.0, max_dup_line_fraction=1.0,
+        gopher_lexical={"frac_words_alpha": (0.5, None)},
+        gopher_repetition={"top_ns": {2: 0.5}, "dup_ns": {}},
+        with_manifest=True,
+    )
+    ids = {r["doc_id"] for r in clean.collect()}
+    assert ids == {1, 4}
+    assert counts["after_gopher_lexical"] == 3   # drops doc 3 (no letters)
+    assert counts["after_gopher_repetition"] == 2  # drops doc 2 (looping)
