@@ -2788,6 +2788,70 @@ GROUP BY l.doc_id, len
 """
 
 
+def _q_oov_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary + OOV scoring (the integer-exact perplexity stand-in):
+    top-300 corpus vocabulary (count desc, word asc — deterministic), then
+    per-doc out-of-vocabulary occurrence fractions, with planted gibberish
+    docs that must score 1.0. All counts exact; one int/int division."""
+    from ohsome_planet_spark.operators.vocab import (
+        vocabulary_df,
+        with_oov_fraction,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    gib = base.where(d % 17 == 0).select(
+        (d + 700000).alias("doc_id"),
+        F.concat(F.lit("zzq"), d.cast("string"), F.lit(" qxj"),
+                 (d * 7).cast("string"), F.lit(" vvw"),
+                 (d * 13).cast("string")).alias("text"))
+    corpus = base.unionByName(gib)
+    vocab = vocabulary_df(base, top_k=300)  # vocab from the CLEAN slice
+    return with_oov_fraction(corpus, vocab)
+
+
+_OOV_ORACLE_SQL = r"""
+WITH base AS (SELECT doc_id, text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 700000,
+         'zzq' || CAST(doc_id AS VARCHAR) || ' qxj' ||
+         CAST(doc_id * 7 AS VARCHAR) || ' vvw' || CAST(doc_id * 13 AS VARCHAR)
+  FROM base WHERE doc_id % 17 = 0
+),
+words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM base
+),
+wc AS (
+  SELECT w AS word, count(*) AS c FROM words WHERE w <> '' GROUP BY w
+),
+vocab AS (
+  SELECT word FROM wc ORDER BY c DESC, word ASC LIMIT 300
+),
+cwords AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM corpus
+),
+per AS (
+  SELECT c.doc_id,
+         count(*) AS n_word_occurrences,
+         sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM (SELECT doc_id, w FROM cwords WHERE w <> '') c
+  LEFT JOIN vocab v ON c.w = v.word
+  GROUP BY c.doc_id
+)
+SELECT corpus.doc_id,
+       coalesce(n_word_occurrences, 0)::BIGINT AS n_word_occurrences,
+       coalesce(n_oov, 0)::BIGINT AS n_oov,
+       CASE WHEN coalesce(n_word_occurrences, 0) > 0
+            THEN coalesce(n_oov, 0) / CAST(n_word_occurrences AS DOUBLE)
+            ELSE 0.0 END AS oov_fraction
+FROM corpus LEFT JOIN per USING (doc_id)
+"""
+
+
 def _q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSED corpus-curation pipeline (plans/corpus.curate_corpus) end to
     end: exact dedup → MinHash-LSH near-dup clustering → quality filter →
@@ -3117,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_quality": _q_line_quality,
         "corpus_curation_e2e": _q_corpus_curation_e2e,
         "gopher_lexical": _q_gopher_lexical,
+        "oov_fraction": _q_oov_fraction,
         "gopher_repetition": _q_gopher_repetition,
         "domain_stats": _q_domain_stats,
         "zonal_stats": _q_zonal_stats,
@@ -3323,6 +3388,7 @@ def oracle_sql() -> dict[str, str]:
         "line_quality": _LINE_QUALITY_ORACLE_SQL,
         "corpus_curation_e2e": _CORPUS_E2E_ORACLE_SQL,
         "gopher_lexical": _GOPHER_LEXICAL_ORACLE_SQL,
+        "oov_fraction": _OOV_ORACLE_SQL,
         "gopher_repetition": _gopher_repetition_oracle_sql(),
         "domain_stats": _DOMAIN_STATS_ORACLE_SQL,
         "way_history": """
