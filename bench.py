@@ -121,6 +121,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save())
 
     headline = [
+        "corpus_curation_e2e",
         "pip_countries",
         "cell_assign_zxy",
         "cell_counts_salted",

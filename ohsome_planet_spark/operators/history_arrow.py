@@ -483,6 +483,10 @@ def way_partition_table(tbl: pa.Table, joiner=None) -> pa.RecordBatch | None:
     nonempty = eff_ok & ~geo["empty"][eff_c]
 
     # zero-copy WKB BinaryArray over the partition buffer
+    if geo["wkb_off"][-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            "partition WKB exceeds 2GB (arrow binary offsets are int32): "
+            "raise spark.sql.shuffle.partitions so way partitions shrink")
     ooff = geo["wkb_off"].astype(np.int32)
     req_bin = pa.Array.from_buffers(
         pa.binary(), R,
