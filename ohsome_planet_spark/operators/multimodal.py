@@ -308,11 +308,20 @@ def _needs_codec(fmt: str):
 
 
 COMPRESSED_DECODERS = {
-    "jpeg": _needs_codec("jpeg"),
+    "jpeg": None,  # REAL: baseline T.81 decoder, set below (operators/jpeg.py)
     "png": decode_png,  # REAL: zlib + NumPy filters, see above
     "mp3": _needs_codec("mp3"),
     "h264": _needs_codec("h264"),
 }
+
+
+def _decode_jpeg(content: bytes, meta=None):
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(content, meta)
+
+
+COMPRESSED_DECODERS["jpeg"] = _decode_jpeg
 
 
 def decode_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
@@ -333,6 +342,10 @@ def decode_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                 meta = row.meta
                 if row.format == "png":
                     vec = image_features(png_to_gray(decode_png(content)))
+                elif row.format == "jpeg":
+                    from .jpeg import decode_jpeg, jpeg_to_gray
+
+                    vec = image_features(jpeg_to_gray(decode_jpeg(content)))
                 elif row.format != "raw":
                     COMPRESSED_DECODERS[row.format](content, meta)  # raises here
                 elif row.kind == "image":

@@ -69,13 +69,36 @@ class TestMultimodal:
             decode_features(bad).collect()
 
     def test_compressed_format_is_explicit_swap_point(self, spark):
-        jpg = spark.createDataFrame(
-            [(1, "image", "jpeg", bytearray(b"\xff\xd8\xff"), None)],
+        # png and jpeg decode FOR REAL now; mp3 stays a documented swap point
+        mp3 = spark.createDataFrame(
+            [(1, "audio", "mp3", bytearray(b"\xff\xfb\x90"), None)],
             "media_id long, kind string, format string, content binary, "
             "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
         )
         with pytest.raises(Exception, match="codec library"):
-            decode_features(jpg).collect()
+            decode_features(mp3).collect()
+
+    def test_jpeg_feature_path(self, spark):
+        """A DC-only baseline JPEG (flat 138 gray) must yield the same
+        features as the identical raw grayscale payload."""
+        import numpy as np
+
+        from ohsome_planet_spark.operators.multimodal import MEDIA_SCHEMA
+        from tests.test_jpeg_decode import encode_jpeg
+
+        co = np.zeros((2, 2, 8, 8), np.int64)
+        co[:, :, 0, 0] = 80  # flat 80/8+128 = 138
+        jpg = encode_jpeg([co], [(1, 1)], 16, 16)
+        raw = np.full((16, 16), 138, np.uint8).tobytes()
+        rows = [
+            (1, "image", "jpeg", bytearray(jpg),
+             {"width": 16, "height": 16, "sample_rate": None, "duration_ms": None}),
+            (2, "image", "raw", bytearray(raw),
+             {"width": 16, "height": 16, "sample_rate": None, "duration_ms": None}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in decode_features(media).collect()}
+        assert out[1]["features"] == out[2]["features"]
 
     def test_frame_sample_plan(self, spark):
         media = make_media_df(spark, 12)
