@@ -7,12 +7,14 @@ Two decode tiers:
   spectral centroid), and fixed-size frame-packed video. These cover the
   preprocessed-tensor layout a training pipeline actually stores at scale
   (decode-once upstream, raw arrays in parquet/lance afterwards).
-- COMPRESSED formats (jpeg/png/mp3/...) need codec libraries this container
-  doesn't ship; `COMPRESSED_DECODERS` is the explicit swap point — each
-  entry raises NotImplementedError here and is replaced by a
-  PIL/torchaudio/decord call with the same (bytes, meta) → ndarray
-  signature in deployment. Nothing else changes: schemas, batch shapes,
-  partitioning and the feature frames are identical either way.
+- COMPRESSED image formats decode FOR REAL with zero new dependencies:
+  PNG (zlib + the five scanline filters in NumPy, below) and baseline
+  JPEG (T.81 sequential DCT — Huffman + IDCT, operators/jpeg.py). Only
+  the audio/video codecs (mp3/h264) remain `COMPRESSED_DECODERS` swap
+  points raising NotImplementedError — replaced by a torchaudio/decord
+  call with the same (bytes, meta) → ndarray signature in deployment.
+  Nothing else changes: schemas, batch shapes, partitioning and the
+  feature frames are identical either way.
 
 Scale shape: binary payloads never shuffle after the decode stage — only
 the small feature rows do; frame sampling plans JVM-side so unsampled
