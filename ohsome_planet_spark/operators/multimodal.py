@@ -323,7 +323,15 @@ def _decode_jpeg(content: bytes, meta=None):
     return decode_jpeg(content, meta)
 
 
+def _decode_flac(content: bytes, meta=None):
+    from .flac import decode_flac
+
+    samples, _rate = decode_flac(content, meta)
+    return samples
+
+
 COMPRESSED_DECODERS["jpeg"] = _decode_jpeg
+COMPRESSED_DECODERS["flac"] = _decode_flac  # REAL: operators/flac.py
 
 
 def decode_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
@@ -348,6 +356,12 @@ def decode_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                     from .jpeg import decode_jpeg, jpeg_to_gray
 
                     vec = image_features(jpeg_to_gray(decode_jpeg(content)))
+                elif row.format == "flac":
+                    from .flac import decode_flac
+
+                    samples, rate = decode_flac(content)
+                    vec = audio_features(
+                        samples.astype(np.float64).mean(axis=1), rate)
                 elif row.format != "raw":
                     COMPRESSED_DECODERS[row.format](content, meta)  # raises here
                 elif row.kind == "image":
