@@ -463,6 +463,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 200,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (node, cluster_id).
 
@@ -482,7 +483,43 @@ def dedup_clusters(
     would silently compare an attribute with itself after truncation).
     At adversarial scale (billion-node meshes) swap the loop body for
     large-star/small-star (Kiveris et al.) — same join primitives.
+
+    Small-graph fast path: near-dup pair sets are usually MINUSCULE next
+    to the corpus (dedup rates are single-digit percents of docs, and
+    pairs ≈ dups), so below `driver_threshold` pairs the edges collect to
+    the driver and a union-find computes the identical min-label
+    components in one pass — the iterative machinery (whose per-round
+    Spark job latency dominates on small graphs) runs only when the pair
+    set is genuinely large. The probe is a `limit(threshold+1)` collect:
+    if it truncates, the distributed path runs. Set driver_threshold=0 to
+    force the iterative path (the cross-check tests do).
     """
+    if driver_threshold > 0:
+        probe = pairs.select(
+            F.col(id_a).alias("a"), F.col(id_b).alias("b")
+        ).limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in probe:
+                ra, rb = find(r["a"]), find(r["b"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = {x for r in probe for x in (r["a"], r["b"])}
+            rows = [(n, find(n)) for n in sorted(nodes)]
+            spark = pairs.sparkSession
+            if not rows:
+                return spark.createDataFrame([], "node long, cluster_id long")
+            return spark.createDataFrame(rows, "node long, cluster_id long")
+
     edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges_fwd.union(
