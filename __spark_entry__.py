@@ -2852,6 +2852,56 @@ FROM corpus LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_cross_doc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage fraction (Lee et al. substring-dedup
+    at doc granularity): fraction of a doc's word 5-grams occurring in >1
+    document corpus-wide, with planted shared-boilerplate docs. Counts
+    exact; one int/int division."""
+    from ohsome_planet_spark.operators.dedup import with_cross_doc_dup_fraction
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    boiler = base.where(d % 19 == 0).select(
+        (d + 800000).alias("doc_id"),
+        F.concat(F.lit("all rights reserved terms of service apply here "),
+                 F.col("text")).alias("text"))
+    corpus = base.unionByName(boiler)
+    return with_cross_doc_dup_fraction(corpus, window=5)
+
+
+_CROSS_DOC_DUP_ORACLE_SQL = r"""
+WITH base AS (SELECT doc_id, text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 800000,
+         'all rights reserved terms of service apply here ' || text
+  FROM base WHERE doc_id % 19 = 0
+),
+words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM words, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+),
+dfc AS (SELECT g, count(*) AS ndocs FROM grams GROUP BY g),
+per AS (
+  SELECT doc_id, count(*) AS n_windows,
+         sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams JOIN dfc USING (g) GROUP BY doc_id
+)
+SELECT corpus.doc_id,
+       coalesce(n_windows, 0)::BIGINT AS n_windows,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_windows,
+       CASE WHEN coalesce(n_windows, 0) > 0
+            THEN coalesce(n_dup, 0) / CAST(n_windows AS DOUBLE)
+            ELSE 0.0 END AS dup_window_fraction
+FROM corpus LEFT JOIN per USING (doc_id)
+"""
+
+
 def _q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSED corpus-curation pipeline (plans/corpus.curate_corpus) end to
     end: exact dedup → MinHash-LSH near-dup clustering → quality filter →
@@ -3182,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_e2e": _q_corpus_curation_e2e,
         "gopher_lexical": _q_gopher_lexical,
         "oov_fraction": _q_oov_fraction,
+        "cross_doc_dup": _q_cross_doc_dup,
         "gopher_repetition": _q_gopher_repetition,
         "domain_stats": _q_domain_stats,
         "zonal_stats": _q_zonal_stats,
@@ -3389,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation_e2e": _CORPUS_E2E_ORACLE_SQL,
         "gopher_lexical": _GOPHER_LEXICAL_ORACLE_SQL,
         "oov_fraction": _OOV_ORACLE_SQL,
+        "cross_doc_dup": _CROSS_DOC_DUP_ORACLE_SQL,
         "gopher_repetition": _gopher_repetition_oracle_sql(),
         "domain_stats": _DOMAIN_STATS_ORACLE_SQL,
         "way_history": """

@@ -638,3 +638,48 @@ def decontaminate(
         bench_text_col=bench_text_col if bench_text_col is not None else text_col,
     )
     return docs.join(flags.select(id_col), id_col, "left_anti")
+
+
+def with_cross_doc_dup_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+) -> DataFrame:
+    """Cross-document repeated-passage fraction (the doc-level form of
+    substring dedup, Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better"): the fraction of a document's word
+    `window`-grams that occur in MORE THAN ONE document corpus-wide —
+    boilerplate headers, licence blocks, syndicated passages.
+
+    Distinct from the Gopher dup-n-gram signal (WITHIN-doc repetition)
+    and from `contamination_flags` (overlap vs an external benchmark):
+    this one is corpus-self-referential. Scale shape: one explode,
+    one (gram → n_docs) count with map-side combine, one join back
+    per distinct (doc, gram) — the corpus text itself never shuffles,
+    and the fraction is one int/int division (oracle-exact)."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_col(F.col(text_col), window)).alias("_g"),
+    )
+    doc_grams = grams.distinct()
+    df_counts = doc_grams.groupBy("_g").agg(
+        F.count("*").alias("_ndocs"))
+    flagged = doc_grams.join(df_counts, "_g").groupBy("_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(flagged, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)).alias("dup_window_fraction"),
+        )
+    )

@@ -92,3 +92,24 @@ def test_dedup_clusters_fast_path_equals_iterative(spark):
     slow = {(r["node"], r["cluster_id"])
             for r in dedup_clusters(pairs, driver_threshold=0).collect()}
     assert fast == slow and len(fast) > 400
+
+
+def test_cross_doc_dup_signal(spark):
+    """Shared boilerplate across docs must light up the cross-doc fraction;
+    unique docs stay at 0."""
+    from ohsome_planet_spark.operators.dedup import with_cross_doc_dup_fraction
+
+    boiler = "all rights reserved terms of service apply now"
+    rows = [
+        (1, boiler + " one unique ending phrase alpha beta gamma delta"),
+        (2, boiler + " another totally different ending words here too"),
+        (3, "completely unique document with no shared passages at all ok"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           with_cross_doc_dup_fraction(df, window=5).collect()}
+    assert out[1]["n_dup_windows"] >= 3  # the 5-grams inside the boilerplate
+    assert out[1]["dup_window_fraction"] > 0.2
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_window_fraction"] == 0.0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_window_fraction"] == 0.0
