@@ -51,6 +51,10 @@ def curate_corpus(
     max_dup_line_fraction: float = 0.5,
     gopher_lexical: dict | None = None,
     gopher_repetition: dict | None = None,
+    max_oov_fraction: float | None = None,
+    oov_vocab_k: int = 10000,
+    max_cross_doc_dup: float | None = None,
+    cross_doc_window: int = 10,
     with_manifest: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (clean_docs, stage_counts).
@@ -132,6 +136,32 @@ def curate_corpus(
         keep = stats.where(cond).select(id_col)
         docs = docs.join(keep, id_col, "left_semi")
         docs = stage(docs, "after_gopher_repetition")
+
+    # 3c. optional corpus-self-referential signals: out-of-vocabulary
+    #     fraction (top-K vocab from the SURVIVING corpus — gibberish /
+    #     wrong-language drop) and cross-document repeated passages
+    #     (shared boilerplate). Both are id-semi-joins: corpus text never
+    #     shuffles.
+    if max_oov_fraction is not None:
+        from ..operators.vocab import vocabulary_df, with_oov_fraction
+
+        vocab = vocabulary_df(docs, top_k=oov_vocab_k,
+                              id_col=id_col, text_col=text_col)
+        scores = with_oov_fraction(docs, vocab, id_col=id_col,
+                                   text_col=text_col)
+        keep = scores.where(
+            F.col("oov_fraction") <= max_oov_fraction).select(id_col)
+        docs = docs.join(keep, id_col, "left_semi")
+        docs = stage(docs, "after_oov")
+    if max_cross_doc_dup is not None:
+        from ..operators.dedup import with_cross_doc_dup_fraction
+
+        scores = with_cross_doc_dup_fraction(
+            docs, id_col=id_col, text_col=text_col, window=cross_doc_window)
+        keep = scores.where(
+            F.col("dup_window_fraction") <= max_cross_doc_dup).select(id_col)
+        docs = docs.join(keep, id_col, "left_semi")
+        docs = stage(docs, "after_cross_doc_dup")
 
     # 4. decontamination against the benchmark set
     if benchmark is not None:

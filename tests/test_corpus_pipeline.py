@@ -113,3 +113,29 @@ def test_cross_doc_dup_signal(spark):
     assert out[1]["dup_window_fraction"] > 0.2
     assert out[3]["n_dup_windows"] == 0 and out[3]["dup_window_fraction"] == 0.0
     assert out[4]["n_windows"] == 0 and out[4]["dup_window_fraction"] == 0.0
+
+
+def test_curate_corpus_oov_and_cross_doc_stages(spark):
+    from ohsome_planet_spark.plans.corpus import curate_corpus
+
+    boiler = "all rights reserved terms of service apply to this content now"
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today", "web"),
+        (2, "the quick brown dog naps under the warm lazy sun today", "web"),
+        (3, "zzq9 qxj8 vvw7 kkp6 mmn5 bbt4 ccd3 ffg2 hhj1 lls0", "web"),
+        (4, boiler + " plus one unique sentence about gardening here", "web"),
+        (5, boiler + " plus another unique sentence on carpentry instead", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    clean, counts = curate_corpus(
+        docs, min_tokens=3, max_punct_ratio=1.0, max_dup_line_fraction=1.0,
+        max_oov_fraction=0.5, oov_vocab_k=30,
+        max_cross_doc_dup=0.4, cross_doc_window=5,
+        with_manifest=True,
+    )
+    ids = {r["doc_id"] for r in clean.collect()}
+    assert 3 not in ids          # pure gibberish: OOV vs the shared vocab
+    assert 4 not in ids and 5 not in ids  # shared boilerplate majority
+    assert {1, 2} <= ids
+    assert counts["after_oov"] < counts["after_quality"]
+    assert counts["after_cross_doc_dup"] < counts["after_oov"]
