@@ -2852,6 +2852,53 @@ FROM corpus LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization + control stripping over texts synthesized with
+    decomposed accents (e + U+0301 etc.), precomposed twins, and embedded
+    control characters. Spark's unicodedata NFC must byte-match DuckDB's
+    utf8proc nfc_normalize; identity is value-checked via md5 of the
+    normalized text."""
+    from ohsome_planet_spark.functions.text import normalize_text_col
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    e = F.col("event_id")
+    decomposed = F.concat(F.lit("cafe"), F.lit("́"))   # e + combining
+    precomposed = F.lit("café")
+    text = (
+        F.when(e % 4 == 0, F.concat(decomposed, F.lit(" ño."), e.cast("string")))
+        .when(e % 4 == 1, F.concat(precomposed, F.lit(" plain "), e.cast("string")))
+        .when(e % 4 == 2, F.concat(F.lit("ctlchars here "), e.cast("string")))
+        .otherwise(F.concat(F.lit("Ångström "), e.cast("string")))
+    )
+    return ev.select(
+        "event_id",
+        F.md5(normalize_text_col(text)).alias("norm_md5"),
+        F.length(normalize_text_col(text)).alias("norm_len"),
+    )
+
+
+_UNICODE_NORM_ORACLE_SQL = r"""
+WITH ev AS (SELECT event_id FROM events WHERE event_id < 3000),
+built AS (
+  SELECT event_id,
+    CASE
+      WHEN event_id % 4 = 0 THEN 'cafe' || chr(769) || ' n' || chr(771) || 'o.' || CAST(event_id AS VARCHAR)
+      WHEN event_id % 4 = 1 THEN 'café plain ' || CAST(event_id AS VARCHAR)
+      WHEN event_id % 4 = 2 THEN 'ctl' || chr(1) || 'chars' || chr(159) || ' here ' || CAST(event_id AS VARCHAR)
+      ELSE 'A' || chr(778) || 'ngstro' || chr(776) || 'm ' || CAST(event_id AS VARCHAR)
+    END AS t
+  FROM ev
+),
+norm AS (
+  SELECT event_id,
+         regexp_replace(nfc_normalize(t),
+                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g') AS n
+  FROM built
+)
+SELECT event_id, md5(n) AS norm_md5, length(n)::INT AS norm_len FROM norm
+"""
+
+
 def _q_cross_doc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-passage fraction (Lee et al. substring-dedup
     at doc granularity): fraction of a doc's word 5-grams occurring in >1
@@ -3233,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_lexical": _q_gopher_lexical,
         "oov_fraction": _q_oov_fraction,
         "cross_doc_dup": _q_cross_doc_dup,
+        "unicode_normalize": _q_unicode_normalize,
         "gopher_repetition": _q_gopher_repetition,
         "domain_stats": _q_domain_stats,
         "zonal_stats": _q_zonal_stats,
@@ -3441,6 +3489,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_lexical": _GOPHER_LEXICAL_ORACLE_SQL,
         "oov_fraction": _OOV_ORACLE_SQL,
         "cross_doc_dup": _CROSS_DOC_DUP_ORACLE_SQL,
+        "unicode_normalize": _UNICODE_NORM_ORACLE_SQL,
         "gopher_repetition": _gopher_repetition_oracle_sql(),
         "domain_stats": _DOMAIN_STATS_ORACLE_SQL,
         "way_history": """

@@ -338,3 +338,37 @@ def with_gopher_repetition(
     for n in dup_ns:
         sel.append(frac(F.col(f"{n}_dup")).alias(f"frac_chars_dup_{n}grams"))
     return out.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (corpus text cleanup)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text_col(text_c: Column, form: str = "NFC",
+                       strip_controls: bool = True) -> Column:
+    """Unicode-normalize a text column (Arrow-batched pandas UDF — Spark
+    ships no NFC builtin) and optionally strip C0/C1 control characters
+    (keeping \\t \\n \\r). The canonical first step of web-text cleanup:
+    composed/decomposed accent spellings byte-differ, which silently
+    breaks exact dedup, URL identity, and n-gram matching. NFC parity
+    with DuckDB's `nfc_normalize` (utf8proc) is oracle-checked on
+    composed/decomposed fixtures."""
+    import pandas as pd  # noqa: F401 (module-level import requirement)
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _norm(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            return unicodedata.normalize(form, x)
+
+        return s.map(one)
+
+    out = _norm(text_c)
+    if strip_controls:
+        out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
+    return out

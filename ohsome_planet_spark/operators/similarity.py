@@ -166,8 +166,13 @@ def ivf_topk(
     from pyspark.sql.types import ArrayType, IntegerType
 
     sample = (
-        candidates.select(vec_col)
+        candidates.select(cand_id, vec_col)
         .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        # ordered BEFORE the limit: bare limit() takes whichever rows
+        # arrive first, which AQE/partitioning changes can reshuffle —
+        # the quantizer (and thus every IVF answer) must be reproducible
+        # across runs, retries, and cluster sizes
+        .orderBy(cand_id)
         .limit(n_centroids * 50)
         .toPandas()
     )

@@ -302,3 +302,26 @@ def test_gopher_lexical_values(spark):
     assert r2["frac_words_alpha"] == 0.25
     assert out[3]["n_words"] == 0 and out[3]["mean_word_length"] == 0.0
     assert out[4]["frac_words_alpha"] == pytest.approx(1 / 3)
+
+
+def test_normalize_text_col(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.text import normalize_text_col
+
+    rows = [
+        (1, "café"),            # decomposed -> café
+        (2, "café"),             # precomposed stays
+        (3, "Ångström"),  # Å + ö composition
+        (4, "keep\ttabs\nand\rnewlines"),
+        (5, "strip\x01ctl\x9fchars"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {r["i"]: r["n"] for r in df.select(
+        "i", normalize_text_col(F.col("t")).alias("n")).collect()}
+    assert out[1] == out[2] == "café"
+    assert out[3] == "Ångström"
+    assert out[4] == "keep\ttabs\nand\rnewlines"
+    assert out[5] == "stripctlchars"
+    assert out[6] is None
