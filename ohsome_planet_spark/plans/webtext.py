@@ -1,0 +1,64 @@
+"""One-call webtext pipeline: WARC archives → curated corpus → geo tiles.
+
+The full end-to-end story of this engine's web-scale side, mirroring how
+`plans/contributions.py` is the one-call OSM side:
+
+    WARC files                  (sources/warc.read_warc)
+      → unicode NFC cleanup     (functions/text.normalize_text_col)
+      → canonical-URL dedup     (operators/urls.dedup_latest_per_url keeps
+                                 the newest capture per canonical URL)
+      → corpus curation         (plans/corpus.curate_corpus: exact dedup,
+                                 LSH near-dup clusters, quality, Gopher,
+                                 decontamination, mixture — all optional
+                                 knobs pass through)
+      → enrichment              (plans/enrich: extract → geocode →
+                                 PIP countries → cell encodes)
+      → per-tile counts         (salted two-level aggregate)
+
+Everything between the WARC scan and the final aggregate is a single lazy
+DataFrame DAG unless curation's manifest is requested — Catalyst sees the
+whole plan, the polygon index and gazetteer broadcast, and the only
+corpus-wide shuffles are the ones each stage documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def crawl_to_tiles(
+    spark: SparkSession,
+    warc_glob: str,
+    features=None,
+    gazetteer: DataFrame | None = None,
+    curation_kwargs: dict | None = None,
+    salted: bool = True,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Returns (tile_counts, curation_manifest)."""
+    from ..functions.text import normalize_text_col
+    from ..operators.urls import dedup_latest_per_url
+    from ..plans.corpus import curate_corpus
+    from ..plans.enrich import enrich_pages, tile_counts_from_enriched
+    from ..sources.warc import read_warc
+
+    pages = read_warc(spark, warc_glob).withColumn(
+        "text", normalize_text_col(F.col("text"))
+    )
+    latest = dedup_latest_per_url(pages)
+    pages = pages.join(
+        latest.select(F.col("latest_url").alias("url"),
+                      F.col("latest_ts").alias("warc_ts")),
+        ["url", "warc_ts"], "left_semi",
+    )
+    docs = pages.select(
+        F.abs(F.xxhash64("url")).alias("doc_id"), "url", "warc_ts",
+        "html", "text", "lang", F.lit("warc").alias("source"),
+    )
+    clean, manifest = curate_corpus(docs, **(curation_kwargs or {}))
+    curated_pages = clean.select("url", "warc_ts", "html", "text", "lang")
+    enriched = enrich_pages(
+        spark, curated_pages, features=features, gazetteer=gazetteer,
+        with_geometry=False,
+    )
+    return tile_counts_from_enriched(enriched, salted=salted), manifest

