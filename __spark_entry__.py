@@ -2852,6 +2852,64 @@ FROM corpus LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filter (Raffel et al. §2.2) over multi-line docs built from
+    events: short lines, no-terminal-punctuation lines, and lines with
+    javascript/lorem ipsum/braces must vanish; survivors re-join. Exact
+    string output, md5 value-checked."""
+    from ohsome_planet_spark.functions.text import c4_line_filter_col
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    e = F.col("event_id")
+    nl = F.lit("\n")
+    l1 = F.concat(F.lit("this line has plenty of words and ends well "),
+                  e.cast("string"), F.lit("."))
+    l2 = F.when(e % 2 == 0, F.lit("too short."))\
+        .otherwise(F.lit("this one is long enough but has no terminal"))
+    l3 = F.when(e % 3 == 0,
+                F.lit("enable JavaScript to view all the content here."))\
+        .when(e % 3 == 1, F.lit("some Lorem Ipsum filler text sits here."))\
+        .otherwise(F.concat(F.lit("a perfectly fine second line number "),
+                            (e % 7).cast("string"), F.lit("!")))
+    l4 = F.lit('code sample { return 1; } inside this line.')
+    text = F.concat(l1, nl, l2, nl, l3, nl, l4)
+    return ev.select(
+        "event_id",
+        F.md5(c4_line_filter_col(text)).alias("clean_md5"),
+        F.length(c4_line_filter_col(text)).alias("clean_len"),
+    )
+
+
+_C4_LINE_ORACLE_SQL = r"""
+WITH ev AS (SELECT event_id FROM events WHERE event_id < 3000),
+built AS (
+  SELECT event_id,
+    'this line has plenty of words and ends well ' || CAST(event_id AS VARCHAR) || '.' AS l1,
+    CASE WHEN event_id % 2 = 0 THEN 'too short.'
+         ELSE 'this one is long enough but has no terminal' END AS l2,
+    CASE WHEN event_id % 3 = 0 THEN 'enable JavaScript to view all the content here.'
+         WHEN event_id % 3 = 1 THEN 'some Lorem Ipsum filler text sits here.'
+         ELSE 'a perfectly fine second line number ' || CAST(event_id % 7 AS VARCHAR) || '!' END AS l3,
+    'code sample { return 1; } inside this line.' AS l4
+  FROM ev
+),
+clean AS (
+  SELECT event_id,
+         array_to_string(list_filter(
+           list_transform(string_split(l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4, chr(10)),
+                          l -> trim(l)),
+           l -> len(string_split_regex(l, '\s+')) >= 5
+                AND regexp_matches(l, '[.!?"]$')
+                AND NOT contains(lower(l), 'javascript')
+                AND NOT contains(lower(l), 'lorem ipsum')
+                AND NOT contains(l, '{')
+         ), chr(10)) AS n
+  FROM built
+)
+SELECT event_id, md5(n) AS clean_md5, length(n)::INT AS clean_len FROM clean
+"""
+
+
 def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC normalization + control stripping over texts synthesized with
     decomposed accents (e + U+0301 etc.), precomposed twins, and embedded
@@ -3281,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_fraction": _q_oov_fraction,
         "cross_doc_dup": _q_cross_doc_dup,
         "unicode_normalize": _q_unicode_normalize,
+        "c4_line_filter": _q_c4_line_filter,
         "gopher_repetition": _q_gopher_repetition,
         "domain_stats": _q_domain_stats,
         "zonal_stats": _q_zonal_stats,
@@ -3490,6 +3549,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_fraction": _OOV_ORACLE_SQL,
         "cross_doc_dup": _CROSS_DOC_DUP_ORACLE_SQL,
         "unicode_normalize": _UNICODE_NORM_ORACLE_SQL,
+        "c4_line_filter": _C4_LINE_ORACLE_SQL,
         "gopher_repetition": _gopher_repetition_oracle_sql(),
         "domain_stats": _DOMAIN_STATS_ORACLE_SQL,
         "way_history": """

@@ -372,3 +372,31 @@ def normalize_text_col(text_c: Column, form: str = "NFC",
     if strip_controls:
         out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+C4_BANNED_TOKENS = ("javascript", "lorem ipsum", "{")
+
+
+def c4_line_filter_col(text_c: Column, min_words: int = 5) -> Column:
+    """Rewrite a document keeping only C4-clean lines: a line survives if
+    it has ≥ min_words words, ends in terminal punctuation (. ! ? "), and
+    contains none of the banned tokens (case-insensitive "javascript",
+    "lorem ipsum", or a curly brace). Kept lines re-join with \\n; a doc
+    with no surviving lines becomes ''. Array expressions over the few
+    lines of one row — no shuffle, no UDF."""
+    lines = F.transform(F.split(text_c, r"\n"), lambda l: F.trim(l))
+    kept = F.filter(
+        lines,
+        lambda l: (
+            (F.size(F.split(l, r"\s+")) >= min_words)
+            & l.rlike(r'[.!?"]$')
+            & ~F.lower(l).contains("javascript")
+            & ~F.lower(l).contains("lorem ipsum")
+            & ~l.contains("{")
+        ),
+    )
+    return F.array_join(kept, "\n")

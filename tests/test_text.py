@@ -325,3 +325,31 @@ def test_normalize_text_col(spark):
     assert out[4] == "keep\ttabs\nand\rnewlines"
     assert out[5] == "stripctlchars"
     assert out[6] is None
+
+
+def test_c4_line_filter(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.text import c4_line_filter_col
+
+    doc = "\n".join([
+        "this is a perfectly good sentence that survives here.",
+        "short line.",
+        "no terminal punctuation on this long enough line",
+        "please enable JavaScript to continue viewing this content.",
+        "we show some lorem ipsum placeholder text right here now.",
+        "function f() { return 42; } is code inside the page text.",
+        'a quoted ending also counts as terminal punctuation "',
+        "does a question mark count as terminal punctuation too?",
+    ])
+    out = spark.createDataFrame([(doc,)], "t string").select(
+        c4_line_filter_col(F.col("t")).alias("c")).first()["c"]
+    lines = out.split("\n")
+    assert lines == [
+        "this is a perfectly good sentence that survives here.",
+        'a quoted ending also counts as terminal punctuation "',
+        "does a question mark count as terminal punctuation too?",
+    ]
+    empty = spark.createDataFrame([("js { }",)], "t string").select(
+        c4_line_filter_col(F.col("t")).alias("c")).first()["c"]
+    assert empty == ""
