@@ -55,6 +55,7 @@ def curate_corpus(
     oov_vocab_k: int = 10000,
     max_cross_doc_dup: float | None = None,
     cross_doc_window: int = 10,
+    c4_line_clean: bool = False,
     with_manifest: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (clean_docs, stage_counts).
@@ -92,6 +93,13 @@ def curate_corpus(
     )
     docs = docs.join(losers, id_col, "left_anti")
     docs = stage(docs, "after_near_dedup")
+
+    # 2b. optional C4 line cleanup: rewrite text keeping only clean lines
+    #     (pure per-row expressions); emptied docs then fail min_tokens
+    if c4_line_clean:
+        from ..functions.text import c4_line_filter_col
+
+        docs = docs.withColumn(text_col, c4_line_filter_col(F.col(text_col)))
 
     # 3. quality filter (char/token + line-level rules)
     q = quality_cols(F.col(text_col))

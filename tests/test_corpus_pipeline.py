@@ -139,3 +139,22 @@ def test_curate_corpus_oov_and_cross_doc_stages(spark):
     assert {1, 2} <= ids
     assert counts["after_oov"] < counts["after_quality"]
     assert counts["after_cross_doc_dup"] < counts["after_oov"]
+
+
+def test_curate_corpus_c4_line_clean(spark):
+    from ohsome_planet_spark.plans.corpus import curate_corpus
+
+    rows = [
+        (1, "a clean enough sentence that clearly survives the filter.\n"
+            "enable javascript now to see everything properly rendered.",
+         "web"),
+        (2, "js only { }", "web"),  # emptied -> fails min_tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    clean, counts = curate_corpus(
+        docs, min_tokens=3, max_punct_ratio=1.0, max_dup_line_fraction=1.0,
+        c4_line_clean=True, with_manifest=True)
+    out = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert set(out) == {1}
+    assert "javascript" not in out[1]
+    assert counts["after_quality"] == 1
