@@ -27,7 +27,7 @@ label, and the registrable domain is the suffix plus one label.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # ICANN section: country-code second-level registrations (two-label rules).
 _ICANN_2 = """

@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import geometry_np as gnp
-from .cells import zxy_cell, zxy_cell_bounds
+from .cells import zxy_cell
 
 
 class PolygonIndex:

@@ -354,7 +354,6 @@ def normalize_text_col(text_c: Column, form: str = "NFC",
     breaks exact dedup, URL identity, and n-gram matching. NFC parity
     with DuckDB's `nfc_normalize` (utf8proc) is oracle-checked on
     composed/decomposed fixtures."""
-    import pandas as pd  # noqa: F401 (module-level import requirement)
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())

@@ -25,7 +25,6 @@ lineage is the full chain and readers need only CURRENT.
 from __future__ import annotations
 
 import json
-import os
 import shutil
 import uuid
 from pathlib import Path

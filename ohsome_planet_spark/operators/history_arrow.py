@@ -44,7 +44,6 @@ from .history import (
     MAX_TS_NS,
     VALID_TO_SENTINEL_NS,
     _CS_MAX,
-    _KIND_NAME,
     _MinQueue,
     _request_geom_tuple,
     batch_geometries,

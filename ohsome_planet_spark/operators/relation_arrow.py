@@ -36,7 +36,6 @@ import pandas as pd
 from ..functions import geometry_np as gnp
 from ..functions.waygeom import is_area
 from .history import (
-    MAX_TS_NS,
     VALID_TO_SENTINEL_NS,
     _KIND_NAME,
     batch_gc_moments,

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-from ..functions.wkb import wkb_dumps
 from ..operators.geocode import extract_mentions, geocode_mentions
 from ..operators.spatial_join import build_index, with_countries
 from ..operators.tiling import with_cells

@@ -19,7 +19,6 @@ covered (exercises the covered-cell shortcut, `BuildGridAction.java:63-82`).
 from __future__ import annotations
 
 import gzip
-import io
 from pathlib import Path
 
 import numpy as np
