@@ -3290,6 +3290,177 @@ GROUP BY domain
 _DOMAIN_STATS_ORACLE_SQL = _domain_stats_oracle_sql()
 
 
+def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring (the CCNet-class perplexity filter): train a
+    top-500 bigram model on the clean documents slice (count desc,
+    (w1,w2) asc — deterministic prune), then score documents + planted
+    gibberish. Oracle surface is the integer-exact stats (token/bigram
+    totals, model matches, Σ counts) plus ONE int/int division
+    (match_fraction) — the float logprob is a deterministic function of
+    these but Σ ln terms is float-order-dependent, so it stays out of the
+    hash (same doctrine as oov_fraction)."""
+    from ohsome_planet_spark.operators.ngram_lm import (
+        bigram_model,
+        with_lm_stats,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    gib = base.where(d % 13 == 0).select(
+        (d + 900000).alias("doc_id"),
+        F.concat(F.lit("zzq "), d.cast("string"), F.lit(" qxj "),
+                 (d * 7).cast("string"), F.lit(" vvw")).alias("text"))
+    corpus = base.unionByName(gib)
+    model = bigram_model(base, top_k=500)
+    out = with_lm_stats(corpus, model)
+    return out.select(
+        "doc_id", "n_tokens", "n_bigrams", "matched_bigrams",
+        "matched_contexts", "sum_bigram_n", "sum_context_n",
+        F.when(F.col("n_bigrams") > 0,
+               F.col("matched_bigrams").cast("double") / F.col("n_bigrams"))
+        .otherwise(F.lit(0.0)).alias("match_fraction"),
+    )
+
+
+_LM_BIGRAM_ORACLE_SQL = r"""
+WITH base AS (SELECT doc_id, text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 900000,
+         'zzq ' || CAST(doc_id AS VARCHAR) || ' qxj ' ||
+         CAST(doc_id * 7 AS VARCHAR) || ' vvw'
+  FROM base WHERE doc_id % 13 = 0
+),
+btoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM base
+),
+bpairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM btoks)
+),
+model AS (
+  SELECT w1, w2, count(*) AS n FROM bpairs GROUP BY w1, w2
+  ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 500
+),
+ctx AS (SELECT w1, sum(n) AS ctx_n FROM model GROUP BY w1),
+ctoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM corpus
+),
+cpairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM ctoks)
+),
+joined AS (
+  SELECT p.doc_id, m.n AS bn, c.ctx_n AS cn
+  FROM cpairs p
+  LEFT JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+  LEFT JOIN ctx c ON p.w1 = c.w1
+),
+per AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN bn IS NOT NULL THEN 1 ELSE 0 END) AS matched_bigrams,
+         sum(CASE WHEN cn IS NOT NULL THEN 1 ELSE 0 END) AS matched_contexts,
+         sum(coalesce(bn, 0)) AS sum_bigram_n,
+         sum(coalesce(cn, 0)) AS sum_context_n
+  FROM joined GROUP BY doc_id
+)
+SELECT ctoks.doc_id,
+       len(ctoks.t)::BIGINT AS n_tokens,
+       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(matched_bigrams, 0)::BIGINT AS matched_bigrams,
+       coalesce(matched_contexts, 0)::BIGINT AS matched_contexts,
+       coalesce(sum_bigram_n, 0)::BIGINT AS sum_bigram_n,
+       coalesce(sum_context_n, 0)::BIGINT AS sum_context_n,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN coalesce(matched_bigrams, 0) / CAST(n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS match_fraction
+FROM ctoks LEFT JOIN per USING (doc_id)
+"""
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: emails / ipv4 (octet-range-checked) /
+    international phones planted into every 7th document, counted with
+    regexp_extract_all and rewritten with chained regexp_replace — all
+    patterns in the Java-regex ∩ RE2 common subset so the DuckDB twin
+    runs the IDENTICAL expressions. Redacted text is md5 value-checked."""
+    from ohsome_planet_spark.operators.pii import with_pii
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example"), (d % 5).cast("string"),
+        F.lit(".com or +1 555 "), (d % 900 + 100).cast("string"),
+        F.lit(" 0"), (d % 10).cast("string"),
+        F.lit("1 at 10.0."), (d % 256).cast("string"),
+        F.lit("."), (d % 250).cast("string"),
+    )
+    corpus = base.select(
+        "doc_id",
+        F.when(d % 7 == 0, planted).otherwise(F.col("text")).alias("text"),
+    )
+    out = with_pii(corpus)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "has_pii",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+        F.length(F.col("text_redacted")).alias("redacted_len"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from ohsome_planet_spark.operators.pii import (
+        PII_PATTERNS,
+        REDACTIONS,
+    )
+
+    email, ipv4, phone = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{email}', '{REDACTIONS['email']}', 'g'), "
+        f"'{ipv4}', '{REDACTIONS['ipv4']}', 'g'), "
+        f"'{phone}', '{REDACTIONS['phone']}', 'g')"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           '@example' || CAST(doc_id % 5 AS VARCHAR) ||
+           '.com or +1 555 ' || CAST(doc_id % 900 + 100 AS VARCHAR) ||
+           ' 0' || CAST(doc_id % 10 AS VARCHAR) ||
+           '1 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+           '.' || CAST(doc_id % 250 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{email}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{ipv4}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{phone}'))::BIGINT AS n_phone,
+       (len(regexp_extract_all(text, '{email}')) +
+        len(regexp_extract_all(text, '{ipv4}')) +
+        len(regexp_extract_all(text, '{phone}'))) > 0 AS has_pii,
+       md5({red}) AS redacted_md5,
+       len({red})::INTEGER AS redacted_len
+FROM corpus
+"""
+
+
+_PII_ORACLE_SQL = _pii_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -3342,6 +3513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": _q_c4_line_filter,
         "gopher_repetition": _q_gopher_repetition,
         "domain_stats": _q_domain_stats,
+        "lm_bigram_score": _q_lm_bigram_score,
+        "pii_redaction": _q_pii_redaction,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -3552,6 +3725,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": _C4_LINE_ORACLE_SQL,
         "gopher_repetition": _gopher_repetition_oracle_sql(),
         "domain_stats": _DOMAIN_STATS_ORACLE_SQL,
+        "lm_bigram_score": _LM_BIGRAM_ORACLE_SQL,
+        "pii_redaction": _PII_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

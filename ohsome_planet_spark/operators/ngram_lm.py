@@ -1,0 +1,168 @@
+"""Bigram language-model training + document scoring (CCNet-class filter).
+
+The CCNet / FineWeb pipelines score every document with an n-gram LM
+perplexity and drop the tail. Here the same capability is a two-step
+distributed job:
+
+* ``bigram_model`` — train on a (typically cleaner) reference slice: one
+  explode → groupBy over bigrams with map-side combine; the model is
+  pruned to the top-K bigrams with a DETERMINISTIC order (count desc,
+  (w1, w2) asc) so retries pick identical models.
+* ``with_lm_stats`` — score each document: bigrams explode → broadcast
+  LEFT join against the pruned model → one per-doc aggregate. The corpus
+  text itself never shuffles; the shuffle carries O(docs) aggregate rows.
+
+Cross-engine doctrine (same as operators/vocab.py): the ORACLE-CHECKED
+columns are integer-exact — token/bigram totals, matched-bigram counts,
+Σ c(w1,w2) and Σ c(w1,·) as int64 — because ``ln``/``exp`` are libm calls
+whose last ulp differs between engines. The float ``logprob`` (add-k
+smoothed Σ ln P(w2|w1)) is provided for users as a deterministic function
+of those exact integers, and is what a real pipeline thresholds on.
+
+100 TB shape: the model is trained once on a bounded reference slice and
+pruned to K rows (64-bit count + two short strings ⇒ K=1M is ~30 MB,
+comfortably broadcast). Scoring is embarrassingly parallel; per-doc
+aggregation is map-side combined. For an UNPRUNED model too large to
+broadcast, pass ``broadcast_model=False`` and the join shuffles on
+(w1, w2) — still one exchange of (doc_id, w1, w2) pairs, never the text.
+
+Reference parity note: the reference engine (ohsome-planet) has no LM
+scoring — this is part of the training-data-pipeline layer the engine
+adds on top of SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens_col(text_c: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (array<string>)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_c)), r"\s+"), lambda w: w != ""
+    )
+
+
+def doc_bigrams(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(_id, w1, w2) — one row per adjacent token pair, document order.
+
+    Built entirely JVM-side: tokenize once, then ``zip_with`` over the
+    array and its shift-by-one slice pairs each token with its successor;
+    docs with <2 tokens yield zero-length slices, hence no rows (note
+    ``sequence(1, 0)`` would NOT work here — Spark generates a DESCENDING
+    [1, 0], not an empty array)."""
+    toks = _tokens_col(F.col(text_col))
+    pairs = F.expr(
+        "zip_with(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        "slice(_toks, 2, greatest(size(_toks) - 1, 0)), "
+        "(a, b) -> struct(a AS w1, b AS w2))"
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select("_id", F.explode(pairs).alias("_p"))
+        .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def bigram_model(df: DataFrame, top_k: int = 100_000,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Train: top-K bigram counts (w1, w2, n) from the reference slice.
+
+    Deterministic prune order (n desc, w1 asc, w2 asc); the orderBy+limit
+    compiles to TakeOrderedAndProject — per-partition partial top-K merged
+    once, no global sort of the full bigram vocabulary."""
+    counts = (
+        doc_bigrams(df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(top_k)
+
+
+def context_counts(model: DataFrame) -> DataFrame:
+    """(w1, ctx_n) — Σ n over the PRUNED model per left word.
+
+    Using the pruned model (not raw corpus unigrams) keeps the probability
+    model self-consistent: Σ_w2 P(w2|w1) sums to 1 over the retained rows
+    plus the smoothing mass."""
+    return model.groupBy("w1").agg(F.sum("n").alias("ctx_n"))
+
+
+def with_lm_stats(
+    df: DataFrame,
+    model: DataFrame,
+    k: float = 1.0,
+    vocab_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-doc LM stats against a trained ``bigram_model``.
+
+    Integer-exact columns (the oracle surface):
+      n_tokens, n_bigrams       — doc totals;
+      matched_bigrams           — bigrams present in the model;
+      matched_contexts          — bigrams whose LEFT word is a model context;
+      sum_bigram_n              — Σ c(w1,w2)  (unseen ⇒ 0);
+      sum_context_n             — Σ c(w1,·)   (unseen context ⇒ 0).
+
+    Float columns (deterministic functions of the integers + model rows):
+      logprob      — Σ ln((c + k) / (ctx + k·V)), add-k smoothing;
+      logprob_per_token — logprob / n_bigrams (0.0 for docs with <2 tokens).
+
+    V defaults to the number of distinct w2 in the model + 1 (the +1 is
+    the unseen-word bucket)."""
+    if vocab_size is None:
+        # single tiny scalar: the model is already bounded by top_k
+        vocab_size = model.select("w2").distinct().count() + 1
+
+    ctx = context_counts(model)
+    m = model.withColumnRenamed("n", "_bn")
+    c = ctx.withColumnRenamed("ctx_n", "_cn")
+    if broadcast_model:
+        m, c = F.broadcast(m), F.broadcast(c)
+
+    pairs = doc_bigrams(df, id_col, text_col)
+    joined = pairs.join(m, ["w1", "w2"], "left").join(c, ["w1"], "left")
+
+    bn = F.coalesce(F.col("_bn"), F.lit(0))
+    cn = F.coalesce(F.col("_cn"), F.lit(0))
+    term = F.log((bn.cast("double") + F.lit(float(k)))
+                 / (cn.cast("double") + F.lit(float(k * vocab_size))))
+    per_doc = joined.groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("_bn").isNotNull(), 1).otherwise(0))
+        .alias("matched_bigrams"),
+        F.sum(F.when(F.col("_cn").isNotNull(), 1).otherwise(0))
+        .alias("matched_contexts"),
+        F.sum(bn).alias("sum_bigram_n"),
+        F.sum(cn).alias("sum_context_n"),
+        F.sum(term).alias("logprob"),
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(_tokens_col(F.col(text_col))).alias("n_tokens"),
+    )
+    z = F.lit(0)
+    return (
+        toks.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_bigrams", z).cast("long").alias("n_bigrams"),
+            F.coalesce("matched_bigrams", z).cast("long")
+            .alias("matched_bigrams"),
+            F.coalesce("matched_contexts", z).cast("long")
+            .alias("matched_contexts"),
+            F.coalesce("sum_bigram_n", z).cast("long").alias("sum_bigram_n"),
+            F.coalesce("sum_context_n", z).cast("long").alias("sum_context_n"),
+            F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
+            F.when(
+                F.coalesce("n_bigrams", z) > 0,
+                F.coalesce("logprob", F.lit(0.0)) / F.col("n_bigrams"),
+            ).otherwise(F.lit(0.0)).alias("logprob_per_token"),
+        )
+    )
