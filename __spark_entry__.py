@@ -3460,6 +3460,60 @@ FROM corpus
 
 _PII_ORACLE_SQL = _pii_oracle_sql()
 
+_BM25_TERMS = ["spark", "merge", "vector", "customer"]
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Lucene formula) over documents for a fixed
+    4-term query. Integer columns are exact; the float score is a SORTED
+    LEFT FOLD of per-term contributions each pre-rounded to 9 dp — order-
+    fixed so it is reproducible across runs AND engines (a raw float SUM
+    would depend on row order, which neither engine pins)."""
+    from ohsome_planet_spark.operators.bm25 import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words
+  WHERE w IN ({terms}) GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+contrib AS (
+  SELECT t.doc_id, t.w, t.tf, d.dl,
+         round(
+           ln(1.0::DOUBLE + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                             + 0.5::DOUBLE) / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+           * (CAST(tf AS DOUBLE) * 2.2::DOUBLE)
+           / (CAST(tf AS DOUBLE) + 1.2::DOUBLE *
+              (0.25::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE)
+               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+           9) AS c
+  FROM tf t JOIN dfreq USING (w) JOIN dl d USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       count(*)::BIGINT AS matched_terms,
+       sum(tf)::BIGINT AS sum_tf,
+       dl::BIGINT AS doc_len,
+       round(list_reduce(list(c ORDER BY w), (acc, x) -> acc + x), 6) AS score
+FROM contrib GROUP BY doc_id, dl
+"""
+
+
+_BM25_ORACLE_SQL = _bm25_oracle_sql()
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3515,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "lm_bigram_score": _q_lm_bigram_score,
         "pii_redaction": _q_pii_redaction,
+        "bm25_search": _q_bm25_search,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -3727,6 +3782,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _DOMAIN_STATS_ORACLE_SQL,
         "lm_bigram_score": _LM_BIGRAM_ORACLE_SQL,
         "pii_redaction": _PII_ORACLE_SQL,
+        "bm25_search": _BM25_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

@@ -1,0 +1,124 @@
+"""BM25 ranked retrieval over the documents table.
+
+Keyword search is the retrieval counterpart of the embedding ANN path
+(operators/similarity.py): given a bag-of-words query, score every
+document with Okapi BM25 (Robertson et al.; the exact formula here is the
+Lucene variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf component
+tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))).
+
+Plan shape (all JVM expressions, no UDFs):
+* tokenize once; per-doc lengths → one tiny corpus-stats row (N, Σdl)
+  cross-joined back (broadcast — it is 1 row);
+* the query's terms are a literal array; only matching tokens survive the
+  explode (filter BEFORE the groupBy, so the shuffle carries O(matches));
+* per-(doc, term) tf → per-term df → per-doc score.
+
+Float determinism: a naive SUM(double) depends on row order, which Spark
+does not fix across runs (and DuckDB orders differently), so the score is
+computed as a LEFT FOLD over the per-term contributions sorted by term,
+each contribution pre-rounded to 9 dp (absorbing last-ulp libm ``ln``
+differences between engines). The result is bit-reproducible across runs
+AND engines; the integer columns (matched_terms, sum_tf, doc_len) are
+exact by construction.
+
+100 TB shape: one shuffle on (doc, term) limited to query-term matches,
+one on doc_id for the fold; df counts aggregate map-side; the corpus
+text never shuffles. For interactive serving you would precompute the
+(term → postings) inverted index with the same first half of this plan
+and snapshot it (io/snapshots.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("_w"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, matched_terms, sum_tf, doc_len, score) for every document
+    matching ≥1 query term. Terms are lowercased; duplicates collapse
+    (BM25 is defined over the query's term SET)."""
+    terms = sorted({t.lower() for t in query_terms if t})
+    words = _doc_words(df, id_col, text_col)
+
+    dl = words.groupBy("_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    tf = (
+        words.where(F.col("_w").isin(terms))
+        .groupBy("_id", "_w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("_w").agg(F.count("*").alias("df"))
+
+    j = (
+        tf.join(F.broadcast(dfreq), "_w")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    n, dfc = F.col("n_docs").cast("double"), F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    avgdl = F.col("sum_dl").cast("double") / n
+    tfd = F.col("tf").cast("double")
+    tfc = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    contrib = F.round(idf * tfc, 9)
+
+    per_doc = (
+        j.select("_id", "_w", "tf", "dl", contrib.alias("_c"))
+        .groupBy("_id", "dl")
+        .agg(
+            F.count("*").alias("matched_terms"),
+            F.sum("tf").alias("sum_tf"),
+            # order-fixed left fold: sort contributions by term, then add
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_w", "_c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_c"],
+            ).alias("score"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("matched_terms").cast("long").alias("matched_terms"),
+        F.col("sum_tf").cast("long").alias("sum_tf"),
+        F.col("dl").cast("long").alias("doc_len"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k by (score desc, doc_id asc) — deterministic tiebreak; compiles
+    to TakeOrderedAndProject (distributed partial top-k, no global sort)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    scored = bm25_scores(df, query_terms, **kwargs)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

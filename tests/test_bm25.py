@@ -1,0 +1,74 @@
+"""BM25 retrieval (operators/bm25.py) — hand-computed fixture + ranking
+properties."""
+
+import math
+
+import pytest
+
+from ohsome_planet_spark.operators.bm25 import bm25_scores, bm25_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark engine spark cluster"),      # dl 4, tf(spark)=2
+        (2, "spark"),                            # dl 1, tf(spark)=1
+        (3, "the quick brown fox"),              # dl 4, no match
+        (4, "engine room"),                      # dl 2, tf(engine)=1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25(tf, dl, df, n, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    tfc = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    return round(idf * tfc, 9)
+
+
+def test_scores_hand_computed(corpus):
+    out = {r["doc_id"]: r for r in
+           bm25_scores(corpus, ["spark", "engine"]).collect()}
+    assert set(out) == {1, 2, 4}  # doc 3 matches nothing -> absent
+    n, avgdl = 4, 11 / 4
+
+    d1 = out[1]
+    assert (d1["matched_terms"], d1["sum_tf"], d1["doc_len"]) == (2, 3, 4)
+    exp1 = round(_bm25(2, 4, 2, n, avgdl) + _bm25(1, 4, 2, n, avgdl), 6)
+    assert d1["score"] == pytest.approx(exp1, abs=2e-6)
+
+    d2 = out[2]
+    assert (d2["matched_terms"], d2["sum_tf"], d2["doc_len"]) == (1, 1, 1)
+    assert d2["score"] == pytest.approx(round(_bm25(1, 1, 2, n, avgdl), 6),
+                                        abs=2e-6)
+
+    d4 = out[4]
+    assert (d4["matched_terms"], d4["sum_tf"], d4["doc_len"]) == (1, 1, 2)
+
+
+def test_query_term_set_semantics(corpus):
+    once = bm25_scores(corpus, ["spark"]).collect()
+    twice = bm25_scores(corpus, ["spark", "SPARK", "spark"]).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(once, key=key) == sorted(twice, key=key)
+
+
+def test_topk_order_and_determinism(corpus):
+    top = bm25_topk(corpus, ["spark", "engine"], k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 2]  # two-term doc outranks
+    again = bm25_topk(corpus, ["spark", "engine"], k=2).collect()
+    assert [(r["doc_id"], r["score"]) for r in top] == \
+           [(r["doc_id"], r["score"]) for r in again]
+
+
+def test_rare_term_outscores_common(spark):
+    rows = [(i, "common filler words here") for i in range(20)]
+    rows.append((100, "common rareword filler"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bm25_topk(df, ["common", "rareword"], k=1).collect()
+    assert top[0]["doc_id"] == 100
+
+
+def test_zero_udf_plan(corpus):
+    plan = bm25_scores(corpus, ["spark"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
