@@ -3515,6 +3515,50 @@ FROM contrib GROUP BY doc_id, dl
 _BM25_ORACLE_SQL = _bm25_oracle_sql()
 
 
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid build: counts + exact int measure per zxy tile for
+    every zoom in [6, 10], each coarser level rolled up from the finer
+    AGGREGATE via bit arithmetic (zxy_parent_col), never re-scanning the
+    points. The oracle computes every level by DIRECT assignment — the
+    nested-floor identity makes rollup == direct, bit for bit."""
+    from ohsome_planet_spark.operators.tiling import tile_pyramid
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 7919 % 900) / 20.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 900) / 20.0).alias("lat"),
+        "user_id",
+    )
+    return tile_pyramid(pts, z_min=6, z_max=10,
+                        measures={"users": F.col("user_id")})
+
+
+def _tile_pyramid_oracle_sql() -> str:
+    levels = []
+    for z in range(6, 11):
+        n = 1 << z
+        levels.append(f"""
+SELECT {z} AS z,
+       {z} * 288230376151711744 +
+       greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), {n - 1})) * 536870912 +
+       greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * {n}) AS BIGINT), {n - 1})) AS cell,
+       count(*) AS n, sum(user_id)::BIGINT AS users
+FROM pts GROUP BY 1, 2""")
+    body = "\nUNION ALL\n".join(levels)
+    return f"""
+WITH pts AS (
+  SELECT (event_id * 7919 % 900) / 20.0 AS lon,
+         (event_id * 104729 % 900) / 20.0 AS lat,
+         user_id
+  FROM events
+)
+{body}
+"""
+
+
+_TILE_PYRAMID_ORACLE_SQL = _tile_pyramid_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -3570,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score": _q_lm_bigram_score,
         "pii_redaction": _q_pii_redaction,
         "bm25_search": _q_bm25_search,
+        "tile_pyramid": _q_tile_pyramid,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -3783,6 +3828,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_score": _LM_BIGRAM_ORACLE_SQL,
         "pii_redaction": _PII_ORACLE_SQL,
         "bm25_search": _BM25_ORACLE_SQL,
+        "tile_pyramid": _TILE_PYRAMID_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

@@ -120,6 +120,78 @@ def cell_counts(df: DataFrame, cell_col: str, salted: bool = False, salt_buckets
     return salted_count(df, [cell_col], out_col="n", salt_buckets=salt_buckets)
 
 
+def zxy_parent_col(cell: Column, child_z: int, parent_z: int) -> Column:
+    """Parent cell id at `parent_z` from a packed zxy id at `child_z` —
+    pure bit arithmetic, no trig, no re-scan of coordinates.
+
+    Exactness: ix>>d == floor(t·2^(z−d)) for t=(lon+180)/360 because the
+    nested-floor identity floor(floor(x·2^z)/2^d) = floor(x·2^(z−d)) holds
+    for reals, and multiplying a double by a power of two is exact — so
+    rollup-by-shift equals direct assignment at the coarser zoom, bit for
+    bit (the tile_pyramid oracle checks exactly this)."""
+    d = child_z - parent_z
+    if d < 0:
+        raise ValueError("parent_z must be <= child_z")
+    mask = (1 << 29) - 1
+    ix = F.shiftright(cell, 29).bitwiseAND(F.lit(mask))
+    iy = cell.bitwiseAND(F.lit(mask))
+    return (
+        F.lit(parent_z).cast("long") * F.lit(1 << 58).cast("long")
+        + F.shiftleft(F.shiftright(ix, d), 29)
+        + F.shiftright(iy, d)
+    ).cast("long")
+
+
+def tile_pyramid(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    z_min: int = 8,
+    z_max: int = 12,
+    measures: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Counts (+ optional exact measures) per tile for EVERY zoom in
+    [z_min, z_max] — the standard map-tile pyramid build.
+
+    Scale shape: points aggregate ONCE at z_max; every coarser level rolls
+    up from the level below it via `zxy_parent_col` bit arithmetic, so the
+    extra cost beyond the finest aggregate is a geometric series over
+    already-aggregated rows (4× fewer per level), never a re-scan of the
+    input. Each level is one hash aggregate with map-side combine.
+
+    `measures` maps output name → aggregatable column over the INPUT rows
+    (e.g. {"users": F.expr("sum(user_id)")}); use only order-insensitive
+    exact types (ints, decimals) — float sums are row-order-dependent.
+    Returns (z, cell, n, *measures); `cell` already encodes z in its high
+    bits, the explicit z column is for partition pruning in sinks."""
+    measures = measures or {}
+    fine = df.select(
+        zxy_cell_col(F.col(lon_col), F.col(lat_col), z_max).alias("cell"),
+        *[c.alias(f"_m_{name}") for name, c in measures.items()],
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(f"_m_{name}").alias(name) for name in measures
+    ]
+    level = fine.groupBy("cell").agg(*aggs)
+
+    rollup_aggs = [F.sum("n").alias("n")] + [
+        F.sum(name).alias(name) for name in measures
+    ]
+    out = level.withColumn("z", F.lit(z_max))
+    prev = level
+    for z in range(z_max - 1, z_min - 1, -1):
+        prev = (
+            prev.select(
+                zxy_parent_col(F.col("cell"), z + 1, z).alias("cell"),
+                "n", *measures.keys(),
+            )
+            .groupBy("cell")
+            .agg(*rollup_aggs)
+        )
+        out = out.unionByName(prev.withColumn("z", F.lit(z)))
+    return out.select("z", "cell", "n", *measures.keys())
+
+
 def cover_cells(
     df: DataFrame,
     zoom: int,
