@@ -3559,6 +3559,43 @@ WITH pts AS (
 _TILE_PYRAMID_ORACLE_SQL = _tile_pyramid_oracle_sql()
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. Scores are tf·ln(N/df) rounded
+    to 9 dp (absorbing libm last-ulp drift) with word-asc tiebreak, so the
+    per-doc ranking is a single deterministic answer in both engines."""
+    from ohsome_planet_spark.operators.keywords import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(docs, top_k=3)
+
+
+_TFIDF_ORACLE_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, w AS word, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, df,
+         round(CAST(tf AS DOUBLE) *
+               ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 9) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN nd
+)
+SELECT doc_id, word, tf::BIGINT AS tf, df::BIGINT AS df, score, "rank"
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, word ASC) AS "rank"
+  FROM scored
+)
+WHERE "rank" <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -3615,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "bm25_search": _q_bm25_search,
         "tile_pyramid": _q_tile_pyramid,
+        "tfidf_keywords": _q_tfidf_keywords,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -3829,6 +3867,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _PII_ORACLE_SQL,
         "bm25_search": _BM25_ORACLE_SQL,
         "tile_pyramid": _TILE_PYRAMID_ORACLE_SQL,
+        "tfidf_keywords": _TFIDF_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
