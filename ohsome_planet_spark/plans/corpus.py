@@ -9,8 +9,11 @@ report exactly where documents went:
       → near-dup clustering    (MinHash→LSH bands→verified Jaccard →
                                 connected components, min-id canonical)
       → quality filter         (char/token ratios + Gopher line rules)
+      → bigram-LM score gate   (CCNet-class perplexity filter — optional)
       → decontamination        (exact n-gram overlap vs a benchmark set,
                                 broadcast — optional)
+      → PII filter + redaction (drop contact directories, rewrite spans —
+                                optional)
       → mixture sampling       (deterministic md5-bucket rates per source —
                                 optional)
 
@@ -56,6 +59,11 @@ def curate_corpus(
     max_cross_doc_dup: float | None = None,
     cross_doc_window: int = 10,
     c4_line_clean: bool = False,
+    min_lm_logprob_per_token: float | None = None,
+    lm_model: DataFrame | None = None,
+    lm_top_k: int = 100_000,
+    redact_pii: bool = False,
+    max_pii_hits: int | None = None,
     with_manifest: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (clean_docs, stage_counts).
@@ -171,12 +179,45 @@ def curate_corpus(
         docs = docs.join(keep, id_col, "left_semi")
         docs = stage(docs, "after_cross_doc_dup")
 
+    # 3d. optional bigram-LM score filter (the CCNet-class perplexity
+    #     gate): train on the SURVIVING corpus unless a reference model is
+    #     passed (a real pipeline trains on a trusted slice once and
+    #     reuses it), score, keep docs above the per-token threshold.
+    if min_lm_logprob_per_token is not None:
+        from ..operators.ngram_lm import bigram_model, with_lm_stats
+
+        model = lm_model if lm_model is not None else bigram_model(
+            docs, top_k=lm_top_k, id_col=id_col, text_col=text_col)
+        scores = with_lm_stats(docs, model, id_col=id_col, text_col=text_col)
+        keep = scores.where(
+            (F.col("n_bigrams") == 0)
+            | (F.col("logprob_per_token") >= min_lm_logprob_per_token)
+        ).select(id_col)
+        docs = docs.join(keep, id_col, "left_semi")
+        docs = stage(docs, "after_lm_filter")
+
     # 4. decontamination against the benchmark set
     if benchmark is not None:
         docs = decontaminate(
             docs, benchmark, n=contamination_n, text_col=text_col, id_col=id_col
         )
         docs = stage(docs, "after_decontamination")
+
+    # 4b. optional PII pass — AFTER dedup/quality (redaction rewrites
+    #     text, which would perturb upstream hashes) and after
+    #     decontamination (benchmark n-grams are unredacted), before
+    #     mixing. Heavy-hit docs (contact directories) drop first, then
+    #     surviving text is rewritten in place.
+    if max_pii_hits is not None:
+        from ..operators.pii import filter_pii_heavy
+
+        docs = filter_pii_heavy(docs, max_hits=max_pii_hits,
+                                text_col=text_col)
+        docs = stage(docs, "after_pii_filter")
+    if redact_pii:
+        from ..operators.pii import redact_pii_col
+
+        docs = docs.withColumn(text_col, redact_pii_col(F.col(text_col)))
 
     # 5. mixture-weighted deterministic sample
     if mixture_weights is not None:

@@ -158,3 +158,50 @@ def test_curate_corpus_c4_line_clean(spark):
     assert set(out) == {1}
     assert "javascript" not in out[1]
     assert counts["after_quality"] == 1
+
+
+def test_curate_corpus_lm_and_pii_stages(spark):
+    """Optional LM gate drops gibberish; PII stages drop directories and
+    redact survivors in place."""
+    clean_rows = [
+        (i, "the quick brown fox jumps over the lazy dog near the river "
+            "bank and the quick brown fox rests", "web")
+        for i in range(1, 9)
+    ]
+    gib = (20, "zzq qxj vvw klm wqz jxq vwv mlk qzw xjq", "web")
+    # repetitive enough to pass the LM gate — it must fall to the PII
+    # stage, not the LM one
+    directory = (21, " ".join(["write to bob@spam.example.org today"] * 8),
+                 "web")
+    leaky = (22, "the quick brown fox emails ceo@fox.example.com daily "
+                 "near the river bank and the quick brown fox rests", "web")
+    docs = spark.createDataFrame(
+        clean_rows + [gib, directory, leaky],
+        "doc_id long, text string, source string")
+    # reference-trained model (the production pattern: train once on a
+    # trusted slice) — exact dedup collapses the identical clean docs
+    # before the LM stage, so an in-pipeline model would be starved here
+    from ohsome_planet_spark.operators.ngram_lm import bigram_model
+
+    ref_model = bigram_model(
+        spark.createDataFrame(clean_rows + [directory],
+                              "doc_id long, text string, source string"))
+
+    clean, counts = curate_corpus(
+        docs,
+        min_tokens=3, max_punct_ratio=1.0, max_dup_line_fraction=1.0,
+        jaccard_threshold=1.01,          # disable near-dup for this fixture
+        min_lm_logprob_per_token=-2.0,
+        lm_model=ref_model,
+        max_pii_hits=5,
+        redact_pii=True,
+        with_manifest=True,
+    )
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert 20 not in rows                      # LM gate drops gibberish
+    assert 21 not in rows                      # PII-heavy directory dropped
+    assert 22 in rows and "<EMAIL>" in rows[22]
+    assert "@" not in rows[22]
+    assert rows[1] == clean_rows[0][1]         # clean text untouched
+    assert counts["after_lm_filter"] == counts["after_quality"] - 1
+    assert counts["after_pii_filter"] == counts["after_lm_filter"] - 1
