@@ -122,3 +122,77 @@ def bm25_topk(
     id_col = kwargs.get("id_col", "doc_id")
     scored = bm25_scores(df, query_terms, **kwargs)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the retrieval index ONCE: (postings, doc_stats).
+
+    postings:  (term, doc_id, tf, df) — one row per posting, `df` denormed
+               onto every row so query-time needs no second aggregate;
+    doc_stats: (doc_id, dl) plus every row carries (n_docs, sum_dl).
+
+    Write both through `io/snapshots.SnapshotTable` (partition postings by
+    a term hash-bucket) and the 100 TB corpus is tokenized exactly once;
+    every query after that is `bm25_from_index` — a filter on the query's
+    terms (partition-prunable via the bucket) + one tiny aggregate. This
+    is the build half of bm25_scores' plan, snapshotted instead of
+    recomputed per query."""
+    words = _doc_words(df, id_col, text_col)
+    tf = words.groupBy("_id", "_w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("_w").agg(F.count("*").alias("df"))
+    postings = tf.join(dfreq, "_w").select(
+        F.col("_w").alias("term"), F.col("_id").alias("doc_id"), "tf", "df")
+
+    dl = words.groupBy("_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    doc_stats = dl.select(F.col("_id").alias("doc_id"), "dl") \
+        .crossJoin(F.broadcast(stats))
+    return postings, doc_stats
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score from a prebuilt index — identical output to `bm25_scores`
+    (same contribution arithmetic, same order-fixed fold), without
+    touching the corpus text."""
+    terms = sorted({t.lower() for t in query_terms if t})
+    j = postings.where(F.col("term").isin(terms)).join(doc_stats, "doc_id")
+
+    n, dfc = F.col("n_docs").cast("double"), F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    avgdl = F.col("sum_dl").cast("double") / n
+    tfd = F.col("tf").cast("double")
+    tfc = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    contrib = F.round(idf * tfc, 9)
+
+    return (
+        j.select("doc_id", "term", "tf", "dl", contrib.alias("_c"))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count("*").alias("matched_terms"),
+            F.sum("tf").alias("sum_tf"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("_c")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_c"],
+            ).alias("score"),
+        )
+        .select(
+            "doc_id",
+            F.col("matched_terms").cast("long").alias("matched_terms"),
+            F.col("sum_tf").cast("long").alias("sum_tf"),
+            F.col("dl").cast("long").alias("doc_len"),
+            F.round(F.col("score"), 6).alias("score"),
+        )
+    )

@@ -72,3 +72,41 @@ def test_zero_udf_plan(corpus):
     plan = bm25_scores(corpus, ["spark"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_index_path_equals_direct(spark, corpus):
+    from ohsome_planet_spark.operators.bm25 import (
+        bm25_from_index,
+        build_inverted_index,
+    )
+
+    postings, doc_stats = build_inverted_index(corpus)
+    direct = bm25_scores(corpus, ["spark", "engine"]).collect()
+    via_idx = bm25_from_index(postings, doc_stats,
+                              ["spark", "engine"]).collect()
+    key = lambda r: r["doc_id"]
+    # bit-identical, score included (same arithmetic, same ordered fold)
+    assert sorted(direct, key=key) == sorted(via_idx, key=key)
+
+
+def test_index_snapshot_roundtrip(spark, corpus, tmp_path):
+    """Build once → snapshot (term-hash-bucket partitions) → query from
+    the committed snapshot without touching the corpus text."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.io.snapshots import SnapshotTable
+    from ohsome_planet_spark.operators.bm25 import (
+        bm25_from_index,
+        build_inverted_index,
+    )
+
+    postings, doc_stats = build_inverted_index(corpus)
+    t = SnapshotTable(str(tmp_path / "postings"))
+    t.write_partitions(
+        postings.withColumn("bucket", F.crc32(F.col("term")) % 4), "bucket")
+    stored = t.read(spark).drop("bucket")
+
+    want = bm25_from_index(postings, doc_stats, ["spark"]).collect()
+    got = bm25_from_index(stored, doc_stats, ["spark"]).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(want, key=key) == sorted(got, key=key)
