@@ -133,6 +133,9 @@ def main() -> None:
         "hashtags",
         "contamination",
         "url_canonical_dedup",
+        "tile_pyramid",
+        "bm25_search",
+        "lm_bigram_score",
     ]
     qs = entrymod.queries()
     for name in headline:
