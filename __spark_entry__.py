@@ -3596,6 +3596,43 @@ WHERE "rank" <= 3
 """
 
 
+def _q_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length profile: exact long sums, one int/int
+    division for the mean, NEAREST-RANK percentiles (pure integer order
+    statistics — no interpolated-quantile float hazard). Both windows ride
+    one hashpartitioning exchange (plan-asserted in tests/test_profile)."""
+    from ohsome_planet_spark.operators.profile import length_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return length_profile(docs)
+
+
+_LENGTH_PROFILE_ORACLE_SQL = r"""
+WITH lens AS (
+  SELECT source AS g, doc_id AS _id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         w -> w <> ''))::BIGINT AS len
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY g ORDER BY len ASC, _id ASC) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM lens
+)
+SELECT g AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(len)::BIGINT AS total_tokens,
+       CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+       min(len)::BIGINT AS min_tokens,
+       max(len)::BIGINT AS max_tokens,
+       min(CASE WHEN rn >= ceil(0.5::DOUBLE * n) THEN len END)::BIGINT AS p50_tokens,
+       min(CASE WHEN rn >= ceil(0.9::DOUBLE * n) THEN len END)::BIGINT AS p90_tokens,
+       min(CASE WHEN rn >= ceil(0.99::DOUBLE * n) THEN len END)::BIGINT AS p99_tokens
+FROM ranked GROUP BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -3653,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "tile_pyramid": _q_tile_pyramid,
         "tfidf_keywords": _q_tfidf_keywords,
+        "length_profile": _q_length_profile,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -3868,6 +3906,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _BM25_ORACLE_SQL,
         "tile_pyramid": _TILE_PYRAMID_ORACLE_SQL,
         "tfidf_keywords": _TFIDF_ORACLE_SQL,
+        "length_profile": _LENGTH_PROFILE_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
