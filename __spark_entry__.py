@@ -3633,6 +3633,48 @@ FROM ranked GROUP BY g
 """
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations over documents (min bigram count 5).
+    pmi is ONE per-row double expression ln((n12·Nu²)/(Nb·n1·n2)) rounded
+    to 9 dp — no float aggregation — so value AND (pmi desc, w1, w2)
+    ranking are engine-exact."""
+    from ohsome_planet_spark.operators.ngram_lm import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_collocations(docs, min_count=5, top_k=100)
+
+
+_PMI_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents
+),
+words AS (SELECT unnest(t) AS w FROM toks),
+uni AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+nu AS (SELECT sum(n)::BIGINT AS n_tokens_total FROM uni),
+pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+),
+big AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+nb AS (SELECT sum(n12)::BIGINT AS n_bigrams_total FROM big)
+SELECT w1, w2, n12::BIGINT AS n12, u1.n::BIGINT AS n1, u2.n::BIGINT AS n2,
+       round(ln((CAST(n12 AS DOUBLE) * CAST(n_tokens_total AS DOUBLE)
+                 * CAST(n_tokens_total AS DOUBLE))
+                / (CAST(n_bigrams_total AS DOUBLE) * CAST(u1.n AS DOUBLE)
+                   * CAST(u2.n AS DOUBLE))), 9) AS pmi
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE n12 >= 5
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -3691,6 +3733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _q_tile_pyramid,
         "tfidf_keywords": _q_tfidf_keywords,
         "length_profile": _q_length_profile,
+        "pmi_collocations": _q_pmi_collocations,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -3907,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": _TILE_PYRAMID_ORACLE_SQL,
         "tfidf_keywords": _TFIDF_ORACLE_SQL,
         "length_profile": _LENGTH_PROFILE_ORACLE_SQL,
+        "pmi_collocations": _PMI_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

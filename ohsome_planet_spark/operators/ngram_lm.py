@@ -90,6 +90,62 @@ def context_counts(model: DataFrame) -> DataFrame:
     return model.groupBy("w1").agg(F.sum("n").alias("ctx_n"))
 
 
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations (w1, w2, n12, n1, n2, pmi) by pointwise mutual
+    information — the classic fixed-phrase detector ("new york", "of the"
+    scores LOW because both parts are everywhere).
+
+    pmi = ln(P(w1,w2) / (P(w1)·P(w2))) computed as ONE per-row double
+    expression ln((n12·Nu·Nu)/(Nb·n1·n2)) rounded to 9 dp — no float
+    aggregation anywhere, so the value (and the deterministic
+    (pmi desc, w1, w2) ranking) is engine-exact. `min_count` suppresses
+    the low-count PMI explosion (hapax pairs score ln(Nu²/Nb) regardless
+    of meaning).
+
+    Scale: bigram + unigram counts are two map-side-combined aggregates;
+    the two corpus totals are 1-row broadcast cross joins; top-k compiles
+    to TakeOrderedAndProject (per-partition partial top-k)."""
+    toks = (
+        df.select(F.explode(_tokens_col(F.col(text_col))).alias("w"))
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("n"))
+    n_uni = uni.agg(F.sum("n").alias("n_tokens_total"))
+
+    big = (
+        doc_bigrams(df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+    )
+    n_big = big.agg(F.sum("n12").alias("n_bigrams_total"))
+
+    j = (
+        big.where(F.col("n12") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    d = lambda c: F.col(c).cast("double")
+    pmi = F.round(
+        F.log(
+            (d("n12") * d("n_tokens_total") * d("n_tokens_total"))
+            / (d("n_bigrams_total") * d("n1") * d("n2"))
+        ),
+        9,
+    )
+    return (
+        j.select("w1", "w2", "n12", "n1", "n2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )
+
+
 def with_lm_stats(
     df: DataFrame,
     model: DataFrame,

@@ -113,3 +113,25 @@ def test_shuffle_join_variant_matches_broadcast(tiny):
     b = with_lm_stats(tiny, model, broadcast_model=False).collect()
     key = lambda r: r["doc_id"]
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_pmi_collocations(spark):
+    from ohsome_planet_spark.operators.ngram_lm import pmi_collocations
+
+    # "alpha beta" always together (perfect collocation); "the" everywhere
+    rows = [(i, "the alpha beta the filler" + str(i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=3, top_k=5).collect()
+    pairs = [(r["w1"], r["w2"]) for r in out]
+    assert pairs[0] == ("alpha", "beta")
+
+    r = out[0]
+    # hand-check: n12=12, n1=n2=12, Nu=60, Nb=48
+    assert (r["n12"], r["n1"], r["n2"]) == (12, 12, 12)
+    import math
+    want = round(math.log((12 * 60.0 * 60.0) / (48.0 * 12 * 12)), 9)
+    assert r["pmi"] == pytest.approx(want, abs=1e-9)
+    # ranking is fully deterministic
+    again = pmi_collocations(df, min_count=3, top_k=5).collect()
+    assert [(x["w1"], x["w2"], x["pmi"]) for x in again] == \
+           [(x["w1"], x["w2"], x["pmi"]) for x in out]
