@@ -3675,6 +3675,111 @@ LIMIT 100
 """
 
 
+def _q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web link graph end-to-end: synthetic pages (2 hrefs each, domains
+    derived from event_id) → href regexp extraction → host mapping →
+    domain edges → degree stats + TWO deterministic PageRank iterations.
+    Every float step is a single IEEE op on 12dp-rounded inputs with a
+    sorted fold for the per-target sum, so the DuckDB twin (iterations
+    unrolled as CTEs) reproduces ranks bit-for-bit."""
+    from ohsome_planet_spark.operators.linkgraph import (
+        degree_stats,
+        domain_edges,
+        extract_links,
+        pagerank,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    dom = lambda expr: F.concat(F.lit("d"), expr.cast("string"),
+                                F.lit(".example.com"))
+    pages = ev.select(
+        F.concat(F.lit("https://"), dom(e % 40), F.lit("/p/"),
+                 e.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<a href="https://'), dom((e * 7 + 1) % 40),
+            F.lit('/x">one</a><a href="https://'), dom((e * 13 + 3) % 40),
+            F.lit('/y">two</a>'),
+        ).alias("html"),
+    )
+    edges = domain_edges(extract_links(pages))
+    pr = pagerank(edges, iterations=2)
+    return degree_stats(edges).join(pr, "domain")
+
+
+_HOST_SQL = ("lower(regexp_extract(split_part({c}, '#', 1), "
+             "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))")
+
+_PAGERANK_ORACLE_SQL = rf"""
+WITH pages AS (
+  SELECT 'https://d' || (event_id % 40) || '.example.com/p/' || event_id AS url,
+         '<a href="https://d' || ((event_id * 7 + 1) % 40) ||
+         '.example.com/x">one</a><a href="https://d' ||
+         ((event_id * 13 + 3) % 40) || '.example.com/y">two</a>' AS html
+  FROM events
+),
+links AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"', 1)) AS dst_url
+  FROM pages
+),
+hosts AS (
+  SELECT {_HOST_SQL.format(c='src_url')} AS src,
+         {_HOST_SQL.format(c='dst_url')} AS dst
+  FROM links
+),
+edges AS (
+  SELECT src, dst, count(*) AS n_links FROM hosts
+  WHERE src <> '' AND dst <> '' AND src <> dst GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT src AS domain FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT domain, 1.0::DOUBLE / CAST(n AS DOUBLE) AS rank
+       FROM nodes CROSS JOIN nn),
+c1 AS (
+  SELECT e.dst, e.src, round(r.rank / CAST(o.outdeg AS DOUBLE), 12) AS c
+  FROM edges e JOIN outdeg o USING (src) JOIN r0 r ON e.src = r.domain
+),
+s1 AS (SELECT dst, list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS s
+       FROM c1 GROUP BY dst),
+r1 AS (
+  SELECT domain,
+         round((1.0::DOUBLE - 0.85::DOUBLE) / CAST(n AS DOUBLE)
+               + 0.85::DOUBLE * coalesce(s, 0.0::DOUBLE), 12) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.domain = s1.dst
+),
+c2 AS (
+  SELECT e.dst, e.src, round(r.rank / CAST(o.outdeg AS DOUBLE), 12) AS c
+  FROM edges e JOIN outdeg o USING (src) JOIN r1 r ON e.src = r.domain
+),
+s2 AS (SELECT dst, list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS s
+       FROM c2 GROUP BY dst),
+r2 AS (
+  SELECT domain,
+         round((1.0::DOUBLE - 0.85::DOUBLE) / CAST(n AS DOUBLE)
+               + 0.85::DOUBLE * coalesce(s, 0.0::DOUBLE), 12) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.domain = s2.dst
+),
+deg AS (
+  SELECT coalesce(o.domain, i.domain) AS domain,
+         coalesce(o.out_degree, 0)::BIGINT AS out_degree,
+         coalesce(i.in_degree, 0)::BIGINT AS in_degree,
+         coalesce(o.links_out, 0)::BIGINT AS links_out,
+         coalesce(i.links_in, 0)::BIGINT AS links_in
+  FROM (SELECT src AS domain, count(*) AS out_degree,
+               sum(n_links) AS links_out FROM edges GROUP BY src) o
+  FULL OUTER JOIN
+       (SELECT dst AS domain, count(*) AS in_degree,
+               sum(n_links) AS links_in FROM edges GROUP BY dst) i
+  ON o.domain = i.domain
+)
+SELECT deg.domain, out_degree, in_degree, links_out, links_in, r2.rank
+FROM deg JOIN r2 ON deg.domain = r2.domain
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -3734,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "length_profile": _q_length_profile,
         "pmi_collocations": _q_pmi_collocations,
+        "pagerank_domains": _q_pagerank_domains,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -3951,6 +4057,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": _TFIDF_ORACLE_SQL,
         "length_profile": _LENGTH_PROFILE_ORACLE_SQL,
         "pmi_collocations": _PMI_ORACLE_SQL,
+        "pagerank_domains": _PAGERANK_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
