@@ -62,3 +62,31 @@ def crawl_to_tiles(
         with_geometry=False,
     )
     return tile_counts_from_enriched(enriched, salted=salted), manifest
+
+
+def crawl_link_graph(
+    spark: SparkSession,
+    warc_glob: str,
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """WARC archives → domain link graph with degrees + PageRank.
+
+    The authority-side twin of `crawl_to_tiles`: the same WARC scan feeds
+    `operators/linkgraph` (href extraction from the raw html, domain
+    edges, degree stats, deterministic k-iteration PageRank). Returns
+    (domain, out_degree, in_degree, links_out, links_in, rank) — the
+    signal a curation run joins back onto pages for seed-quality or
+    spam-farm filtering."""
+    from ..operators.linkgraph import (
+        degree_stats,
+        domain_edges,
+        extract_links,
+        pagerank,
+    )
+    from ..sources.warc import read_warc
+
+    pages = read_warc(spark, warc_glob)
+    edges = domain_edges(extract_links(pages))
+    return degree_stats(edges).join(
+        pagerank(edges, iterations=iterations, damping=damping), "domain")

@@ -41,3 +41,28 @@ def test_crawl_to_tiles(spark, tmp_path):
     total_mentions = sum(r["n"] for r in rows)
     assert total_mentions == 2  # the two entities once each
     assert all(r["country"] is not None or True for r in rows)
+
+
+def test_crawl_link_graph(spark, tmp_path):
+    from ohsome_planet_spark.plans.webtext import crawl_link_graph
+
+    mk = lambda links: ("<html><body>" + "".join(
+        f'<a href="{u}">l</a>' for u in links) + "</body></html>").encode()
+    recs = [
+        _record("response", "http://a.example/1", "2021-01-02T00:00:00Z",
+                _http(mk(["http://b.example/x", "http://c.example/y"]))),
+        _record("response", "http://b.example/1", "2021-01-02T00:00:00Z",
+                _http(mk(["http://c.example/z"]))),
+        _record("response", "http://c.example/1", "2021-01-02T00:00:00Z",
+                _http(mk(["http://a.example/w"]))),
+    ]
+    p = tmp_path / "links.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    out = {r["domain"]: r for r in crawl_link_graph(spark, str(p)).collect()}
+    assert set(out) == {"a.example", "b.example", "c.example"}
+    assert (out["a.example"]["out_degree"], out["a.example"]["in_degree"]) == (2, 1)
+    assert (out["c.example"]["out_degree"], out["c.example"]["in_degree"]) == (1, 2)
+    assert abs(sum(r["rank"] for r in out.values()) - 1.0) < 0.2
+    # a.example receives c.example's undivided rank -> highest authority
+    assert max(out, key=lambda d: out[d]["rank"]) == "a.example"
