@@ -109,3 +109,43 @@ def test_hex_center_roundtrip_prop(lat, lon):
         clat, clon = C.hex_center(cell)
         again = C.hex_cell(clat, clon, res)
         assert again[0] == cell[0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(lons, lats)
+def test_zxy_parent_equals_direct_assignment(lon, lat):
+    """The nested-floor identity behind tile_pyramid: rolling a fine cell
+    up by bit-shift lands on EXACTLY the cell direct assignment picks at
+    the coarse zoom (multiplying a double by a power of two is exact)."""
+    lon_a, lat_a = np.asarray([lon]), np.asarray([lat])
+    for z, pz in ((14, 9), (10, 4), (12, 11)):
+        fine = C.zxy_cell(lon_a, lat_a, z)
+        assert C.zxy_parent(fine, pz)[0] == C.zxy_cell(lon_a, lat_a, pz)[0]
+
+
+_pii_text = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    max_size=120,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_pii_text)
+def test_pii_redaction_complete_and_idempotent(s):
+    """Pattern-level properties (pure `re` on the same pattern subset):
+    after redaction no pattern matches remain, and redacting again is a
+    no-op (placeholders must not create new matches)."""
+    import re
+
+    from ohsome_planet_spark.operators.pii import PII_PATTERNS, REDACTIONS
+
+    def redact(t):
+        for kind in ("email", "ipv4", "phone"):
+            t = re.sub(PII_PATTERNS[kind], REDACTIONS[kind], t)
+        return t
+
+    planted = s + " a@b.io 10.1.2.3 +1 555 000 1111 " + s
+    once = redact(planted)
+    for kind, pat in PII_PATTERNS.items():
+        assert not re.search(pat, once), (kind, once)
+    assert redact(once) == once
