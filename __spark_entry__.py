@@ -3780,6 +3780,84 @@ FROM deg JOIN r2 ON deg.domain = r2.domain
 """
 
 
+def _q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text term index with robots-noindex honoring: synthetic
+    pages (every 7th carries <meta name="robots" content="noindex">) are
+    filtered FIRST, then absolute-href anchors + their link text are
+    extracted (one regexp_extract_all + per-element group extraction in a
+    JVM transform), mapped to domains, and cross-site anchor terms
+    counted per TARGET domain."""
+    from ohsome_planet_spark.operators.linkgraph import (
+        anchor_term_index,
+        extract_anchor_texts,
+        filter_indexable,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    dst1 = F.concat(F.lit("https://d"), ((e * 3 + 1) % 20).cast("string"),
+                    F.lit(".example.com/x"))
+    dst2 = F.concat(F.lit("https://d"), ((e * 11 + 5) % 20).cast("string"),
+                    F.lit(".example.com/y"))
+    meta = F.when(
+        e % 7 == 0, F.lit('<meta name="robots" content="noindex">')
+    ).otherwise(F.lit(""))
+    pages = ev.select(
+        F.concat(F.lit("https://s"), (e % 20).cast("string"),
+                 F.lit(".example.com/p/"), e.cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), meta, F.lit('</head><body><a href="'),
+            dst1, F.lit('">'), F.col("event_type"),
+            F.lit(" page "), (e % 5).cast("string"),
+            F.lit('</a><a href="'), dst2, F.lit('">see '),
+            F.col("event_type"), F.lit("</a></body></html>"),
+        ).alias("html"),
+    )
+    return anchor_term_index(extract_anchor_texts(filter_indexable(pages)))
+
+
+_ANCHOR_TERMS_ORACLE_SQL = rf"""
+WITH pages AS (
+  SELECT 'https://s' || (event_id % 20) || '.example.com/p/' || event_id AS url,
+         '<html><head>' ||
+         CASE WHEN event_id % 7 = 0
+              THEN '<meta name="robots" content="noindex">' ELSE '' END ||
+         '</head><body><a href="https://d' || ((event_id * 3 + 1) % 20) ||
+         '.example.com/x">' || event_type || ' page ' || (event_id % 5) ||
+         '</a><a href="https://d' || ((event_id * 11 + 5) % 20) ||
+         '.example.com/y">see ' || event_type || '</a></body></html>' AS html
+  FROM events
+),
+indexable AS (
+  SELECT * FROM pages
+  WHERE NOT regexp_matches(lower(html),
+        '<meta[^>]*name="robots"[^>]*content="[^"]*noindex')
+),
+els AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html,
+                '<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>', 0)) AS el
+  FROM indexable
+),
+pairs AS (
+  SELECT src_url,
+         regexp_extract(el, '<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>', 1) AS dst_url,
+         regexp_extract(el, '<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>', 2) AS anchor
+  FROM els
+),
+terms AS (
+  SELECT {_HOST_SQL.format(c='src_url')} AS src,
+         {_HOST_SQL.format(c='dst_url')} AS domain,
+         unnest(list_filter(string_split_regex(lower(trim(anchor)), '\s+'),
+                            w -> w <> '')) AS term
+  FROM pairs
+)
+SELECT domain, term, count(*)::BIGINT AS n
+FROM terms WHERE src <> domain AND domain <> ''
+GROUP BY domain, term
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -3840,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_profile": _q_length_profile,
         "pmi_collocations": _q_pmi_collocations,
         "pagerank_domains": _q_pagerank_domains,
+        "anchor_terms": _q_anchor_terms,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4058,6 +4137,7 @@ def oracle_sql() -> dict[str, str]:
         "length_profile": _LENGTH_PROFILE_ORACLE_SQL,
         "pmi_collocations": _PMI_ORACLE_SQL,
         "pagerank_domains": _PAGERANK_ORACLE_SQL,
+        "anchor_terms": _ANCHOR_TERMS_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

@@ -57,6 +57,68 @@ def extract_links(df: DataFrame, url_col: str = "url",
     )
 
 
+ANCHOR_RE = r'<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>'
+
+# attribute order as emitted by the canonical form (name before content);
+# a production crawler normalizes attribute order before this filter
+ROBOTS_NOINDEX_RE = r'<meta[^>]*name="robots"[^>]*content="[^"]*noindex'
+
+
+def extract_anchor_texts(df: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(src_url, dst_url, anchor) — absolute-href anchors WITH their link
+    text (the #1 retrieval signal for the TARGET page: anchors describe
+    what others call it).
+
+    One regexp_extract_all for the full <a> elements, then per-element
+    group extraction inside a JVM `transform` — still zero UDFs."""
+    html_str = F.col(html_col)
+    if dict(df.dtypes)[html_col] == "binary":
+        html_str = F.decode(html_str, "UTF-8")
+    elems = F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), 0)
+    pairs = F.transform(
+        elems,
+        lambda e: F.struct(
+            F.regexp_extract(e, ANCHOR_RE, 1).alias("dst_url"),
+            F.regexp_extract(e, ANCHOR_RE, 2).alias("anchor"),
+        ),
+    )
+    return (
+        df.select(F.col(url_col).alias("src_url"),
+                  F.explode(pairs).alias("_p"))
+        .select("src_url", F.col("_p.dst_url").alias("dst_url"),
+                F.col("_p.anchor").alias("anchor"))
+    )
+
+
+def anchor_term_index(anchors: DataFrame) -> DataFrame:
+    """(domain, term, n) — anchor-text term counts per TARGET domain,
+    cross-site only (a site's self-description is not evidence)."""
+    t = anchors.select(
+        _host(F.col("src_url")).alias("src"),
+        _host(F.col("dst_url")).alias("domain"),
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col("anchor"))), r"\s+"),
+                     lambda w: w != "")
+        ).alias("term"),
+    ).where((F.col("src") != F.col("domain")) & (F.col("domain") != ""))
+    return t.groupBy("domain", "term").agg(F.count("*").alias("n"))
+
+
+def robots_noindex_col(html_c: Column, is_binary: bool = False) -> Column:
+    """True when the page opts out of indexing via <meta name="robots">."""
+    s = F.decode(html_c, "UTF-8") if is_binary else html_c
+    return F.lower(s).rlike(ROBOTS_NOINDEX_RE)
+
+
+def filter_indexable(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages whose robots meta says noindex — run BEFORE any stage
+    that publishes content (a corpus must honor the opt-out even though
+    the crawl stored the bytes)."""
+    is_bin = dict(df.dtypes)[html_col] == "binary"
+    return df.where(~robots_noindex_col(F.col(html_col), is_binary=is_bin))
+
+
 def _host(c: Column) -> Column:
     from .urls import host_col
 

@@ -94,3 +94,59 @@ def test_zero_udf_plan(pages):
     edges = domain_edges(extract_links(pages))
     plan = pagerank(edges, 2)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anchor_texts_and_term_index(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.linkgraph import (
+        anchor_term_index,
+        extract_anchor_texts,
+    )
+
+    rows = [
+        ("https://a.com/1",
+         '<a href="https://b.com/x">great maps site</a>'
+         '<a href="https://b.com/y" rel="nofollow">maps again</a>'
+         '<a href="https://a.com/self">me</a>'),
+        ("https://c.com/1", '<a href="https://b.com/z">Maps</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    anchors = extract_anchor_texts(pages).collect()
+    assert {(r["dst_url"], r["anchor"]) for r in anchors} == {
+        ("https://b.com/x", "great maps site"),
+        ("https://b.com/y", "maps again"),
+        ("https://a.com/self", "me"),
+        ("https://b.com/z", "Maps"),
+    }
+    idx = {(r["domain"], r["term"]): r["n"]
+           for r in anchor_term_index(extract_anchor_texts(pages)).collect()}
+    # self-link term "me" excluded; "maps" counted 3x cross-site
+    assert idx[("b.com", "maps")] == 3
+    assert ("a.com", "me") not in idx
+
+    bin_pages = pages.select("url", F.encode("html", "UTF-8").alias("html"))
+    a = sorted(map(tuple, extract_anchor_texts(pages).collect()))
+    b = sorted(map(tuple, extract_anchor_texts(bin_pages).collect()))
+    assert a == b
+
+
+def test_robots_noindex_filter(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.linkgraph import filter_indexable
+
+    rows = [
+        (1, '<html><head><meta name="robots" content="noindex,nofollow">'
+            '</head><body>hidden</body></html>'),
+        (2, '<html><head><meta name="robots" content="index,follow">'
+            '</head><body>fine</body></html>'),
+        (3, '<html><head><META NAME="robots" CONTENT="NOINDEX"></head>'
+            '<body>case</body></html>'),
+        (4, '<html><body>no meta at all</body></html>'),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    kept = {r["id"] for r in filter_indexable(df).collect()}
+    assert kept == {2, 4}
+    bin_df = df.select("id", F.encode("html", "UTF-8").alias("html"))
+    assert {r["id"] for r in filter_indexable(bin_df).collect()} == {2, 4}
