@@ -3858,6 +3858,76 @@ GROUP BY domain, term
 """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (operators/asof.py — one window, one shuffle,
+    plan-asserted) vs DuckDB's NATIVE ``ASOF LEFT JOIN``: every 3rd event
+    becomes a (key, ts, metric) quote stream (deduped to unique (k, ts)
+    so the match is well-defined), the rest are probes that attach the
+    latest quote at-or-before their timestamp."""
+    from ohsome_planet_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    k = (F.col("user_id") % 40).alias("k")
+    left = ev.where(e % 3 != 0).select(k, "ts", "event_id")
+    right = (
+        ev.where(e % 3 == 0)
+        .select(k, "ts", (e * 2).alias("metric"))
+        .groupBy("k", "ts").agg(F.max("metric").alias("metric"))
+    )
+    return asof_join(left, right, on="ts", by="k")
+
+
+_ASOF_ORACLE_SQL = """
+WITH l AS (
+  SELECT user_id % 40 AS k, ts, event_id FROM events WHERE event_id % 3 <> 0
+),
+r AS (
+  SELECT k, ts, max(metric) AS metric FROM (
+    SELECT user_id % 40 AS k, ts, event_id * 2 AS metric
+    FROM events WHERE event_id % 3 = 0
+  ) GROUP BY k, ts
+)
+SELECT l.k, l.ts, l.event_id, r.metric
+FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+"""
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval range join (operators/asof.py): every
+    11th event becomes a keyed interval, the rest are points; buckets of
+    width 64 turn the theta-join into a hash equi-join + exact filter
+    (each pair meets in exactly one bucket — the point's). The oracle is
+    DuckDB's plain inequality join."""
+    from ohsome_planet_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    k = (F.col("user_id") % 20).alias("k")
+    points = ev.where(e % 11 != 0).select(
+        k, (e % 10000).alias("t"), e.alias("pid"))
+    intervals = ev.where(e % 11 == 0).select(
+        k, ((e * 7) % 9900).alias("start"), e.alias("iid")
+    ).withColumn("end", F.col("start") + (F.col("iid") % 97) + 1)
+    return range_join(points, intervals, point_col="t",
+                      by="k", bucket_width=64)
+
+
+_RANGE_JOIN_ORACLE_SQL = """
+WITH p AS (
+  SELECT user_id % 20 AS k, event_id % 10000 AS t, event_id AS pid
+  FROM events WHERE event_id % 11 <> 0
+),
+i AS (
+  SELECT user_id % 20 AS k, (event_id * 7) % 9900 AS start, event_id AS iid,
+         (event_id * 7) % 9900 + (event_id % 97) + 1 AS "end"
+  FROM events WHERE event_id % 11 = 0
+)
+SELECT p.k, p.t, p.pid, i.start, i.iid, i."end"
+FROM p JOIN i ON p.k = i.k AND i.start <= p.t AND p.t < i."end"
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -3919,6 +3989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "pagerank_domains": _q_pagerank_domains,
         "anchor_terms": _q_anchor_terms,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4138,6 +4210,8 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _PMI_ORACLE_SQL,
         "pagerank_domains": _PAGERANK_ORACLE_SQL,
         "anchor_terms": _ANCHOR_TERMS_ORACLE_SQL,
+        "asof_join": _ASOF_ORACLE_SQL,
+        "range_join": _RANGE_JOIN_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
