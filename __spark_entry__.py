@@ -3928,6 +3928,48 @@ FROM p JOIN i ON p.k = i.k AND i.start <= p.t AND p.t < i."end"
 """
 
 
+def _q_cell_assign_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash (Niemeyer base32) per point as a pure JVM expression —
+    matches published vectors ('ezs42', 'u4pruydqqvj') in tests; the
+    oracle unrolls the identical interleave/base32 bit arithmetic in
+    SQL."""
+    from ohsome_planet_spark.operators.tiling import geohash_col
+
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "event_id", geohash_col(F.col("lon"), F.col("lat"), 8).alias("geohash"))
+
+
+def _geohash_oracle_sql(precision: int = 8) -> str:
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    ix = (f"greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * "
+          f"{1 << lon_bits}) AS BIGINT), {(1 << lon_bits) - 1}))")
+    iy = (f"greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * "
+          f"{1 << lat_bits}) AS BIGINT), {(1 << lat_bits) - 1}))")
+    terms = []
+    for b in range(lon_bits):
+        terms.append(f"(((ix >> {lon_bits - 1 - b}) & 1) << {bits - 1 - 2 * b})")
+    for b in range(lat_bits):
+        terms.append(f"(((iy >> {lat_bits - 1 - b}) & 1) << {bits - 2 - 2 * b})")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        f"substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((code >> {5 * (precision - 1 - j)}) & 31) + 1 AS INTEGER), 1)"
+        for j in range(precision)
+    )
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+ixy AS (SELECT event_id, {ix} AS ix, {iy} AS iy FROM pts),
+coded AS (SELECT event_id, {code} AS code FROM ixy)
+SELECT event_id, {chars} AS geohash FROM coded
+"""
+
+
+_GEOHASH_ORACLE_SQL = _geohash_oracle_sql(8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -3991,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": _q_anchor_terms,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "cell_assign_geohash": _q_cell_assign_geohash,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4212,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_terms": _ANCHOR_TERMS_ORACLE_SQL,
         "asof_join": _ASOF_ORACLE_SQL,
         "range_join": _RANGE_JOIN_ORACLE_SQL,
+        "cell_assign_geohash": _GEOHASH_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

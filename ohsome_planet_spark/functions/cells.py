@@ -382,3 +382,48 @@ def hex_ring1(cell: int) -> list[int]:
     for dq, dr in ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)):
         out.append((res << 53) | ((q + dq + (1 << 25)) << 26) | (r + dr + (1 << 25)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Geohash (public domain encoding — Niemeyer 2008): interleave lon/lat
+# bisection bits (lon first), 5 bits per base32 character. Implemented from
+# the published algorithm description; no code taken.
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_int(lat: np.ndarray, lon: np.ndarray, precision: int = 8) -> np.ndarray:
+    """The interleaved bit code as int64 (5·precision bits, precision ≤ 12
+    fits 60 bits). Equivalent to `precision` rounds of lon/lat bisection:
+    ix = floor((lon+180)/360·2^half_lon) is exactly the lon bisection bit
+    string (nested-floor identity), likewise iy for lat."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in 1..12")
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2  # lon leads on the extra odd bit
+    lat_bits = bits // 2
+    ix = np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64)
+    iy = np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64)
+    ix = np.clip(ix, 0, (1 << lon_bits) - 1)
+    iy = np.clip(iy, 0, (1 << lat_bits) - 1)
+    code = np.zeros_like(ix)
+    # even bit positions (0-indexed from the MSB) take lon bits, odd take lat
+    for b in range(lon_bits):
+        code |= ((ix >> (lon_bits - 1 - b)) & 1) << (bits - 1 - 2 * b)
+    for b in range(lat_bits):
+        code |= ((iy >> (lat_bits - 1 - b)) & 1) << (bits - 2 - 2 * b)
+    return code
+
+
+def geohash_cell(lat: np.ndarray, lon: np.ndarray, precision: int = 8) -> np.ndarray:
+    """Base32 geohash strings (object array)."""
+    code = geohash_int(lat, lon, precision)
+    out = np.empty(code.shape, dtype=object)
+    flat = code.ravel()
+    res = out.ravel()
+    for i, c in enumerate(flat):
+        chars = []
+        for j in range(precision):
+            chars.append(GEOHASH_ALPHABET[(int(c) >> (5 * (precision - 1 - j))) & 31])
+        res[i] = "".join(chars)
+    return out

@@ -120,6 +120,42 @@ def cell_counts(df: DataFrame, cell_col: str, salted: bool = False, salt_buckets
     return salted_count(df, [cell_col], out_col="n", salt_buckets=salt_buckets)
 
 
+def geohash_col(lon: Column, lat: Column, precision: int = 8) -> Column:
+    """Base32 geohash as a pure JVM expression (no UDF) — bit-exact twin
+    of functions.cells.geohash_cell (same clamp, same interleave; the
+    bit loops unroll into one whole-stage-codegen expression)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in 1..12")
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(1 << lon_bits))
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(1 << lat_bits))
+    ix = F.greatest(F.lit(0), F.least(ix, F.lit((1 << lon_bits) - 1))).cast("long")
+    iy = F.greatest(F.lit(0), F.least(iy, F.lit((1 << lat_bits) - 1))).cast("long")
+    code = F.lit(0).cast("long")
+    for b in range(lon_bits):
+        code = code + F.shiftleft(
+            F.shiftright(ix, lon_bits - 1 - b).bitwiseAND(F.lit(1)),
+            bits - 1 - 2 * b,
+        )
+    for b in range(lat_bits):
+        code = code + F.shiftleft(
+            F.shiftright(iy, lat_bits - 1 - b).bitwiseAND(F.lit(1)),
+            bits - 2 - 2 * b,
+        )
+    alphabet = F.array(*[F.lit(ch) for ch in C.GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(code, 5 * (precision - 1 - j))
+             .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"),
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
 def zxy_parent_col(cell: Column, child_z: int, parent_z: int) -> Column:
     """Parent cell id at `parent_z` from a packed zxy id at `child_z` —
     pure bit arithmetic, no trig, no re-scan of coordinates.

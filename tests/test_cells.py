@@ -214,3 +214,52 @@ def test_hex_cell_real_h3_upgrade():
             expect_i = int(expect, 16) if isinstance(expect, str) else int(expect)
             assert int(cell) == expect_i
             assert h3.get_resolution(expect) == res
+
+
+def test_geohash_published_vectors():
+    import numpy as np
+
+    from ohsome_planet_spark.functions.cells import geohash_cell
+
+    # canonical published examples (Wikipedia/Niemeyer)
+    assert geohash_cell(np.array([42.605]), np.array([-5.603]), 5)[0] == "ezs42"
+    assert geohash_cell(np.array([57.64911]), np.array([10.40744]), 11)[0] \
+        == "u4pruydqqvj"
+
+
+def test_geohash_jvm_matches_numpy(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.cells import geohash_cell
+    from ohsome_planet_spark.operators.tiling import geohash_col
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)],
+        "lon double, lat double")
+    for prec in (1, 5, 8, 12):
+        got = [r["g"] for r in df.select(
+            geohash_col(F.col("lon"), F.col("lat"), prec).alias("g")).collect()]
+        want = list(geohash_cell(lat, lon, prec))
+        assert got == want, prec
+
+
+def test_geohash_prefix_property():
+    """A geohash at lower precision is a PREFIX of the higher-precision
+    hash of the same point (the hierarchy property users rely on)."""
+    import numpy as np
+
+    from ohsome_planet_spark.functions.cells import geohash_cell
+
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    h12 = geohash_cell(lat, lon, 12)
+    for prec in (3, 6, 9):
+        hp = geohash_cell(lat, lon, prec)
+        assert all(long[:prec] == short
+                   for long, short in zip(h12, hp))
