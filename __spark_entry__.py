@@ -3970,6 +3970,34 @@ SELECT event_id, {chars} AS geohash FROM coded
 _GEOHASH_ORACLE_SQL = _geohash_oracle_sql(8)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling: top-5 docs per language by
+    key ln(u)/w with u the md5-derived uniform and w = n_chars. The key
+    is one ln + one division rounded to 12 dp — deterministic across
+    runs, engines, and cluster sizes (same md5 machinery as
+    hash_sample)."""
+    from ohsome_planet_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, 5, "n_chars", stratum_col="lang")
+
+
+_WEIGHTED_SAMPLE_ORACLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000000 + 1 AS DOUBLE) / 1000001.0)
+               / CAST(n_chars AS DOUBLE), 12) AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY k DESC, doc_id ASC) AS rn
+  FROM keyed
+) WHERE rn <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4034,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "cell_assign_geohash": _q_cell_assign_geohash,
+        "weighted_sample": _q_weighted_sample,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4256,6 +4285,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_ORACLE_SQL,
         "range_join": _RANGE_JOIN_ORACLE_SQL,
         "cell_assign_geohash": _GEOHASH_ORACLE_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

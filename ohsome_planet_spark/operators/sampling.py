@@ -99,3 +99,46 @@ def mixture_sample(
     stratum proportions match `weights` (binding stratum kept whole)."""
     rates = mixture_rates(df, stratum_col, weights)
     return hash_sample(df, id_col, rate_by=rates, stratum_col=stratum_col)
+
+
+def weighted_sample_key_col(id_c: Column, weight_c: Column) -> Column:
+    """Efraimidis–Spirakis key: ln(u)/w with u the md5-derived uniform in
+    (0, 1]. Taking the k LARGEST keys per stratum draws a weighted sample
+    without replacement where each row's inclusion odds are proportional
+    to its weight — and because u comes from the row's id hash, the
+    selection is deterministic across runs, engines, and cluster sizes
+    (the whole point, as with hash_sample above). Rounded to 12 dp so the
+    ranking is bit-stable cross-engine (libm ln last-ulp)."""
+    u = (hash_bucket_col(id_c) + 1).cast("double") / F.lit(float(BUCKETS + 1))
+    return F.round(F.log(u) / weight_c.cast("double"), 12)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Top-k weighted sample (per stratum when `stratum_col` is given).
+
+    Rows with weight <= 0 are excluded (ES keys are undefined there).
+    Scale-invariant: multiplying every weight by a constant selects the
+    same rows. Global k compiles to TakeOrderedAndProject; stratified k
+    is one window over the stratum partitioning."""
+    from pyspark.sql.window import Window
+
+    key = weighted_sample_key_col(F.col(id_col), F.col(weight_col))
+    base = df.where(F.col(weight_col) > 0).withColumn("_wkey", key)
+    if stratum_col is None:
+        return (
+            base.orderBy(F.desc("_wkey"), F.asc(id_col))
+            .limit(k).drop("_wkey")
+        )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc("_wkey"), F.asc(id_col))
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_wkey", "_rn")
+    )

@@ -205,3 +205,39 @@ def test_curate_corpus_lm_and_pii_stages(spark):
     assert rows[1] == clean_rows[0][1]         # clean text untouched
     assert counts["after_lm_filter"] == counts["after_quality"] - 1
     assert counts["after_pii_filter"] == counts["after_lm_filter"] - 1
+
+
+def test_weighted_sample_properties(spark):
+    """ES weighted sampling: deterministic, scale-invariant, and biased
+    toward heavy rows."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.sampling import weighted_sample
+
+    # i % 5 == 0 hits every stratum (i % 4) — each stratum gets 20 heavy
+    rows = [(i, "s" + str(i % 4), 1000.0 if i % 5 == 0 else 1.0)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+
+    a = {r["doc_id"] for r in weighted_sample(df, 5, "w",
+                                              stratum_col="source").collect()}
+    b = {r["doc_id"] for r in weighted_sample(df, 5, "w",
+                                              stratum_col="source").collect()}
+    assert a == b and len(a) == 20  # 4 strata x 5
+
+    scaled = df.withColumn("w", F.col("w") * 1000.0)
+    c = {r["doc_id"] for r in weighted_sample(scaled, 5, "w",
+                                              stratum_col="source").collect()}
+    assert c == a  # scale invariance
+
+    # 20% of rows carry 1000x weight -> they dominate the selection
+    heavy = {i for i in range(400) if i % 5 == 0}
+    assert len(a & heavy) >= 18
+
+    g = {r["doc_id"] for r in weighted_sample(df, 7, "w").collect()}
+    assert len(g) == 7
+
+    zero_w = df.withColumn("w", F.when(F.col("doc_id") < 398, 0.0)
+                           .otherwise(F.col("w")))
+    kept = {r["doc_id"] for r in weighted_sample(zero_w, 50, "w").collect()}
+    assert kept == {398, 399}
