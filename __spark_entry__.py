@@ -3998,6 +3998,29 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+def _q_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity window over events: one range
+    frame (count + exact integer sum), inclusive on both boundary
+    timestamps — DuckDB's RANGE INTERVAL frame is the exact twin."""
+    from ohsome_planet_spark.operators.rolling import rolling_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        (F.col("event_id") % 100).alias("points"))
+    return rolling_counts(ev, by="user_id", window_seconds=3600,
+                          sum_cols=["points"])
+
+
+_ROLLING_ORACLE_SQL = """
+SELECT event_id, user_id, ts, event_id % 100 AS points,
+       count(*) OVER w AS n_in_window,
+       sum(event_id % 100) OVER w::BIGINT AS points_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4063,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "cell_assign_geohash": _q_cell_assign_geohash,
         "weighted_sample": _q_weighted_sample,
+        "rolling_counts": _q_rolling_counts,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4286,6 +4310,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _RANGE_JOIN_ORACLE_SQL,
         "cell_assign_geohash": _GEOHASH_ORACLE_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE_SQL,
+        "rolling_counts": _ROLLING_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

@@ -1,0 +1,48 @@
+"""Rolling trailing-window aggregates (operators/rolling.py)."""
+
+from ohsome_planet_spark.operators.rolling import rolling_counts
+
+
+def test_rolling_counts_hand_computed(spark):
+    rows = [
+        (1, 0, 10), (2, 100, 20), (3, 3600, 30),   # user A
+        (4, 3700, 40), (5, 7300, 50),
+        (6, 50, 7),                                 # user B
+    ]
+    df = spark.createDataFrame(
+        [(i, "A" if i <= 5 else "B", t, v) for i, t, v in rows],
+        "event_id long, user_id string, ts long, v long")
+    out = {r["event_id"]: (r["n_in_window"], r["v_in_window"])
+           for r in rolling_counts(df, by="user_id", window_seconds=3600,
+                                   sum_cols=["v"]).collect()}
+    # t=3600 window [0, 3600] includes t=0 (inclusive both ends)
+    assert out[1] == (1, 10)
+    assert out[2] == (2, 30)
+    assert out[3] == (3, 60)
+    # t=3700 window [100, 3700] drops t=0
+    assert out[4] == (3, 90)
+    # t=7300 window [3700, 7300] keeps only t=3700 and itself
+    assert out[5] == (2, 90)
+    assert out[6] == (1, 7)
+
+
+def test_rolling_counts_timestamps_match_numeric(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, i % 3, (i * 37) % 500) for i in range(200)]
+    num = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    tsd = num.withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    a = {r["event_id"]: r["n_in_window"]
+         for r in rolling_counts(num, window_seconds=100).collect()}
+    b = {r["event_id"]: r["n_in_window"]
+         for r in rolling_counts(tsd, window_seconds=100).collect()}
+    assert a == b
+
+
+def test_single_shuffle_zero_udf(spark):
+    rows = [(1, 1, 5)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    plan = rolling_counts(df, sum_cols=[])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
