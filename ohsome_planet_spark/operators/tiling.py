@@ -95,8 +95,10 @@ def with_cells(
     s2_level: int | None = 12,
     zxy_zoom: int | None = 12,
     xz2_g: int | None = 16,
+    geohash_precision: int | None = None,
 ) -> DataFrame:
-    """Attach cell-index columns: hex_r{R}, s2_cell, zxy_cell, xz2_code."""
+    """Attach cell-index columns: hex_r{R}, s2_cell, zxy_cell, xz2_code
+    (+ geohash when a precision is given)."""
     lon = F.col(lon_col)
     lat = F.col(lat_col)
     for r in hex_resolutions:
@@ -107,6 +109,8 @@ def with_cells(
         df = df.withColumn("zxy_cell", zxy_cell_col(lon, lat, zxy_zoom))
     if xz2_g is not None:
         df = df.withColumn("xz2_code", xz2_point_udf(xz2_g)(lon, lat))
+    if geohash_precision is not None:
+        df = df.withColumn("geohash", geohash_col(lon, lat, geohash_precision))
     return df
 
 

@@ -69,3 +69,17 @@ def test_exchange_reuse_across_levels(pts):
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") == 4
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_with_cells_geohash_option(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.cells import geohash_cell
+    from ohsome_planet_spark.operators.tiling import with_cells
+
+    df = spark.createDataFrame([(-5.603, 42.605)], "lon double, lat double")
+    out = with_cells(df, hex_resolutions=(), s2_level=None, xz2_g=None,
+                     geohash_precision=5).collect()[0]
+    assert out["geohash"] == "ezs42"
+    import numpy as np
+    assert geohash_cell(np.array([42.605]), np.array([-5.603]), 5)[0] == "ezs42"
