@@ -165,6 +165,27 @@ class SnapshotTable:
             "skipped": sorted(committed),
         }
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        metrics: dict | None = None,
+    ) -> dict:
+        """Dynamic partition overwrite (Iceberg's INSERT OVERWRITE /
+        replaceWhere): every partition PRESENT IN df is atomically
+        replaced in the new snapshot; partitions absent from df are
+        carried forward untouched. The CDC refresh primitive — recompute
+        yesterday's cell-range partitions, leave the rest of the table
+        alone.
+
+        Isolation comes from the manifest, not file deletion: replaced
+        partitions' old files stay on disk backing earlier snapshots
+        (time travel / rollback) until expire_snapshots() reclaims them.
+        Readers of the previous snapshot are never disturbed; the commit
+        is the same atomic CURRENT pointer swap as write_partitions."""
+        return self.write_partitions(
+            df, partition_col, only_missing=False, metrics=metrics)
+
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
         """Read exactly the files of a snapshot (default: current) —
         snapshot isolation plus Iceberg-style time travel by snapshot id."""

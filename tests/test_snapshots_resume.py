@@ -231,3 +231,38 @@ def test_compact_and_expire(spark, tmp_path):
     assert t.read(spark).count() == 2000  # current snapshot intact
     with pytest.raises(FileNotFoundError):
         t.read(spark, sid1)  # expired manifest is gone
+
+
+def test_overwrite_partitions_cdc_refresh(spark, tmp_path):
+    """Dynamic partition overwrite: refreshed partitions serve the NEW
+    rows, untouched partitions carry forward, the parent snapshot still
+    time-travels to the OLD rows, and expire reclaims replaced files."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "cdc"))
+    v1 = spark.range(100).select(
+        (F.col("id") % 4).alias("bucket"), F.col("id").alias("v"))
+    r1 = t.write_partitions(v1, "bucket")
+
+    # refresh buckets 1 and 3 with recomputed values (v + 1000)
+    v2 = v1.where(F.col("bucket").isin(1, 3)).select(
+        "bucket", (F.col("v") + 1000).alias("v"))
+    r2 = t.overwrite_partitions(v2, "bucket")
+    assert sorted(r2["written"]) == ["1", "3"]
+
+    cur = t.read(spark)
+    got = {(r["bucket"], r["v"]) for r in cur.collect()}
+    want = {(i % 4, i + 1000 if i % 4 in (1, 3) else i) for i in range(100)}
+    assert got == want
+
+    old = t.read(spark, snapshot_id=r1["snapshot_id"])
+    assert {(r["bucket"], r["v"]) for r in old.collect()} == \
+           {(i % 4, i) for i in range(100)}
+
+    # expiring to the newest snapshot deletes only the replaced files
+    gone = t.expire_snapshots(keep_last=1)
+    assert len(gone["removed_files"]) >= 1
+    still = {(r["bucket"], r["v"]) for r in t.read(spark).collect()}
+    assert still == want
