@@ -4021,6 +4021,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, 2 iterations) over the
+    embeddings table — iterative ML bit-exact across engines: distances
+    fold in dimension order, centroid updates fold members in id order,
+    argmin tiebreaks on cluster id. The DuckDB twin unrolls both
+    iterations as CTEs and reproduces every centroid double exactly."""
+    from ohsome_planet_spark.operators.kmeans import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assignments, _ = kmeans(emb, k=4, iterations=2)
+    return assignments
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
+    def dist_expr(cen_list: str) -> str:
+        # list_zip structs are unnamed in this DuckDB — numeric access
+        diff = "(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+        return (f"list_reduce(list_transform(list_zip(e.embedding, {cen_list}),"
+                f" s -> {diff} * {diff}), (x, y) -> x + y)")
+
+    parts = [f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT {k})
+)"""]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT e.vec_id, e.embedding, c.cluster, {dist_expr('c.c')} AS d
+  FROM emb e CROSS JOIN {prev} c
+),
+a{i} AS (
+  SELECT vec_id, embedding, cluster, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cluster ASC) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cluster, j,
+         list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+           / CAST(count(*) AS DOUBLE) AS m
+  FROM (
+    SELECT cluster, vec_id, j, CAST(embedding[j] AS DOUBLE) AS val
+    FROM (SELECT cluster, vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS j FROM a{i})
+  ) GROUP BY cluster, j
+),
+c{i} AS (
+  SELECT p.cluster, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN
+       (SELECT cluster, list(m ORDER BY j) AS c FROM m{i} GROUP BY cluster) n
+  USING (cluster)
+)""")
+        prev = f"c{i}"
+    parts.append(f"""
+SELECT vec_id, cluster, round(d, 9) AS dist FROM a{iterations}
+""")
+    return "".join(parts)
+
+
+_KMEANS_ORACLE_SQL = _kmeans_oracle_sql(4, 2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4087,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign_geohash": _q_cell_assign_geohash,
         "weighted_sample": _q_weighted_sample,
         "rolling_counts": _q_rolling_counts,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4311,6 +4379,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_assign_geohash": _GEOHASH_ORACLE_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
+        "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
