@@ -153,39 +153,62 @@ def ivf_topk(
     query_id: str = "query_id",
     cand_id: str = "cand_id",
     vec_col: str = "embedding",
+    quantizer: str = "sample",
+    kmeans_iterations: int = 2,
 ) -> DataFrame:
-    """IVF-style ANN: coarse quantizer from a sampled candidate subset,
-    vectors assigned to their nearest centroid (inverted lists), queries
-    probe their `nprobe` nearest lists, exact cosine within probed lists.
+    """IVF-style ANN: coarse quantizer → vectors assigned to their
+    nearest centroid (inverted lists) → queries probe their `nprobe`
+    nearest lists → exact cosine within probed lists.
 
-    The quantizer is deliberately cheap (sampled points as centroids — a
-    k-means++-style seeding without the Lloyd iterations): at 100 TB you
-    train the quantizer on a driver-sized sample and broadcast it; the
-    assignment pass is one vectorized Arrow kernel over the data.
-    """
+    quantizer='sample' (default): k-means++-style greedy spread over a
+    driver-sized ordered sample — the cheap exploration path; at 100 TB
+    you train on a sample and broadcast.
+    quantizer='kmeans': full distributed Lloyd's over ALL candidates
+    (operators/kmeans — every point participates, deterministic across
+    runs/partitionings); only the k final centroids come to the driver.
+    The committed-index path when list balance matters."""
     from pyspark.sql.types import ArrayType, IntegerType
 
-    sample = (
-        candidates.select(cand_id, vec_col)
-        .sample(fraction=min(1.0, sample_fraction), seed=seed)
-        # ordered BEFORE the limit: bare limit() takes whichever rows
-        # arrive first, which AQE/partitioning changes can reshuffle —
-        # the quantizer (and thus every IVF answer) must be reproducible
-        # across runs, retries, and cluster sizes
-        .orderBy(cand_id)
-        .limit(n_centroids * 50)
-        .toPandas()
-    )
-    vecs = np.stack(sample[vec_col].map(lambda v: np.asarray(v, np.float64)))
-    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    # k-means++-style spread: greedily pick points far from chosen set
-    rng = np.random.default_rng(seed)
-    chosen = [int(rng.integers(0, len(vecs)))]
-    for _ in range(min(n_centroids, len(vecs)) - 1):
-        sims = vecs @ vecs[chosen].T
-        worst = np.argmin(sims.max(axis=1))
-        chosen.append(int(worst))
-    centroids = vecs[chosen]
+    if quantizer == "kmeans":
+        from .kmeans import kmeans as _kmeans
+
+        nv = _to_double(F.col(vec_col))
+        normed = candidates.select(
+            F.col(cand_id).alias("vec_id"),
+            F.transform(nv, lambda x: x / norm_col(nv)).alias("embedding"),
+        )
+        _, cent_df = _kmeans(normed, k=n_centroids,
+                             iterations=kmeans_iterations)
+        rows = sorted(cent_df.collect(), key=lambda r: r["cluster"])
+        centroids = np.stack([np.asarray(r["centroid"], np.float64)
+                              for r in rows])
+        norms = np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True),
+                           1e-12)
+        centroids = centroids / norms  # mean of unit vectors is not unit
+    elif quantizer == "sample":
+        sample = (
+            candidates.select(cand_id, vec_col)
+            .sample(fraction=min(1.0, sample_fraction), seed=seed)
+            # ordered BEFORE the limit: bare limit() takes whichever rows
+            # arrive first, which AQE/partitioning changes can reshuffle —
+            # the quantizer (and thus every IVF answer) must be
+            # reproducible across runs, retries, and cluster sizes
+            .orderBy(cand_id)
+            .limit(n_centroids * 50)
+            .toPandas()
+        )
+        vecs = np.stack(sample[vec_col].map(lambda v: np.asarray(v, np.float64)))
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        # k-means++-style spread: greedily pick points far from chosen set
+        rng = np.random.default_rng(seed)
+        chosen = [int(rng.integers(0, len(vecs)))]
+        for _ in range(min(n_centroids, len(vecs)) - 1):
+            sims = vecs @ vecs[chosen].T
+            worst = np.argmin(sims.max(axis=1))
+            chosen.append(int(worst))
+        centroids = vecs[chosen]
+    else:
+        raise ValueError("quantizer must be 'sample' or 'kmeans'")
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 

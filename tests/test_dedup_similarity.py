@@ -252,3 +252,25 @@ def test_mixture_rates_zero_and_negative_weights(spark, sf_dir):
     assert "src0" not in rates and rates["src1"] == 1.0
     with pytest.raises(ValueError):
         mixture_rates(docs, "source", {"src0": 2.0, "src1": -1.0})
+
+
+def test_ivf_kmeans_quantizer_recall_and_determinism(spark, sf_dir):
+    from ohsome_planet_spark.operators.similarity import (
+        ann_recall_vs_exact,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rec = ann_recall_vs_exact(
+        spark, emb, k=5, method="ivf", n_centroids=8, nprobe=4,
+        quantizer="kmeans")
+    assert rec >= 0.5  # probing half the lists on clustered data
+
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    a = sorted(map(tuple, ivf_topk(q, c, k=5, n_centroids=8, nprobe=4,
+                                   quantizer="kmeans").collect()))
+    b = sorted(map(tuple, ivf_topk(q, c.repartition(5), k=5, n_centroids=8,
+                                   nprobe=4, quantizer="kmeans").collect()))
+    assert a == b  # Lloyd quantizer is partitioning-invariant
