@@ -4088,6 +4088,36 @@ SELECT vec_id, cluster, round(d, 9) AS dist FROM a{iterations}
 _KMEANS_ORACLE_SQL = _kmeans_oracle_sql(4, 2)
 
 
+def _q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic within-30km join: every 50th event point probes all
+    points via the 3×3 degree-bin neighborhood + exact haversine filter
+    (one per-row trig expression, mm-rounded, identical formula text in
+    the oracle). No cross product — plan-asserted in tests."""
+    from ohsome_planet_spark.operators.knn import radius_join
+
+    pts = _points(spark, sf_dir)
+    q = pts.where(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("query_id"), "lon", "lat")
+    c = pts.select(F.col("event_id").alias("cand_id"), "lon", "lat")
+    return radius_join(q, c, 30_000.0)
+
+
+_HAVERSINE_SQL = """round(2.0 * 6371008.8 * asin(sqrt(
+    sin(radians(c.lat - q.lat) / 2.0) * sin(radians(c.lat - q.lat) / 2.0)
+    + cos(radians(q.lat)) * cos(radians(c.lat))
+      * sin(radians(c.lon - q.lon) / 2.0)
+      * sin(radians(c.lon - q.lon) / 2.0))), 3)"""
+
+_RADIUS_JOIN_ORACLE_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+q AS (SELECT event_id AS query_id, lon, lat FROM pts WHERE event_id % 50 = 0),
+c AS (SELECT event_id AS cand_id, lon, lat FROM pts)
+SELECT q.query_id, c.cand_id, {_HAVERSINE_SQL} AS dist_m
+FROM q CROSS JOIN c
+WHERE {_HAVERSINE_SQL} <= 30000.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4155,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "radius_join": _q_radius_join,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4380,6 +4411,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
+        "radius_join": _RADIUS_JOIN_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

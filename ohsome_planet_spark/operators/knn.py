@@ -97,3 +97,76 @@ def knn_join(
         .where(F.col("rank") <= k)
         .select(query_id, cand_id, "dist_sq", "rank")
     )
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters (haversine, R=6371008.8 — the IUGG
+    mean Earth radius) as ONE per-row JVM expression: deterministic given
+    identical inputs, mirrored verbatim by the SQL oracle twin."""
+    r = F.lit(6371008.8)
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / F.lit(2.0)
+    dlon = F.radians(lon2 - lon1) / F.lit(2.0)
+    a = (F.sin(dlat) * F.sin(dlat)
+         + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon))
+    return F.lit(2.0) * r * F.asin(F.sqrt(a))
+
+
+def radius_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    radius_m: float,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_deg: float | None = None,
+    max_abs_lat: float = 70.0,
+) -> DataFrame:
+    """All (query, candidate) pairs within `radius_m` meters — the
+    geodesic within-distance join, without a cross product.
+
+    Same shape as the kNN plan: lat/lon degree bins of width `cell_deg`,
+    queries explode to their 3×3 bin neighborhood, hash equi-join on the
+    bin, exact haversine post-filter. Completeness needs cell_deg ≥ the
+    radius in LONGITUDE degrees at the highest latitude present; the
+    default radius/111320/cos(max_abs_lat°) is safe for |lat| ≤
+    `max_abs_lat` (pass cell_deg explicitly for polar data).
+
+    Returns (query_id, cand_id, dist_m) with dist_m rounded to mm."""
+    import math
+
+    if cell_deg is None:
+        cell_deg = radius_m / 111_320.0 / max(
+            math.cos(math.radians(max_abs_lat)), 1e-6)
+
+    def bins(lon: Column, lat: Column) -> tuple[Column, Column]:
+        return (F.floor(lon / F.lit(cell_deg)).cast("long"),
+                F.floor(lat / F.lit(cell_deg)).cast("long"))
+
+    qx, qy = bins(F.col(lon_col), F.col(lat_col))
+    q = queries.select(
+        F.col(query_id), F.col(lon_col).alias("_qlon"),
+        F.col(lat_col).alias("_qlat"), qx.alias("_bx0"), qy.alias("_by0"),
+    ).select(
+        query_id, "_qlon", "_qlat",
+        F.explode(F.array(*[
+            F.struct((F.col("_bx0") + dx).alias("bx"),
+                     (F.col("_by0") + dy).alias("by"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])).alias("_b"),
+    ).select(query_id, "_qlon", "_qlat",
+             F.col("_b.bx").alias("_bx"), F.col("_b.by").alias("_by"))
+
+    cx, cy = bins(F.col(lon_col), F.col(lat_col))
+    c = candidates.select(
+        F.col(cand_id), F.col(lon_col).alias("_clon"),
+        F.col(lat_col).alias("_clat"), cx.alias("_bx"), cy.alias("_by"),
+    )
+    dist = haversine_m(F.col("_qlon"), F.col("_qlat"),
+                       F.col("_clon"), F.col("_clat"))
+    return (
+        q.join(c, ["_bx", "_by"])
+        .select(query_id, cand_id, F.round(dist, 3).alias("dist_m"))
+        .where(F.col("dist_m") <= F.lit(float(radius_m)))
+    )

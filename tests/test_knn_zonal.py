@@ -134,3 +134,51 @@ def test_cover_cells_rasterize(spark):
     for lon, lat in [(-1, -1), (-1, 1), (1, -1), (1, 1)]:
         c = int(zxy_cell(np.array([float(lon)]), np.array([float(lat)]), 8)[0])
         assert c in out[1]
+
+
+def test_radius_join_matches_naive_haversine(spark):
+    import math
+
+    import numpy as np
+
+    from ohsome_planet_spark.operators.knn import radius_join
+
+    rng = np.random.default_rng(13)
+    qlon, qlat = rng.uniform(0, 5, 40), rng.uniform(40, 45, 40)
+    clon, clat = rng.uniform(0, 5, 300), rng.uniform(40, 45, 300)
+    q = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(qlon, qlat))],
+        "query_id long, lon double, lat double")
+    c = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(clon, clat))],
+        "cand_id long, lon double, lat double")
+
+    radius = 20_000.0  # 20 km
+    got = {(r["query_id"], r["cand_id"]) for r in
+           radius_join(q, c, radius).collect()}
+
+    def hav(lo1, la1, lo2, la2):
+        rl1, rl2 = math.radians(la1), math.radians(la2)
+        dla = math.radians(la2 - la1) / 2.0
+        dlo = math.radians(lo2 - lo1) / 2.0
+        a = (math.sin(dla) ** 2
+             + math.cos(rl1) * math.cos(rl2) * math.sin(dlo) ** 2)
+        return 2.0 * 6371008.8 * math.asin(math.sqrt(a))
+
+    want = {
+        (qi, ci)
+        for qi in range(40) for ci in range(300)
+        if round(hav(qlon[qi], qlat[qi], clon[ci], clat[ci]), 3) <= radius
+    }
+    assert got == want and len(want) > 50
+
+
+def test_radius_join_zero_udf(spark):
+    from ohsome_planet_spark.operators.knn import radius_join
+
+    q = spark.createDataFrame([(1, 0.0, 0.0)], "query_id long, lon double, lat double")
+    c = spark.createDataFrame([(2, 0.1, 0.1)], "cand_id long, lon double, lat double")
+    plan = radius_join(q, c, 50_000.0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
