@@ -413,3 +413,95 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
         "frame_idx",
         (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-duplicate detection (the image-side twin
+# of the text SimHash path in operators/dedup.py)
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (pHash): grayscale → 32×32 nearest resize →
+    2-D DCT-II (orthonormal, NumPy matmul) → top-left 8×8 low-frequency
+    block → bit = coefficient > median(block excluding DC). Robust to
+    resizing/re-encoding/brightness scaling; Hamming distance ≈ visual
+    difference. Published algorithm (Zauner 2010); no code taken."""
+    g = np.asarray(img, np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    small = resize_nearest(g, 32, 32).astype(np.float64)
+    n = 32
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1)
+                                      * k[:, None] / (2 * n))
+    basis[0, :] = np.sqrt(1.0 / n)
+    coef = basis @ small @ basis.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block[1:])  # exclude DC
+    bits = block > med
+    bits[0] = coef[0, 0] > 0  # DC bit: plain sign (median rule excludes it)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def phash_df(media: DataFrame, width_col: str = "width",
+             height_col: str = "height") -> DataFrame:
+    """(media_id, phash) for raw/PNG image rows via one Arrow batch pass."""
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            pdf = batch.to_pandas()
+            out_ids, out_h = [], []
+            for row in pdf.itertuples():
+                if row.format == "raw_gray":
+                    img = decode_image_raw(row.content, row.width, row.height)
+                elif row.format == "png":
+                    img = png_to_gray(decode_png(row.content))
+                else:
+                    continue
+                out_ids.append(row.media_id)
+                hv = phash64(img)
+                # two's-complement to signed: Spark longs are int64
+                out_h.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+            yield pa.RecordBatch.from_pydict(
+                {"media_id": pa.array(out_ids, pa.int64()),
+                 "phash": pa.array(out_h, pa.int64())})
+
+    return media.mapInArrow(batches, "media_id long, phash long")
+
+
+def image_near_dups(hashes: DataFrame, max_hamming: int = 6,
+                    id_col: str = "media_id",
+                    hash_col: str = "phash") -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(phash) ≤ max_hamming —
+    pigeonhole block join exactly like the text SimHash path: split the
+    64 bits into max_hamming+1 blocks; any pair within the budget shares
+    ≥1 exact block, so candidates come from equality joins, never a
+    cross product."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    blocks = [
+        F.shiftright(F.col(hash_col), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)).alias(f"_blk{i}")
+        for i in range(nb)
+    ]
+    h = hashes.select(F.col(id_col).alias("_id"),
+                      F.col(hash_col).alias("_h"), *blocks)
+    cands = None
+    for i in range(nb):
+        a = h.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"),
+                     F.col(f"_blk{i}").alias("_b"))
+        b = h.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"),
+                     F.col(f"_blk{i}").alias("_b"))
+        p = a.join(b, "_b").where(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b", "_ha", "_hb")
+        cands = p if cands is None else cands.unionByName(p)
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
