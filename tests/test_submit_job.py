@@ -114,3 +114,47 @@ def test_curate_cli(tmp_path):
         f"SELECT count(*) FROM read_parquet('{out_dir}/documents/*.parquet')"
     ).fetchone()[0]
     assert n == counts["after_quality"]
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_linkgraph_cli(tmp_path):
+    """Link-graph CLI: WARC bytes in → domain degrees + PageRank parquet,
+    via the packaged zip."""
+    import gzip
+
+    sys.path.insert(0, str(REPO))
+    from tests.test_warc_source import _http, _record
+
+    mk = lambda links: ("<html><body>" + "".join(
+        f'<a href="{u}">l</a>' for u in links) + "</body></html>").encode()
+    recs = [
+        _record("response", "http://a.example/1", "2021-01-02T00:00:00Z",
+                _http(mk(["http://b.example/x", "http://c.example/y"]))),
+        _record("response", "http://b.example/1", "2021-01-02T00:00:00Z",
+                _http(mk(["http://c.example/z"]))),
+        _record("response", "http://c.example/1", "2021-01-02T00:00:00Z",
+                _http(mk(["http://a.example/w"]))),
+    ]
+    warc = tmp_path / "links.warc.gz"
+    warc.write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    zip_out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "submit_job.py"), "--build-zip"],
+        capture_output=True, text=True, check=True, timeout=120,
+    ).stdout.strip().splitlines()[-1]
+    out_dir = tmp_path / "authority"
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_out, str(REPO / "tools" / "submit_job.py"),
+         "--linkgraph", "--input", str(warc), "--output", str(out_dir)],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT domain, rank FROM read_parquet('{out_dir}/*.parquet') "
+        "ORDER BY rank DESC"
+    ).fetchall()
+    assert {d for d, _ in rows} == {"a.example", "b.example", "c.example"}
+    assert rows[0][0] == "a.example"  # receives c's undivided rank

@@ -162,6 +162,30 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--linkgraph" in sys.argv:
+        # domain authority job: WARC archives → degrees + PageRank parquet.
+        # Usage: submit_job.py --linkgraph --input <warc-glob> --output <dir>
+        #   [--iterations 2] [--damping 0.85]
+        import argparse
+
+        argv = [a for a in sys.argv[1:] if a != "--linkgraph"]
+        ap = argparse.ArgumentParser(prog="submit_job.py --linkgraph")
+        ap.add_argument("--input", required=True)
+        ap.add_argument("--output", required=True)
+        ap.add_argument("--iterations", type=int, default=2)
+        ap.add_argument("--damping", type=float, default=0.85)
+        ns = ap.parse_args(argv)
+        spark = SparkSession.builder.appName(
+            "ohsome-planet-spark-linkgraph").getOrCreate()
+        from ohsome_planet_spark.plans.webtext import crawl_link_graph
+
+        out = crawl_link_graph(spark, ns.input, iterations=ns.iterations,
+                               damping=ns.damping)
+        out.write.mode("overwrite").parquet(ns.output)
+        print(f"domains={spark.read.parquet(ns.output).count()}")
+        spark.stop()
+        return
+
     pages_dir = sys.argv[1]
     out_dir = sys.argv[2]
     n_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 0
