@@ -133,16 +133,23 @@ def radius_join(
     default radius/111320/cos(max_abs_lat°) is safe for |lat| ≤
     `max_abs_lat` (pass cell_deg explicitly for polar data).
 
+    Longitude bins are MODULAR (n_lon = ceil(360/cell_deg)), so pairs
+    straddling the ±180° antimeridian meet in a shared wrapped bin.
+
     Returns (query_id, cand_id, dist_m) with dist_m rounded to mm."""
     import math
 
     if cell_deg is None:
         cell_deg = radius_m / 111_320.0 / max(
             math.cos(math.radians(max_abs_lat)), 1e-6)
+    n_lon = max(3, math.ceil(360.0 / cell_deg))
 
     def bins(lon: Column, lat: Column) -> tuple[Column, Column]:
-        return (F.floor(lon / F.lit(cell_deg)).cast("long"),
-                F.floor(lat / F.lit(cell_deg)).cast("long"))
+        return (
+            F.pmod(F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)),
+                   F.lit(n_lon)).cast("long"),
+            F.floor(lat / F.lit(cell_deg)).cast("long"),
+        )
 
     qx, qy = bins(F.col(lon_col), F.col(lat_col))
     q = queries.select(
@@ -151,7 +158,7 @@ def radius_join(
     ).select(
         query_id, "_qlon", "_qlat",
         F.explode(F.array(*[
-            F.struct((F.col("_bx0") + dx).alias("bx"),
+            F.struct(F.pmod(F.col("_bx0") + dx, F.lit(n_lon)).alias("bx"),
                      (F.col("_by0") + dy).alias("by"))
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)
         ])).alias("_b"),

@@ -182,3 +182,16 @@ def test_radius_join_zero_udf(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_radius_join_wraps_antimeridian(spark):
+    from ohsome_planet_spark.operators.knn import radius_join
+
+    # ~11 km apart across the ±180 meridian at lat 10
+    q = spark.createDataFrame([(1, 179.95, 10.0)],
+                              "query_id long, lon double, lat double")
+    c = spark.createDataFrame(
+        [(2, -179.95, 10.0), (3, 179.96, 10.0), (4, 0.0, 10.0)],
+        "cand_id long, lon double, lat double")
+    got = {r["cand_id"] for r in radius_join(q, c, 50_000.0).collect()}
+    assert got == {2, 3}
