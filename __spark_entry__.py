@@ -4118,6 +4118,41 @@ WHERE {_HAVERSINE_SQL} <= 30000.0
 """
 
 
+def _q_tile_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per z=8 tile (count desc, type asc) — the
+    tile-summary primitive, two-level (map-side (cell,item) combine, then
+    a per-cell window over already-reduced rows)."""
+    from ohsome_planet_spark.operators.tiling import tile_top_k
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        ((F.col("event_id") * 7919 % 900) / 20.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 900) / 20.0).alias("lat"),
+    )
+    cells = pts.select(
+        "event_type", zxy_cell_col(F.col("lon"), F.col("lat"), 8).alias("cell"))
+    return tile_top_k(cells, "cell", "event_type", k=3)
+
+
+_TILE_TOP_ORACLE_SQL = f"""
+WITH pts AS ({_POINTS_SQL.replace("SELECT event_id,", "SELECT event_id, event_type,")}),
+cells AS (
+  SELECT event_type,
+         8 * 288230376151711744 +
+         greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT), 255)) * 536870912 +
+         greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 256) AS BIGINT), 255)) AS cell
+  FROM pts
+),
+counts AS (SELECT cell, event_type, count(*) AS n FROM cells GROUP BY cell, event_type)
+SELECT cell, event_type, n, "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY cell
+                               ORDER BY n DESC, event_type ASC) AS "rank"
+  FROM counts
+) WHERE "rank" <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4186,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "radius_join": _q_radius_join,
+        "tile_top_entities": _q_tile_top_entities,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4412,6 +4448,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "radius_join": _RADIUS_JOIN_ORACLE_SQL,
+        "tile_top_entities": _TILE_TOP_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

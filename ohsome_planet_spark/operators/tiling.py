@@ -232,6 +232,30 @@ def tile_pyramid(
     return out.select("z", "cell", "n", *measures.keys())
 
 
+def tile_top_k(
+    df: DataFrame,
+    cell_col: str,
+    item_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k items per tile by count — "what dominates each cell" (the
+    map-label / tile-summary primitive). (cell, item, n, rank) with a
+    deterministic (n desc, item asc) tiebreak.
+
+    Two-level shape: the (cell, item) counts aggregate map-side first, so
+    the per-cell window only ranks already-reduced rows — a mega-cell
+    costs O(distinct items), not O(points)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(cell_col, item_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(cell_col).orderBy(
+        F.desc("n"), F.asc(item_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cover_cells(
     df: DataFrame,
     zoom: int,

@@ -83,3 +83,15 @@ def test_with_cells_geohash_option(spark):
     assert out["geohash"] == "ezs42"
     import numpy as np
     assert geohash_cell(np.array([42.605]), np.array([-5.603]), 5)[0] == "ezs42"
+
+
+def test_tile_top_k(spark):
+    from ohsome_planet_spark.operators.tiling import tile_top_k
+
+    rows = [(1, "a")] * 5 + [(1, "b")] * 3 + [(1, "c")] * 3 + [(1, "d")] \
+        + [(2, "x")]
+    df = spark.createDataFrame(rows, "cell long, item string")
+    out = [(r["cell"], r["item"], r["n"], r["rank"])
+           for r in tile_top_k(df, "cell", "item", k=2).collect()]
+    # tie between b and c at n=3 -> item asc wins
+    assert sorted(out) == [(1, "a", 5, 1), (1, "b", 3, 2), (2, "x", 1, 1)]
