@@ -529,12 +529,61 @@ step0 AS (SELECT event_id, face, i, j, CAST(face & 1 AS BIGINT) AS bits, CAST(0 
   FROM {prev} p JOIN lut l ON l.k = ((p.i >> {k * 4}) & 15) * 64 + ((p.j >> {k * 4}) & 15) * 4 + p.bits)
 """
         prev = cur
-    lsb = 1 << (2 * (30 - level))
+    def trunc(lvl: int, alias: str) -> str:
+        lsb_l = 1 << (2 * (30 - lvl))
+        return (f"CAST((leaf_u // CAST({2 * lsb_l} AS HUGEINT)) * "
+                f"CAST({2 * lsb_l} AS HUGEINT) + CAST({lsb_l} AS HUGEINT)"
+                f" - CASE WHEN leaf_u >= CAST({1 << 63} AS HUGEINT) "
+                f"THEN CAST({1 << 64} AS HUGEINT) ELSE CAST(0 AS HUGEINT) "
+                f"END AS BIGINT) AS {alias}")
+
     sql += f""", leaf AS (SELECT event_id, (CAST(face AS HUGEINT) * CAST({1 << 60} AS HUGEINT) + n) * 2 + 1 AS leaf_u FROM {prev})
-SELECT event_id, CAST((leaf_u // CAST({2 * lsb} AS HUGEINT)) * CAST({2 * lsb} AS HUGEINT) + CAST({lsb} AS HUGEINT)
-  - CASE WHEN leaf_u >= CAST({1 << 63} AS HUGEINT) THEN CAST({1 << 64} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS s2_cell
+SELECT event_id, {trunc(level, 's2_cell')}
 FROM leaf"""
     return sql
+
+
+def _s2_rollup_oracle_sql(fine: int = 14, coarse: int = 10) -> str:
+    """Reuses the Hilbert-walk body of _s2_oracle_sql, then emits the fine
+    id, the DIRECT coarse id, and the coarse id derived from the fine one
+    by the parent BIT ARITHMETIC (clear low position bits, set new lsb) —
+    three independent values the Spark twin must match."""
+    base = _s2_oracle_sql(fine)
+    head, _, tail = base.rpartition("SELECT event_id,")
+    lsb = 1 << (2 * (30 - coarse))
+    mask = ~(2 * lsb - 1) & ((1 << 64) - 1)
+    mask_signed = mask - (1 << 64) if mask >= (1 << 63) else mask
+    coarse_lsb = 1 << (2 * (30 - coarse))
+    fine_expr = tail.split(" AS s2_cell")[0].strip()
+    coarse_base = _s2_oracle_sql(coarse)
+    coarse_expr = coarse_base.rpartition("SELECT event_id,")[2] \
+        .split(" AS s2_cell")[0].strip()
+    return f"""{head}SELECT event_id,
+  {fine_expr} AS s2_fine,
+  {coarse_expr} AS s2_direct,
+  (({fine_expr}) & {mask_signed}) | {coarse_lsb} AS s2_parent
+FROM leaf"""
+
+
+def _q_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 hierarchy: level-14 assignment, level-10 DIRECT assignment, and
+    level-10 via parent bit arithmetic on the fine id (tiling.s2_parent_col)
+    — the prefix property makes parent == direct; the oracle recomputes
+    all three through its own SQL Hilbert walk."""
+    from ohsome_planet_spark.operators.tiling import s2_cell_udf, s2_parent_col
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 7200) / 20.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 3600) / 20.0 - 90.0).alias("lat"),
+    )
+    fine = s2_cell_udf(14)(F.col("lon"), F.col("lat"))
+    direct = s2_cell_udf(10)(F.col("lon"), F.col("lat"))
+    out = pts.select("event_id", fine.alias("s2_fine"),
+                     direct.alias("s2_direct"))
+    return out.withColumn(
+        "s2_parent", s2_parent_col(F.col("s2_fine"), 10))
 
 
 def _q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4222,6 +4271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "radius_join": _q_radius_join,
         "tile_top_entities": _q_tile_top_entities,
+        "s2_rollup": _q_s2_rollup,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4449,6 +4499,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "radius_join": _RADIUS_JOIN_ORACLE_SQL,
         "tile_top_entities": _TILE_TOP_ORACLE_SQL,
+        "s2_rollup": _s2_rollup_oracle_sql(14, 10),
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

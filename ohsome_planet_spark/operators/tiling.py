@@ -232,6 +232,19 @@ def tile_pyramid(
     return out.select("z", "cell", "n", *measures.keys())
 
 
+def s2_parent_col(cell: Column, level: int) -> Column:
+    """S2 parent id at `level` from any finer cell id — the library's
+    `(id & -lsb(level)*2+...)` truncation as a JVM expression: clear the
+    position bits below the target level, set the new trailing 1. Bitwise
+    ops act on the raw two's-complement pattern, so signed int64 columns
+    work unchanged (functions.cells.s2_parent is the NumPy twin)."""
+    lsb = 1 << (2 * (30 - level))
+    mask = ~(2 * lsb - 1) & ((1 << 64) - 1)
+    mask_signed = mask - (1 << 64) if mask >= (1 << 63) else mask
+    return cell.bitwiseAND(F.lit(mask_signed)).bitwiseOR(F.lit(lsb)) \
+        .cast("long")
+
+
 def tile_top_k(
     df: DataFrame,
     cell_col: str,

@@ -263,3 +263,31 @@ def test_geohash_prefix_property():
         hp = geohash_cell(lat, lon, prec)
         assert all(long[:prec] == short
                    for long, short in zip(h12, hp))
+
+
+def test_s2_parent_col_matches_numpy_and_prefix(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.cells import s2_cell_id, s2_parent
+    from ohsome_planet_spark.operators.tiling import s2_cell_udf, s2_parent_col
+
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-90, 90, 400)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)],
+        "lon double, lat double")
+    out = df.select(
+        s2_cell_udf(14)(F.col("lon"), F.col("lat")).alias("fine"),
+        s2_cell_udf(9)(F.col("lon"), F.col("lat")).alias("direct"),
+    ).withColumn("parent", s2_parent_col(F.col("fine"), 9)).collect()
+
+    fine = np.array([r["fine"] for r in out])
+    np.testing.assert_array_equal(
+        np.array([r["parent"] for r in out]), s2_parent(fine, 9))
+    # prefix property: rollup == direct assignment
+    assert all(r["parent"] == r["direct"] for r in out)
+    np.testing.assert_array_equal(s2_cell_id(lat, lon, 9),
+                                  np.array([r["direct"] for r in out]))
