@@ -15,3 +15,64 @@ quadtree/Hilbert, ray casting) with the reference cited only for *semantics*
 """
 
 __version__ = "0.1.0"
+
+# Curated public API — lazily resolved so `import ohsome_planet_spark`
+# stays cheap (no pyspark import until a symbol is touched).
+_EXPORTS = {
+    # one-call plans
+    "curate_corpus": "ohsome_planet_spark.plans.corpus",
+    "crawl_to_tiles": "ohsome_planet_spark.plans.webtext",
+    "crawl_link_graph": "ohsome_planet_spark.plans.webtext",
+    "enrich_pages": "ohsome_planet_spark.plans.enrich",
+    "enrich_tile_counts": "ohsome_planet_spark.plans.enrich",
+    # sources / io
+    "read_warc": "ohsome_planet_spark.sources.warc",
+    "read_osm_pbf": "ohsome_planet_spark.sources.pbf",
+    "SnapshotTable": "ohsome_planet_spark.io.snapshots",
+    # dedup / similarity / retrieval
+    "exact_dedup": "ohsome_planet_spark.operators.dedup",
+    "dedup_clusters": "ohsome_planet_spark.operators.dedup",
+    "decontaminate": "ohsome_planet_spark.operators.dedup",
+    "brute_force_topk": "ohsome_planet_spark.operators.similarity",
+    "ann_topk": "ohsome_planet_spark.operators.similarity",
+    "ivf_topk": "ohsome_planet_spark.operators.similarity",
+    "bm25_scores": "ohsome_planet_spark.operators.bm25",
+    "bm25_topk": "ohsome_planet_spark.operators.bm25",
+    "build_inverted_index": "ohsome_planet_spark.operators.bm25",
+    "tfidf_keywords": "ohsome_planet_spark.operators.keywords",
+    "kmeans": "ohsome_planet_spark.operators.kmeans",
+    # corpus signals
+    "bigram_model": "ohsome_planet_spark.operators.ngram_lm",
+    "with_lm_stats": "ohsome_planet_spark.operators.ngram_lm",
+    "pmi_collocations": "ohsome_planet_spark.operators.ngram_lm",
+    "with_pii": "ohsome_planet_spark.operators.pii",
+    "length_profile": "ohsome_planet_spark.operators.profile",
+    "hash_sample": "ohsome_planet_spark.operators.sampling",
+    "weighted_sample": "ohsome_planet_spark.operators.sampling",
+    # web graph
+    "extract_links": "ohsome_planet_spark.operators.linkgraph",
+    "domain_edges": "ohsome_planet_spark.operators.linkgraph",
+    "pagerank": "ohsome_planet_spark.operators.linkgraph",
+    # geospatial
+    "with_cells": "ohsome_planet_spark.operators.tiling",
+    "tile_pyramid": "ohsome_planet_spark.operators.tiling",
+    "tile_top_k": "ohsome_planet_spark.operators.tiling",
+    "knn_join": "ohsome_planet_spark.operators.knn",
+    "radius_join": "ohsome_planet_spark.operators.knn",
+    "zonal_stats": "ohsome_planet_spark.operators.zonal",
+    # temporal joins
+    "asof_join": "ohsome_planet_spark.operators.asof",
+    "range_join": "ohsome_planet_spark.operators.asof",
+    "rolling_counts": "ohsome_planet_spark.operators.rolling",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
