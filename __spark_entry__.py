@@ -4202,6 +4202,42 @@ SELECT cell, event_type, n, "rank" FROM (
 """
 
 
+def _q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed domain activity (half-life 7 days, anchored
+    at 2024-02-01): per-row weight = one exp() rounded to 12 dp,
+    summed as an id-sorted left fold — the engine's standard
+    order-fixed float discipline; ages are exact microsecond diffs / 1e6
+    (a SECOND-unit diff truncates differently across engines)."""
+    from ohsome_planet_spark.operators.rolling import decayed_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.concat(F.lit("d"), (F.col("user_id") % 30).cast("string"))
+        .alias("domain"),
+    )
+    return decayed_counts(ev, now="2024-02-01 00:00:00",
+                          half_life_s=604800.0, by="domain",
+                          id_col="event_id")
+
+
+_DECAYED_ORACLE_SQL = """
+WITH ev AS (
+  SELECT event_id, ts, 'd' || (user_id % 30) AS domain FROM events
+),
+t AS (
+  SELECT domain, event_id,
+         round(exp(CAST(date_diff('microsecond', ts,
+                        TIMESTAMP '2024-02-01 00:00:00') AS DOUBLE) / 1e6
+                   * -1.1460766874337719e-06), 12) AS w
+  FROM ev
+)
+SELECT domain, count(*) AS n_events,
+       round(list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY event_id)),
+                         (a, b) -> a + b), 9) AS decayed_score
+FROM t GROUP BY domain
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4272,6 +4308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": _q_radius_join,
         "tile_top_entities": _q_tile_top_entities,
         "s2_rollup": _q_s2_rollup,
+        "decayed_popularity": _q_decayed_popularity,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4500,6 +4537,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": _RADIUS_JOIN_ORACLE_SQL,
         "tile_top_entities": _TILE_TOP_ORACLE_SQL,
         "s2_rollup": _s2_rollup_oracle_sql(14, 10),
+        "decayed_popularity": _DECAYED_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

@@ -54,3 +54,58 @@ def rolling_counts(
         out = out.withColumn(
             f"{c}_in_window", F.sum(F.col(c)).over(w).cast("long"))
     return out.drop("_epoch")
+
+
+def decayed_counts(
+    df: DataFrame,
+    now: str,
+    half_life_s: float,
+    by: str | list[str] = "domain",
+    time_col: str = "ts",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-decayed activity per key — the crawl-scheduler /
+    trending-score primitive: each event contributes 2^(−age/half_life),
+    so yesterday's burst outweighs last month's steady trickle.
+
+    `now` is an EXPLICIT 'YYYY-MM-DD HH:MM:SS' anchor (determinism: a
+    wall-clock default would make every run a different answer).
+
+    Float discipline (the engine's standard): each per-row weight is one
+    exp() rounded to 12 dp, and the per-key sum is a LEFT FOLD over
+    weights sorted by `id_col` — bit-reproducible across engines and row
+    orders. Returns (keys..., n_events, decayed_score)."""
+    import math
+
+    by = [by] if isinstance(by, str) else list(by)
+    if id_col is None:
+        raise ValueError("id_col is required (the fold's sort key)")
+    rate = -math.log(2.0) / float(half_life_s)
+
+    dtype = dict(df.dtypes)[time_col]
+    if dtype.startswith("timestamp"):
+        anchor = ("TIMESTAMP_NTZ" if dtype == "timestamp_ntz"
+                  else "TIMESTAMP")
+        # MICROSECOND diff (exact integer) / 1e6 — a SECOND-unit diff
+        # would truncate sub-second parts differently across engines
+        age = F.expr(
+            f"timestampdiff(MICROSECOND, `{time_col}`, {anchor} '{now}')"
+        ).cast("double") / F.lit(1e6)
+    else:
+        age = (F.lit(float(now)) - F.col(time_col)).cast("double")
+    w = F.round(F.exp(age * F.lit(rate)), 12)
+
+    return (
+        df.select(*by, F.col(id_col).alias("_id"), w.alias("_w"))
+        .groupBy(*by)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_id", "_w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_w"],
+            ).alias("decayed_score"),
+        )
+        .select(*by, "n_events",
+                F.round(F.col("decayed_score"), 9).alias("decayed_score"))
+    )

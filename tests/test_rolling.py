@@ -46,3 +46,34 @@ def test_single_shuffle_zero_udf(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decayed_counts_hand_computed(spark):
+    import math
+
+    from ohsome_planet_spark.operators.rolling import decayed_counts
+
+    rows = [  # numeric time domain: now=1000, half-life 100
+        (1, "a", 1000.0),   # age 0   -> 1.0
+        (2, "a", 900.0),    # age 100 -> 0.5
+        (3, "a", 800.0),    # age 200 -> 0.25
+        (4, "b", 0.0),      # age 1000 -> 2^-10
+    ]
+    df = spark.createDataFrame(rows, "event_id long, domain string, ts double")
+    out = {r["domain"]: r for r in
+           decayed_counts(df, now="1000", half_life_s=100,
+                          id_col="event_id").collect()}
+    # Spark rounds HALF_UP; Python's round() is banker's — replay with
+    # decimal HALF_UP (the b-row hits an EXACT tie: 2^-10 has a trailing
+    # 5 at the 10th decimal)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r = lambda x, n: float(Decimal(x).quantize(Decimal(f"1e-{n}"),
+                                               rounding=ROUND_HALF_UP))
+    rate = -math.log(2.0) / 100.0
+    want_a = sum(r(math.exp(a * rate), 12) for a in (0.0, 100.0, 200.0))
+    assert out["a"]["n_events"] == 3
+    assert out["a"]["decayed_score"] == r(want_a, 9)
+    assert out["b"]["decayed_score"] == r(r(math.exp(1000 * rate), 12), 9)
+    # recency dominance: 3 recent events beat 1 ancient one by far
+    assert out["a"]["decayed_score"] > 100 * out["b"]["decayed_score"]
