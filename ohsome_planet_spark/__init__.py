@@ -64,6 +64,10 @@ _EXPORTS = {
     "asof_join": "ohsome_planet_spark.operators.asof",
     "range_join": "ohsome_planet_spark.operators.asof",
     "rolling_counts": "ohsome_planet_spark.operators.rolling",
+    "decayed_counts": "ohsome_planet_spark.operators.rolling",
+    # multimodal
+    "phash_df": "ohsome_planet_spark.operators.multimodal",
+    "image_near_dups": "ohsome_planet_spark.operators.multimodal",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
