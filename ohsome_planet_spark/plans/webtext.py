@@ -34,8 +34,16 @@ def crawl_to_tiles(
     gazetteer: DataFrame | None = None,
     curation_kwargs: dict | None = None,
     salted: bool = True,
+    min_domain_in_degree: int | None = None,
+    honor_robots_noindex: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
-    """Returns (tile_counts, curation_manifest)."""
+    """Returns (tile_counts, curation_manifest).
+
+    min_domain_in_degree: drop pages whose domain earns fewer inbound
+    domain links than this across the whole crawl (spam farms and orphan
+    hosts have no independent citations) — the link graph is built from
+    the SAME WARC scan before any curation. honor_robots_noindex drops
+    pages whose <meta name="robots"> opts out, before anything else."""
     from ..functions.text import normalize_text_col
     from ..operators.urls import dedup_latest_per_url
     from ..plans.corpus import curate_corpus
@@ -45,6 +53,25 @@ def crawl_to_tiles(
     pages = read_warc(spark, warc_glob).withColumn(
         "text", normalize_text_col(F.col("text"))
     )
+    if honor_robots_noindex:
+        from ..operators.linkgraph import filter_indexable
+
+        pages = filter_indexable(pages)
+    if min_domain_in_degree is not None:
+        from ..operators.linkgraph import (
+            degree_stats,
+            domain_edges,
+            extract_links,
+        )
+        from ..operators.urls import host_col
+
+        deg = degree_stats(domain_edges(extract_links(pages)))
+        keep = deg.where(
+            F.col("in_degree") >= min_domain_in_degree).select("domain")
+        pages = pages.join(
+            F.broadcast(keep),
+            host_col(F.col("url")) == F.col("domain"), "left_semi",
+        )
     latest = dedup_latest_per_url(pages)
     pages = pages.join(
         latest.select(F.col("latest_url").alias("url"),

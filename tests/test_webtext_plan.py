@@ -66,3 +66,39 @@ def test_crawl_link_graph(spark, tmp_path):
     assert abs(sum(r["rank"] for r in out.values()) - 1.0) < 0.2
     # a.example receives c.example's undivided rank -> highest authority
     assert max(out, key=lambda d: out[d]["rank"]) == "a.example"
+
+
+def test_crawl_to_tiles_authority_and_robots_filters(spark, tmp_path):
+    from ohsome_planet_spark.plans.webtext import crawl_to_tiles
+
+    linked = ("<html><body>visit @@Zeta_Port@@ "
+              '<a href="http://b.example/q">b</a></body></html>')
+    linked_b = ("<html><body>also @@Eta_Springs@@ "
+                '<a href="http://a.example/p">a</a></body></html>')
+    orphan = "<html><body>spam farm @@Zeta_Port@@ island page</body></html>"
+    noindex = ('<html><head><meta name="robots" content="noindex"></head>'
+               '<body>@@Eta_Springs@@ hidden '
+               '<a href="http://a.example/p">a</a></body></html>')
+    recs = [
+        _record("response", "http://a.example/p", "2021-01-02T00:00:00Z",
+                _http(linked.encode())),
+        _record("response", "http://b.example/q", "2021-01-03T00:00:00Z",
+                _http(linked_b.encode())),
+        _record("response", "http://orphan.example/r", "2021-01-04T00:00:00Z",
+                _http(orphan.encode())),
+        _record("response", "http://c.example/s", "2021-01-05T00:00:00Z",
+                _http(noindex.encode())),
+    ]
+    p = tmp_path / "crawl2.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    _, manifest = crawl_to_tiles(
+        spark, str(p),
+        curation_kwargs={"min_tokens": 2, "max_punct_ratio": 1.0,
+                         "max_dup_line_fraction": 1.0, "with_manifest": True},
+        min_domain_in_degree=1,
+        honor_robots_noindex=True,
+    )
+    # noindex page dropped first; orphan.example has no inbound links;
+    # a.example and b.example cite each other -> 2 pages enter curation
+    assert manifest["input"] == 2
