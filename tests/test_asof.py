@@ -102,3 +102,36 @@ def test_range_join_end_inclusive(spark):
     i = spark.createDataFrame([(1, 0, 10)], "k long, start long, end long")
     assert range_join(p, i, by="k").count() == 0
     assert range_join(p, i, by="k", end_inclusive=True).count() == 1
+
+
+def test_asof_differential_vs_pandas_merge_asof(spark):
+    """Randomized sweep against pandas' independent merge_asof."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    trades_pd = pd.DataFrame({
+        "sym": rng.integers(0, 5, 400).astype(str),
+        "ts": rng.integers(0, 10_000, 400),
+        "qty": np.arange(400),
+    })
+    quotes_pd = pd.DataFrame({
+        "sym": rng.integers(0, 5, 300).astype(str),
+        "ts": rng.integers(0, 10_000, 300),
+        "bid": rng.uniform(0, 100, 300).round(3),
+    }).drop_duplicates(["sym", "ts"])
+
+    t_df = spark.createDataFrame(trades_pd)
+    q_df = spark.createDataFrame(quotes_pd)
+    got = asof_join(t_df, q_df, on="ts", by="sym").toPandas()
+
+    want = pd.merge_asof(
+        trades_pd.sort_values("ts", kind="stable"),
+        quotes_pd.sort_values("ts", kind="stable"),
+        on="ts", by="sym", direction="backward", allow_exact_matches=True,
+    )
+    g = got.sort_values("qty").reset_index(drop=True)
+    w = want.sort_values("qty").reset_index(drop=True)
+    assert (g["qty"] == w["qty"]).all()
+    gb, wb = g["bid"].fillna(-1), w["bid"].fillna(-1)
+    assert (gb == wb).all()

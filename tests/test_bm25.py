@@ -110,3 +110,44 @@ def test_index_snapshot_roundtrip(spark, corpus, tmp_path):
     got = bm25_from_index(stored, doc_stats, ["spark"]).collect()
     key = lambda r: r["doc_id"]
     assert sorted(want, key=key) == sorted(got, key=key)
+
+
+def test_bm25_differential_vs_python(spark):
+    """Randomized corpus vs an independent pure-Python BM25."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab, rng.integers(3, 40))))
+            for i in range(80)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["w0", "w7", "w29"]
+    got = {r["doc_id"]: r for r in bm25_scores(df, terms).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    dl = {i: len(t) for i, t in toks.items()}
+    n = len([i for i in dl if dl[i] > 0])
+    avgdl = sum(dl.values()) / n
+    dfreq = {t: sum(1 for i in toks if t in toks[i]) for t in terms}
+    k1, b = 1.2, 0.75
+    for i, t in toks.items():
+        contribs = []
+        for term in sorted(terms):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            tfc = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[i] / avgdl))
+            contribs.append(round(idf * tfc, 9))
+        if not contribs:
+            assert i not in got
+            continue
+        s = 0.0
+        for c in contribs:
+            s += c
+        r = got[i]
+        assert r["score"] == pytest.approx(round(s, 6), abs=2e-6)
+        assert r["matched_terms"] == len(contribs)
+        assert r["doc_len"] == dl[i]
