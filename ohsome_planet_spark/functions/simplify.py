@@ -1,0 +1,91 @@
+"""Polyline simplification (Douglas–Peucker) for tile rendering.
+
+A tiling engine that serves vector tiles simplifies geometries per zoom
+level — a way's full vertex list is wasted bytes at z8. Implemented from
+the published Ramer–Douglas–Peucker algorithm (1972/1973 papers); no code
+taken. The kernel is an ITERATIVE stack walk (a 100k-vertex coastline
+would blow Python's recursion limit) over NumPy arrays; per-segment
+perpendicular distances are computed vectorized for the whole span at
+once, so the cost is O(n) NumPy work per retained split, not per vertex.
+
+Guarantees (property-tested): endpoints always retained; the output is a
+subsequence of the input vertices; every dropped vertex lies within
+`epsilon` of the simplified line; idempotent (simplifying the output
+changes nothing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves the hint strings
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _perp_dist(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distance from each point to the SEGMENT ab (projection clamped to
+    [0,1]) — NOT the infinite line: a path that overshoots an endpoint and
+    doubles back is collinear with the line yet far from the segment, and
+    the infinite-line variant would happily delete it (found by the
+    hypothesis sweep). Degenerate a==b falls back to point distance."""
+    d = b - a
+    L2 = float(d @ d)
+    if L2 == 0.0:
+        return np.hypot(*(pts - a).T)
+    t = np.clip(((pts - a) @ d) / L2, 0.0, 1.0)
+    proj = a + t[:, None] * d
+    return np.hypot(*(pts - proj).T)
+
+
+def douglas_peucker(coords: np.ndarray, epsilon: float) -> np.ndarray:
+    """Simplified polyline (subset of input rows, order preserved)."""
+    pts = np.asarray(coords, np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts.copy()
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        seg = pts[i + 1:j]
+        dist = _perp_dist(seg, pts[i], pts[j])
+        m = int(np.argmax(dist))
+        if dist[m] > epsilon:
+            k = i + 1 + m
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return pts[keep]
+
+
+def simplify_lines(
+    df: DataFrame,
+    epsilon: float,
+    wkb_col: str = "geometry",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply DP to every LineString WKB in `wkb_col` (other geometry
+    types pass through untouched) — one Arrow-batched kernel, vertex
+    arrays never leave NumPy."""
+    from .wkb import wkb_dumps, wkb_loads
+
+    out_col = out_col or wkb_col
+
+    @F.pandas_udf("binary")
+    def simp(col: pd.Series) -> pd.Series:
+        res = []
+        for blob in col:
+            if blob is None:
+                res.append(None)
+                continue
+            typ, data = wkb_loads(bytes(blob))
+            if typ != "LineString":
+                res.append(bytes(blob))
+                continue
+            res.append(wkb_dumps((typ, douglas_peucker(data, epsilon))))
+        return pd.Series(res)
+
+    return df.withColumn(out_col, simp(F.col(wkb_col)))
