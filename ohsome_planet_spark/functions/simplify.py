@@ -89,3 +89,20 @@ def simplify_lines(
         return pd.Series(res)
 
     return df.withColumn(out_col, simp(F.col(wkb_col)))
+
+
+def epsilon_for_zoom(zoom: int, px_tolerance: float = 1.0) -> float:
+    """Simplification tolerance (degrees) for a web-mercator-style zxy
+    zoom: one tile spans 360/2^z degrees over 256 px, so `px_tolerance`
+    pixels ≈ px · 360 / (2^z · 256). The standard per-zoom ladder for a
+    vector-tile pipeline: simplify once per published zoom with this
+    epsilon and cache via io/snapshots."""
+    return px_tolerance * 360.0 / ((1 << zoom) * 256.0)
+
+
+def simplify_for_zoom(df: DataFrame, zoom: int, px_tolerance: float = 1.0,
+                      wkb_col: str = "geometry",
+                      out_col: str | None = None) -> DataFrame:
+    """simplify_lines at the tolerance a z-level tile can resolve."""
+    return simplify_lines(df, epsilon_for_zoom(zoom, px_tolerance),
+                          wkb_col=wkb_col, out_col=out_col)

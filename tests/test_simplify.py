@@ -89,3 +89,34 @@ def test_simplify_lines_spark(spark):
     assert typ == "LineString" and len(data) == 3  # middle zig dropped
     assert bytes(out[2]) == bytes(pt)  # non-linestring untouched
     assert out[3] is None
+
+
+def test_epsilon_for_zoom_ladder():
+    from ohsome_planet_spark.functions.simplify import epsilon_for_zoom
+
+    # one px at z0 is 360/256 degrees; each zoom halves it
+    assert epsilon_for_zoom(0) == 360.0 / 256.0
+    for z in range(0, 15):
+        assert epsilon_for_zoom(z + 1) == epsilon_for_zoom(z) / 2.0
+
+
+def test_simplify_for_zoom_monotone_vertex_count(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.functions.simplify import simplify_for_zoom
+    from ohsome_planet_spark.functions.wkb import wkb_dumps, wkb_loads
+
+    t = np.linspace(0, 4 * np.pi, 400)
+    wiggle = np.stack([t, 0.02 * np.sin(7 * t)], axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(wkb_dumps(("LineString", wiggle))))],
+        "id long, geometry binary")
+    counts = []
+    for z in (4, 8, 12, 16):
+        out = simplify_for_zoom(df, z).collect()[0]["geometry"]
+        counts.append(len(wkb_loads(bytes(out))[1]))
+    # coarser zooms keep fewer vertices; finest keeps nearly all
+    assert counts == sorted(counts)
+    assert counts[0] < 20 and counts[-1] > 100
