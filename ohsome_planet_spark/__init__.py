@@ -68,6 +68,10 @@ _EXPORTS = {
     # multimodal
     "phash_df": "ohsome_planet_spark.operators.multimodal",
     "image_near_dups": "ohsome_planet_spark.operators.multimodal",
+    # geometry
+    "douglas_peucker": "ohsome_planet_spark.functions.simplify",
+    "simplify_lines": "ohsome_planet_spark.functions.simplify",
+    "simplify_for_zoom": "ohsome_planet_spark.functions.simplify",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
