@@ -4238,6 +4238,53 @@ FROM t GROUP BY domain
 """
 
 
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-class language ID (first-match-wins priority chain of
+    unicode-range regexes, JVM rlike) over documents with planted
+    language markers; the oracle chains the IDENTICAL patterns through
+    DuckDB regexp_matches."""
+    from ohsome_planet_spark.functions.text import lang_id_col
+
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 6 == 1, F.lit(" eine straße"))
+        .when(d % 6 == 2, F.lit(" le château"))
+        .when(d % 6 == 3, F.lit(" hasta mañana"))
+        .when(d % 6 == 4, F.lit(" привет мир"))
+        .when(d % 6 == 5, F.lit(" 中文文本"))
+        .otherwise(F.lit(""))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang"))
+
+
+def _lang_id_oracle_sql() -> str:
+    from ohsome_planet_spark.functions.text import _LANG_MARKERS
+
+    chain = "CASE "
+    for lang, pattern in _LANG_MARKERS:
+        chain += f"WHEN regexp_matches(text, '{pattern}') THEN '{lang}' "
+    chain += "ELSE 'en' END"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text ||
+         CASE doc_id % 6
+           WHEN 1 THEN ' eine straße'
+           WHEN 2 THEN ' le château'
+           WHEN 3 THEN ' hasta mañana'
+           WHEN 4 THEN ' привет мир'
+           WHEN 5 THEN ' 中文文本'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id, {chain} AS lang FROM docs
+"""
+
+
+_LANG_ID_ORACLE_SQL = _lang_id_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4309,6 +4356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_top_entities": _q_tile_top_entities,
         "s2_rollup": _q_s2_rollup,
         "decayed_popularity": _q_decayed_popularity,
+        "lang_id": _q_lang_id,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4538,6 +4586,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_top_entities": _TILE_TOP_ORACLE_SQL,
         "s2_rollup": _s2_rollup_oracle_sql(14, 10),
         "decayed_popularity": _DECAYED_ORACLE_SQL,
+        "lang_id": _LANG_ID_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
