@@ -4285,6 +4285,111 @@ SELECT doc_id, {chain} AS lang FROM docs
 _LANG_ID_ORACLE_SQL = _lang_id_oracle_sql()
 
 
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt end-to-end: synthesize per-domain robots files (a
+    bot-specific group that must NOT apply + a `*` group with a real
+    Disallow, an empty Disallow, and a comment), parse the group
+    structure with window functions, and drop the disallowed pages. The
+    oracle replays the parse (line explode → lag/sum windows → section
+    semijoin) and the prefix filter in SQL."""
+    from ohsome_planet_spark.operators.robots import (
+        filter_robots_disallowed,
+        parse_robots,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    e, u = F.col("event_id"), F.col("user_id")
+    dom = F.concat(F.lit("r"), (u % 20).cast("string"),
+                   F.lit(".example.com"))
+    robots = (
+        ev.select((u % 20).alias("k")).distinct()
+        .select(
+            F.concat(F.lit("https://r"), F.col("k").cast("string"),
+                     F.lit(".example.com/robots.txt")).alias("url"),
+            F.concat(
+                F.lit("User-agent: botx\nDisallow: /botonly/\n\n"
+                      "User-agent: *\nDisallow: /block"),
+                (F.col("k") % 5).cast("string"),
+                F.lit("/   # comment\nDisallow:\n"),
+            ).alias("text"),
+        )
+    )
+    pages = ev.select(
+        "event_id",
+        F.concat(F.lit("https://"), dom, F.lit("/block"),
+                 (e % 7).cast("string"), F.lit("/page"),
+                 e.cast("string")).alias("url"),
+    )
+    rules = parse_robots(robots)
+    return filter_robots_disallowed(pages, rules)
+
+
+_ROBOTS_ORACLE_SQL = """
+WITH robots AS (
+  SELECT 'r' || k || '.example.com' AS domain,
+         'User-agent: botx\nDisallow: /botonly/\n\nUser-agent: *\nDisallow: /block'
+         || (k % 5) || '/   # comment\nDisallow:\n' AS text
+  FROM (SELECT DISTINCT user_id % 20 AS k FROM events)
+),
+lines AS (
+  SELECT domain, i AS pos,
+         trim(split_part(l[i], '#', 1)) AS line
+  FROM (SELECT domain, string_split(text, '\n') AS l,
+               unnest(generate_series(1, len(string_split(text, '\n')))) AS i
+        FROM robots)
+),
+marked AS (
+  SELECT domain, pos, line,
+         starts_with(lower(line), 'user-agent:') AS is_ua,
+         starts_with(lower(line), 'disallow:') AS is_dis
+  FROM lines
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN is_ua AND NOT coalesce(
+               lag(is_ua) OVER (PARTITION BY domain ORDER BY pos), FALSE)
+             THEN 1 ELSE 0 END AS new_group
+  FROM marked
+),
+grouped AS (
+  SELECT *,
+         sum(new_group) OVER (PARTITION BY domain ORDER BY pos) AS section
+  FROM flagged
+),
+star_sections AS (
+  SELECT DISTINCT domain, section FROM grouped
+  WHERE is_ua AND trim(substring(line, 12)) = '*'
+),
+rules AS (
+  SELECT DISTINCT g.domain, trim(substring(g.line, 10)) AS disallow_prefix
+  FROM grouped g JOIN star_sections s
+    ON g.domain = s.domain AND g.section = s.section
+  WHERE g.is_dis AND trim(substring(g.line, 10)) <> ''
+),
+pages AS (
+  SELECT event_id,
+         'https://r' || (user_id % 20) || '.example.com/block'
+         || (event_id % 7) || '/page' || event_id AS url
+  FROM events
+),
+paths AS (
+  SELECT event_id, url,
+         lower(regexp_extract(split_part(url, '#', 1),
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+         CASE WHEN regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)?$', 1) = ''
+              THEN '/' ELSE regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)?$', 1) END AS path
+  FROM pages
+)
+SELECT event_id, url FROM paths p
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules r
+  WHERE r.domain = p.host AND starts_with(p.path, r.disallow_prefix)
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4357,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_rollup": _q_s2_rollup,
         "decayed_popularity": _q_decayed_popularity,
         "lang_id": _q_lang_id,
+        "robots_filter": _q_robots_filter,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4587,6 +4693,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_rollup": _s2_rollup_oracle_sql(14, 10),
         "decayed_popularity": _DECAYED_ORACLE_SQL,
         "lang_id": _LANG_ID_ORACLE_SQL,
+        "robots_filter": _ROBOTS_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
