@@ -36,6 +36,7 @@ def crawl_to_tiles(
     salted: bool = True,
     min_domain_in_degree: int | None = None,
     honor_robots_noindex: bool = False,
+    honor_robots_txt: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (tile_counts, curation_manifest).
 
@@ -43,7 +44,10 @@ def crawl_to_tiles(
     domain links than this across the whole crawl (spam farms and orphan
     hosts have no independent citations) — the link graph is built from
     the SAME WARC scan before any curation. honor_robots_noindex drops
-    pages whose <meta name="robots"> opts out, before anything else."""
+    pages whose <meta name="robots"> opts out; honor_robots_txt parses
+    the crawl's OWN robots.txt responses (any captured /robots.txt per
+    domain) and drops pages a `User-agent: *` Disallow rule covers. Both
+    run before anything else."""
     from ..functions.text import normalize_text_col
     from ..operators.urls import dedup_latest_per_url
     from ..plans.corpus import curate_corpus
@@ -53,6 +57,18 @@ def crawl_to_tiles(
     pages = read_warc(spark, warc_glob).withColumn(
         "text", normalize_text_col(F.col("text"))
     )
+    if honor_robots_txt:
+        from ..operators.robots import (
+            filter_robots_disallowed,
+            parse_robots,
+        )
+
+        # robots bodies come from the RAW payload — the text column is
+        # html_to_text output, which collapses the line structure
+        robots = pages.where(F.col("url").endswith("/robots.txt")).select(
+            "url", F.decode(F.col("html"), "UTF-8").alias("text"))
+        pages = pages.where(~F.col("url").endswith("/robots.txt"))
+        pages = filter_robots_disallowed(pages, parse_robots(robots))
     if honor_robots_noindex:
         from ..operators.linkgraph import filter_indexable
 

@@ -102,3 +102,31 @@ def test_crawl_to_tiles_authority_and_robots_filters(spark, tmp_path):
     # noindex page dropped first; orphan.example has no inbound links;
     # a.example and b.example cite each other -> 2 pages enter curation
     assert manifest["input"] == 2
+
+
+def test_crawl_to_tiles_honors_robots_txt(spark, tmp_path):
+    from ohsome_planet_spark.plans.webtext import crawl_to_tiles
+
+    robots = "User-agent: *\nDisallow: /private/\n"
+    ok = "<html><body>open @@Zeta_Port@@ page body here</body></html>"
+    hidden = "<html><body>secret @@Eta_Springs@@ page body</body></html>"
+    recs = [
+        _record("response", "http://a.example/robots.txt",
+                "2021-01-01T00:00:00Z",
+                _http(robots.encode())),
+        _record("response", "http://a.example/open/x", "2021-01-02T00:00:00Z",
+                _http(ok.encode())),
+        _record("response", "http://a.example/private/y",
+                "2021-01-03T00:00:00Z", _http(hidden.encode())),
+    ]
+    p = tmp_path / "crawl3.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    _, manifest = crawl_to_tiles(
+        spark, str(p),
+        curation_kwargs={"min_tokens": 2, "max_punct_ratio": 1.0,
+                         "max_dup_line_fraction": 1.0, "with_manifest": True},
+        honor_robots_txt=True,
+    )
+    # robots.txt itself excluded from the corpus; /private/y dropped
+    assert manifest["input"] == 1
