@@ -68,6 +68,9 @@ _EXPORTS = {
     # multimodal
     "phash_df": "ohsome_planet_spark.operators.multimodal",
     "image_near_dups": "ohsome_planet_spark.operators.multimodal",
+    # crawl politeness
+    "parse_robots": "ohsome_planet_spark.operators.robots",
+    "filter_robots_disallowed": "ohsome_planet_spark.operators.robots",
     # geometry
     "douglas_peucker": "ohsome_planet_spark.functions.simplify",
     "simplify_lines": "ohsome_planet_spark.functions.simplify",
