@@ -33,13 +33,25 @@ PAGES_SCHEMA = (
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (CC: one member per record)."""
+    """Decompress concatenated gzip members (CC: one member per record).
+
+    Fault-tolerant: a corrupt member (truncated upload, bit rot — routine
+    in real crawl archives) is SKIPPED by resyncing on the next gzip
+    magic, instead of failing the whole multi-thousand-record file."""
     out = bytearray()
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(data[pos:])
-        out += d.flush()
+        try:
+            chunk = d.decompress(data[pos:])
+            chunk += d.flush()
+        except zlib.error:
+            nxt = data.find(b"\x1f\x8b\x08", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        out += chunk
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break
@@ -69,7 +81,15 @@ def parse_warc_records(raw: bytes):
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            # mangled header: drop the record, resync on the next one
+            nxt = raw.find(b"WARC/", hdr_end + 4)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         body = raw[hdr_end + 4:hdr_end + 4 + length]
         yield headers, body
         pos = hdr_end + 4 + length

@@ -88,3 +88,32 @@ def test_read_warc(spark, tmp_path, per_record_gzip):
     b = rows["http://b.example/y"]
     assert "café" in b["text"] and b["lang"] == "zh"
     assert str(b["warc_ts"]) == "2022-12-31 23:59:59"
+
+
+def test_corrupt_gzip_member_skipped(spark, tmp_path):
+    """A corrupt member mid-archive must not lose the good records
+    around it (routine in real crawl archives)."""
+    good1 = gzip.compress(_record(
+        "response", "http://x.example/1", "2021-01-01T00:00:00Z",
+        _http(b"<html><body>first ok page</body></html>")))
+    corrupt = b"\x1f\x8b\x08" + b"\x99" * 40  # gzip magic + garbage
+    good2 = gzip.compress(_record(
+        "response", "http://x.example/2", "2021-01-02T00:00:00Z",
+        _http(b"<html><body>second ok page</body></html>")))
+    p = tmp_path / "mixed.warc.gz"
+    p.write_bytes(good1 + corrupt + good2)
+
+    df = read_warc(spark, str(p))
+    urls = {r["url"] for r in df.collect()}
+    assert urls == {"http://x.example/1", "http://x.example/2"}
+
+
+def test_mangled_content_length_skipped():
+    rec_bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: http://bad.example/\r\n"
+               b"WARC-Date: 2021-01-01T00:00:00Z\r\n"
+               b"Content-Length: NaN\r\n\r\n" + _http(b"junk") + b"\r\n\r\n")
+    rec_good = _record("response", "http://ok.example/", "2021-01-01T00:00:00Z",
+                       _http(b"<html><body>fine</body></html>"))
+    recs = list(parse_warc_records(rec_bad + rec_good))
+    assert [h["warc-target-uri"] for h, _ in recs] == ["http://ok.example/"]
