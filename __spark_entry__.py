@@ -4390,6 +4390,44 @@ WHERE NOT EXISTS (
 """
 
 
+def _q_country_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graft's identity query — webtext × geospatial: pages (points
+    with a derived language) PIP-joined to the fixture countries, then
+    (country, lang) counts. Broadcast polygon index; two-column rollup."""
+    from ohsome_planet_spark.operators.spatial_join import with_countries
+
+    pts = _points(spark, sf_dir)
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")])
+    pts = pts.withColumn(
+        "lang", F.element_at(langs, (F.col("event_id") % 5 + 1).cast("int")))
+    idx = build_index(fixture_features(), grid_zoom=8)
+    joined = with_countries(pts, idx)
+    return (
+        joined.select("lang", F.explode("countries").alias("country"))
+        .groupBy("country", "lang").agg(F.count("*").alias("n"))
+    )
+
+
+def _country_lang_oracle_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT event_id, lang, '{cid}' AS country FROM pts WHERE {pred}"
+        for cid, pred in _COUNTRY_PREDICATES.items()
+    )
+    return f"""
+WITH pts0 AS ({_POINTS_SQL}),
+pts AS (
+  SELECT event_id, lon, lat,
+         ['en', 'de', 'fr', 'es', 'zh'][CAST(event_id % 5 AS INTEGER) + 1] AS lang
+  FROM pts0
+),
+hits AS ({union})
+SELECT country, lang, count(*) AS n FROM hits GROUP BY country, lang
+"""
+
+
+_COUNTRY_LANG_ORACLE_SQL = _country_lang_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4463,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_popularity": _q_decayed_popularity,
         "lang_id": _q_lang_id,
         "robots_filter": _q_robots_filter,
+        "country_lang_mix": _q_country_lang_mix,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4694,6 +4733,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_popularity": _DECAYED_ORACLE_SQL,
         "lang_id": _LANG_ID_ORACLE_SQL,
         "robots_filter": _ROBOTS_ORACLE_SQL,
+        "country_lang_mix": _COUNTRY_LANG_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
