@@ -4428,6 +4428,49 @@ SELECT country, lang, count(*) AS n FROM hits GROUP BY country, lang
 _COUNTRY_LANG_ORACLE_SQL = _country_lang_oracle_sql()
 
 
+def _q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence per tile (the knowledge-graph edge extractor,
+    webtext × geospatial): synthetic page texts carry two @@Entity@@
+    markers, extracted with the engine's marker regex, paired (a < b,
+    self-pairs dropped), and counted per z=6 tile of the page's point."""
+    from ohsome_planet_spark.functions.text import extract_entities_col
+
+    pts = _points(spark, sf_dir)
+    e = F.col("event_id")
+    text = F.concat(
+        F.lit("visit @@E"), (e % 10).cast("string"),
+        F.lit("@@ and @@E"), ((e * 3) % 10).cast("string"),
+        F.lit("@@ today"),
+    )
+    ents = extract_entities_col(text)
+    a, b = F.element_at(ents, 1), F.element_at(ents, 2)
+    pages = pts.select(
+        zxy_cell_col(F.col("lon"), F.col("lat"), 6).alias("cell"),
+        F.least(a, b).alias("e1"), F.greatest(a, b).alias("e2"),
+    ).where(F.col("e1") != F.col("e2"))
+    return pages.groupBy("cell", "e1", "e2").agg(F.count("*").alias("n"))
+
+
+_ENTITY_COOC_ORACLE_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+pages AS (
+  SELECT 6 * 288230376151711744 +
+         greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 63)) * 536870912 +
+         greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 64) AS BIGINT), 63)) AS cell,
+         regexp_extract_all(
+           'visit @@E' || (event_id % 10) || '@@ and @@E' ||
+           ((event_id * 3) % 10) || '@@ today', '@@([A-Za-z0-9_]+)@@', 1) AS ents
+  FROM pts
+),
+pairs AS (
+  SELECT cell, least(ents[1], ents[2]) AS e1, greatest(ents[1], ents[2]) AS e2
+  FROM pages
+)
+SELECT cell, e1, e2, count(*) AS n FROM pairs
+WHERE e1 <> e2 GROUP BY cell, e1, e2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4502,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "robots_filter": _q_robots_filter,
         "country_lang_mix": _q_country_lang_mix,
+        "entity_cooccurrence": _q_entity_cooccurrence,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4734,6 +4778,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_ORACLE_SQL,
         "robots_filter": _ROBOTS_ORACLE_SQL,
         "country_lang_mix": _COUNTRY_LANG_ORACLE_SQL,
+        "entity_cooccurrence": _ENTITY_COOC_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
