@@ -4471,6 +4471,79 @@ WHERE e1 <> e2 GROUP BY cell, e1, e2
 """
 
 
+def _q_travel_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user great-circle travel distance: order each user's event
+    points by (ts, event_id), lag to the previous point, one haversine
+    per leg (mm-rounded — same expression as radius_join), then an
+    id-sorted fold of the legs. One window + one aggregate."""
+    from pyspark.sql.window import Window
+
+    from ohsome_planet_spark.operators.knn import haversine_m
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "user_id", "ts",
+        ((F.col("event_id") * 7919 % 900) / 20.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 900) / 20.0).alias("lat"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id", "event_id",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+        "lon", "lat",
+    ).where(F.col("plon").isNotNull())
+    leg_m = F.round(
+        haversine_m(F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat")),
+        3,
+    )
+    return (
+        legs.select("user_id", "event_id", leg_m.alias("_d"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_legs"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("event_id", "_d"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["_d"],
+                ),
+                3,
+            ).alias("total_m"),
+        )
+    )
+
+
+_TRAVEL_HAVERSINE_SQL = """round(2.0 * 6371008.8 * asin(sqrt(
+    sin(radians(lat - plat) / 2.0) * sin(radians(lat - plat) / 2.0)
+    + cos(radians(plat)) * cos(radians(lat))
+      * sin(radians(lon - plon) / 2.0)
+      * sin(radians(lon - plon) / 2.0))), 3)"""
+
+_TRAVEL_ORACLE_SQL = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         (event_id * 7919 % 900) / 20.0 AS lon,
+         (event_id * 104729 % 900) / 20.0 AS lat
+  FROM events
+),
+legs AS (
+  SELECT user_id, event_id,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat, lon, lat
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dist AS (
+  SELECT user_id, event_id, {_TRAVEL_HAVERSINE_SQL} AS d
+  FROM legs WHERE plon IS NOT NULL
+)
+SELECT user_id, count(*) AS n_legs,
+       round(list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY event_id)),
+                         (a, b) -> a + b), 3) AS total_m
+FROM dist GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4546,6 +4619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "country_lang_mix": _q_country_lang_mix,
         "entity_cooccurrence": _q_entity_cooccurrence,
+        "travel_distance": _q_travel_distance,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4779,6 +4853,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _ROBOTS_ORACLE_SQL,
         "country_lang_mix": _COUNTRY_LANG_ORACLE_SQL,
         "entity_cooccurrence": _ENTITY_COOC_ORACLE_SQL,
+        "travel_distance": _TRAVEL_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
