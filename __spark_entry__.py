@@ -4544,6 +4544,40 @@ FROM dist GROUP BY user_id
 """
 
 
+def _q_entity_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity spatial footprints: bbox (exact double min/max), mention
+    count, and distinct-tile spread per entity — the gazetteer-refinement
+    aggregate (where does each entity actually get mentioned)."""
+    pts = _points(spark, sf_dir)
+    e = F.col("event_id")
+    ent = F.concat(F.lit("E"), ((e * 11) % 25).cast("string"))
+    cells = pts.select(
+        ent.alias("entity"), "lon", "lat",
+        zxy_cell_col(F.col("lon"), F.col("lat"), 8).alias("cell"))
+    return cells.groupBy("entity").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("cell").alias("n_tiles"),
+        F.min("lon").alias("lon_min"), F.max("lon").alias("lon_max"),
+        F.min("lat").alias("lat_min"), F.max("lat").alias("lat_max"),
+    )
+
+
+_ENTITY_FOOTPRINT_ORACLE_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+cells AS (
+  SELECT 'E' || ((event_id * 11) % 25) AS entity, lon, lat,
+         8 * 288230376151711744 +
+         greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT), 255)) * 536870912 +
+         greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 256) AS BIGINT), 255)) AS cell
+  FROM pts
+)
+SELECT entity, count(*) AS n_mentions, count(DISTINCT cell) AS n_tiles,
+       min(lon) AS lon_min, max(lon) AS lon_max,
+       min(lat) AS lat_min, max(lat) AS lat_max
+FROM cells GROUP BY entity
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4620,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "country_lang_mix": _q_country_lang_mix,
         "entity_cooccurrence": _q_entity_cooccurrence,
         "travel_distance": _q_travel_distance,
+        "entity_footprints": _q_entity_footprints,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4854,6 +4889,7 @@ def oracle_sql() -> dict[str, str]:
         "country_lang_mix": _COUNTRY_LANG_ORACLE_SQL,
         "entity_cooccurrence": _ENTITY_COOC_ORACLE_SQL,
         "travel_distance": _TRAVEL_ORACLE_SQL,
+        "entity_footprints": _ENTITY_FOOTPRINT_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
