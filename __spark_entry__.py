@@ -4578,6 +4578,64 @@ FROM cells GROUP BY entity
 """
 
 
+def _q_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training, 3 merges over the documents word-freq
+    table: per round one pair aggregate → deterministic argmax
+    (count desc, pair asc) → 8 literal-replace passes over
+    sentinel-spaced symbol strings (== greedy left-to-right BPE merge,
+    reference-checked in tests/test_bpe.py). The oracle unrolls the same
+    3 rounds as CTEs. Output: final (word, n, syms) segmentation."""
+    from ohsome_planet_spark.operators.bpe import train_bpe, word_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    _, seg = train_bpe(word_counts(docs), num_merges=3)
+    return seg
+
+
+def _bpe_oracle_sql(num_merges: int = 3, passes: int = 8) -> str:
+    sql = r"""
+WITH words AS (
+  SELECT w AS word, count(*) AS n
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+w0 AS (
+  SELECT word, n,
+         ' ' || array_to_string(regexp_extract_all(word, '(.)', 1), ' ')
+         || ' ' AS syms
+  FROM words
+)"""
+    prev = "w0"
+    for i in range(1, num_merges + 1):
+        rep = "syms"
+        for _ in range(passes):
+            rep = f"replace({rep}, b.pat, b.rep)"
+        sql += f""",
+p{i} AS (
+  SELECT t[j] AS l, t[j + 1] AS r, sum(n) AS c
+  FROM (SELECT n, t, unnest(generate_series(1, len(t) - 1)) AS j
+        FROM (SELECT n, list_filter(string_split(trim(syms), ' '),
+                                    x -> x <> '') AS t FROM {prev}))
+  GROUP BY l, r
+),
+b{i} AS (
+  SELECT l, r, ' ' || l || ' ' || r || ' ' AS pat,
+         ' ' || l || r || ' ' AS rep
+  FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+w{i} AS (
+  SELECT word, n, {rep} AS syms FROM {prev} CROSS JOIN b{i} b
+)"""
+        prev = f"w{i}"
+    sql += f"\nSELECT word, n, syms FROM {prev}\n"
+    return sql
+
+
+_BPE_ORACLE_SQL = _bpe_oracle_sql(3, 8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4655,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence": _q_entity_cooccurrence,
         "travel_distance": _q_travel_distance,
         "entity_footprints": _q_entity_footprints,
+        "bpe_training": _q_bpe_training,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4890,6 +4949,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_cooccurrence": _ENTITY_COOC_ORACLE_SQL,
         "travel_distance": _TRAVEL_ORACLE_SQL,
         "entity_footprints": _ENTITY_FOOTPRINT_ORACLE_SQL,
+        "bpe_training": _BPE_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
