@@ -46,6 +46,8 @@ _EXPORTS = {
     "with_lm_stats": "ohsome_planet_spark.operators.ngram_lm",
     "pmi_collocations": "ohsome_planet_spark.operators.ngram_lm",
     "with_pii": "ohsome_planet_spark.operators.pii",
+    "train_bpe": "ohsome_planet_spark.operators.bpe",
+    "word_counts": "ohsome_planet_spark.operators.bpe",
     "length_profile": "ohsome_planet_spark.operators.profile",
     "hash_sample": "ohsome_planet_spark.operators.sampling",
     "weighted_sample": "ohsome_planet_spark.operators.sampling",
