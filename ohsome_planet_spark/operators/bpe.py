@@ -101,3 +101,28 @@ def train_bpe(
                                  F.lit(f" {l}{r} "))
         cur = cur.withColumn("syms", new_syms)
     return merges, cur.select("word", "n", "syms")
+
+
+def apply_bpe_tokens_col(text_c, merges: list[tuple[str, str, int]],
+                         replace_passes: int = 8):
+    """Tokens-per-word counts applied to NEW text with learned merges —
+    the inference half of the tokenizer, as ONE JVM expression: per word,
+    symbolize and replay the merge list in learned order (same fixed
+    literal-replace passes as training), then count surviving symbols.
+    Returns the total BPE token count for the text (int)."""
+    def seg_count(w):
+        s = F.concat(
+            F.lit(" "),
+            F.array_join(F.regexp_extract_all(w, F.lit("(.)"), 1), " "),
+            F.lit(" "),
+        )
+        for l, r, _ in merges:
+            for _ in range(replace_passes):
+                s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+        return F.size(F.filter(F.split(F.trim(s), " "),
+                               lambda x: x != ""))
+
+    words = F.filter(F.split(F.lower(F.trim(text_c)), r"\s+"),
+                     lambda w: w != "")
+    return F.aggregate(
+        F.transform(words, seg_count), F.lit(0), lambda acc, x: acc + x)

@@ -86,3 +86,39 @@ def test_word_counts_and_corpus_training(spark, sf_dir):
     # determinism across repartitioning
     merges2, _ = train_bpe(words.repartition(7), num_merges=5)
     assert merges2 == merges
+
+
+def test_apply_bpe_tokens_col(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.bpe import apply_bpe_tokens_col
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    words = spark.createDataFrame(list(freqs.items()), "word string, n long")
+    merges, _ = train_bpe(words, num_merges=4)
+
+    probe = spark.createDataFrame(
+        [(1, "newest widest"), (2, "low lowest"), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in probe.select(
+        "doc_id",
+        apply_bpe_tokens_col(F.col("text"), merges).alias("n")).collect()}
+
+    # replay with the reference segmenter
+    def seg(word):
+        syms = list(word)
+        for l, r, _ in merges:
+            out_s, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out_s.append(l + r)
+                    i += 2
+                else:
+                    out_s.append(syms[i])
+                    i += 1
+            syms = out_s
+        return syms
+
+    assert out[1] == len(seg("newest")) + len(seg("widest"))
+    assert out[2] == len(seg("low")) + len(seg("lowest"))  # OOV word ok
+    assert out[3] == 0
