@@ -4636,6 +4636,27 @@ w{i} AS (
 _BPE_ORACLE_SQL = _bpe_oracle_sql(3, 8)
 
 
+def _q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash hierarchy: counts per precision-6 cell computed by
+    TRUNCATING precision-8 hashes (the prefix property, property-tested
+    in tests/test_cells) — the oracle assigns precision 6 DIRECTLY, so
+    the equality is verified cross-engine end to end."""
+    from ohsome_planet_spark.operators.tiling import geohash_col
+
+    pts = _points(spark, sf_dir)
+    g8 = geohash_col(F.col("lon"), F.col("lat"), 8)
+    return (
+        pts.select(F.substring(g8, 1, 6).alias("geohash6"))
+        .groupBy("geohash6").agg(F.count("*").alias("n"))
+    )
+
+
+_GEOHASH_ROLLUP_ORACLE_SQL = (
+    "WITH assigned AS (" + _geohash_oracle_sql(6).strip() + ")\n"
+    "SELECT geohash AS geohash6, count(*) AS n FROM assigned GROUP BY geohash"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4714,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "travel_distance": _q_travel_distance,
         "entity_footprints": _q_entity_footprints,
         "bpe_training": _q_bpe_training,
+        "geohash_rollup": _q_geohash_rollup,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4950,6 +4972,7 @@ def oracle_sql() -> dict[str, str]:
         "travel_distance": _TRAVEL_ORACLE_SQL,
         "entity_footprints": _ENTITY_FOOTPRINT_ORACLE_SQL,
         "bpe_training": _BPE_ORACLE_SQL,
+        "geohash_rollup": _GEOHASH_ROLLUP_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
