@@ -59,14 +59,20 @@ def knn_join(
     zoom: int = 6,
     query_id: str = "query_id",
     cand_id: str = "cand_id",
+    metric: str = "planar",
 ) -> DataFrame:
     """Top-k nearest candidates per query among the 3×3 cell neighborhood.
 
     queries:    (query_id, lon, lat)
     candidates: (cand_id, lon, lat)
-    Returns (query_id, cand_id, dist_sq, rank) with rank 1..k, ranked on
-    round(dist_sq, 9) with cand_id tiebreak (deterministic, oracle-friendly).
+    metric='planar' ranks on round(squared degree distance, 9) — cheap and
+    correct for same-latitude comparisons; metric='haversine' ranks on
+    round(great-circle meters, 3) (column name stays dist_sq for schema
+    stability; it holds METERS then). cand_id breaks ties
+    (deterministic, oracle-friendly).
     """
+    if metric not in ("planar", "haversine"):
+        raise ValueError("metric must be 'planar' or 'haversine'")
     q = queries.select(
         F.col(query_id),
         F.col("lon").alias("q_lon"),
@@ -80,14 +86,15 @@ def knn_join(
         zxy_cell_col(F.col("lon"), F.col("lat"), zoom).alias("cell"),
     )
     pairs = q.join(c, "cell").where(F.col(query_id) != F.col(cand_id))
-    scored = pairs.select(
-        query_id,
-        cand_id,
-        F.round(
-            planar_distance_sq(F.col("q_lon"), F.col("q_lat"), F.col("c_lon"), F.col("c_lat")),
-            9,
-        ).alias("dist_sq"),
-    )
+    if metric == "haversine":
+        dist = F.round(
+            haversine_m(F.col("q_lon"), F.col("q_lat"),
+                        F.col("c_lon"), F.col("c_lat")), 3)
+    else:
+        dist = F.round(
+            planar_distance_sq(F.col("q_lon"), F.col("q_lat"),
+                               F.col("c_lon"), F.col("c_lat")), 9)
+    scored = pairs.select(query_id, cand_id, dist.alias("dist_sq"))
     # a candidate may be reached via several of the query's neighbor cells →
     # dedup before ranking
     scored = scored.dropDuplicates([query_id, cand_id])

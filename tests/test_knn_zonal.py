@@ -195,3 +195,39 @@ def test_radius_join_wraps_antimeridian(spark):
         "cand_id long, lon double, lat double")
     got = {r["cand_id"] for r in radius_join(q, c, 50_000.0).collect()}
     assert got == {2, 3}
+
+
+def test_knn_haversine_metric(spark):
+    import math
+
+    import numpy as np
+
+    from ohsome_planet_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(23)
+    qlon, qlat = rng.uniform(0, 3, 15), rng.uniform(40, 43, 15)
+    clon, clat = rng.uniform(0, 3, 200), rng.uniform(40, 43, 200)
+    q = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(qlon, qlat))],
+        "query_id long, lon double, lat double")
+    c = spark.createDataFrame(
+        [(1000 + i, float(a), float(b))
+         for i, (a, b) in enumerate(zip(clon, clat))],
+        "cand_id long, lon double, lat double")
+
+    got = {}
+    for r in knn_join(q, c, k=3, zoom=6, metric="haversine").collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"]))
+
+    def hav(lo1, la1, lo2, la2):
+        rl1, rl2 = math.radians(la1), math.radians(la2)
+        dla, dlo = math.radians(la2 - la1) / 2, math.radians(lo2 - lo1) / 2
+        a = math.sin(dla) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlo) ** 2
+        return 2 * 6371008.8 * math.asin(math.sqrt(a))
+
+    for qi in range(15):
+        dists = sorted(
+            (round(hav(qlon[qi], qlat[qi], clon[j], clat[j]), 3), 1000 + j)
+            for j in range(200))
+        want = [cid for _, cid in dists[:3]]
+        assert [cid for _, cid in sorted(got[qi])] == want, qi
