@@ -135,3 +135,34 @@ def test_asof_differential_vs_pandas_merge_asof(spark):
     assert (g["qty"] == w["qty"]).all()
     gb, wb = g["bid"].fillna(-1), w["bid"].fillna(-1)
     assert (gb == wb).all()
+
+
+def test_asof_forward_differential_vs_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(29)
+    trades_pd = pd.DataFrame({
+        "sym": rng.integers(0, 4, 300).astype(str),
+        "ts": rng.integers(0, 5_000, 300),
+        "qty": np.arange(300),
+    })
+    quotes_pd = pd.DataFrame({
+        "sym": rng.integers(0, 4, 250).astype(str),
+        "ts": rng.integers(0, 5_000, 250),
+        "bid": rng.uniform(0, 50, 250).round(3),
+    }).drop_duplicates(["sym", "ts"])
+
+    got = asof_join(
+        spark.createDataFrame(trades_pd),
+        spark.createDataFrame(quotes_pd),
+        on="ts", by="sym", direction="forward",
+    ).toPandas()
+    want = pd.merge_asof(
+        trades_pd.sort_values("ts", kind="stable"),
+        quotes_pd.sort_values("ts", kind="stable"),
+        on="ts", by="sym", direction="forward", allow_exact_matches=True,
+    )
+    g = got.sort_values("qty").reset_index(drop=True)
+    w = want.sort_values("qty").reset_index(drop=True)
+    assert (g["bid"].fillna(-1) == w["bid"].fillna(-1)).all()

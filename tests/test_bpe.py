@@ -122,3 +122,34 @@ def test_apply_bpe_tokens_col(spark):
     assert out[1] == len(seg("newest")) + len(seg("widest"))
     assert out[2] == len(seg("low")) + len(seg("lowest"))  # OOV word ok
     assert out[3] == 0
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_bpe_random_sweep_vs_reference(spark, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    alphabet = list("abcdef")
+    freqs = {}
+    for _ in range(25):
+        w = "".join(rng.choice(alphabet, rng.integers(2, 9)))
+        freqs[w] = freqs.get(w, 0) + int(rng.integers(1, 20))
+    words = spark.createDataFrame(list(freqs.items()), "word string, n long")
+    merges, seg = train_bpe(words, num_merges=6)
+    want_merges, _ = _python_bpe(freqs, 6)
+    assert merges == want_merges
+
+    vocab = {w: tuple(w) for w in freqs}
+    for l, r, _ in want_merges:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    got = {r["word"]: tuple(r["syms"].split()) for r in seg.collect()}
+    assert got == vocab
