@@ -82,3 +82,15 @@ def test_kmeans_deterministic_across_runs(blobs):
     a2, c2 = kmeans(df.repartition(7), k=4, iterations=2)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+@pytest.mark.parametrize("k,iters", [(2, 1), (3, 3), (7, 2)])
+def test_kmeans_k_sweep_exact(spark, blobs, k, iters):
+    X, df = blobs
+    a_df, c_df = kmeans(df, k=k, iterations=iters)
+    assign, dists, C = _numpy_lloyd(X, k, iters)
+    got_a = {r["vec_id"]: r["cluster"] for r in a_df.collect()}
+    assert got_a == {i: int(assign[i]) for i in range(len(X))}
+    got_c = {r["cluster"]: r["centroid"] for r in c_df.collect()}
+    for c in range(k):
+        np.testing.assert_allclose(got_c[c], C[c], rtol=0, atol=0)
