@@ -19,6 +19,8 @@ import sys
 import os
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf hint strings must resolve
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
@@ -4657,6 +4659,60 @@ _GEOHASH_ROLLUP_ORACLE_SQL = (
 )
 
 
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints (min FNV-1a-64 over rolling
+    64-byte windows, stride 16) — the Python kernel runs as an Arrow UDF;
+    the oracle replays the EXACT integer arithmetic in SQL: per-byte
+    low-8-bit XOR (h − h%256 + xor(h%256, b)) and multiply-mod-2^64 in
+    HUGEINT, folded over every window. 64-bit values travel as signed
+    two's-complement longs on both sides."""
+    from ohsome_planet_spark.functions.text import doc_fingerprint_py
+
+    @F.pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            v = doc_fingerprint_py(t or "")
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", fp(F.col("text")).alias("fingerprint"))
+
+
+_DOC_FP_ORACLE_SQL = """
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+starts AS (
+  SELECT doc_id, text,
+         CASE WHEN n <= 64 THEN [0]
+              ELSE generate_series(0, n - 64, 16) END AS offs,
+         CASE WHEN n <= 64 THEN n ELSE 64 END AS wlen
+  FROM docs
+),
+wins AS (
+  SELECT doc_id, text, wlen, unnest(offs) AS o FROM starts
+),
+hashes AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(
+             CAST(14695981039346656037 AS HUGEINT),
+             list_transform(generate_series(1, wlen),
+                            j -> CAST(ord(substring(text, o + j, 1)) AS HUGEINT))),
+           (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+                      * 1099511628211) % 18446744073709551616
+         ) AS h
+  FROM wins
+),
+fp AS (SELECT doc_id, min(h) AS h FROM hashes GROUP BY doc_id)
+SELECT doc_id,
+       CAST(h - CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN CAST(18446744073709551616 AS HUGEINT)
+                     ELSE 0 END AS BIGINT) AS fingerprint
+FROM fp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4736,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_footprints": _q_entity_footprints,
         "bpe_training": _q_bpe_training,
         "geohash_rollup": _q_geohash_rollup,
+        "doc_fingerprint": _q_doc_fingerprint,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -4973,6 +5030,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_footprints": _ENTITY_FOOTPRINT_ORACLE_SQL,
         "bpe_training": _BPE_ORACLE_SQL,
         "geohash_rollup": _GEOHASH_ROLLUP_ORACLE_SQL,
+        "doc_fingerprint": _DOC_FP_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
