@@ -4713,6 +4713,44 @@ FROM fp
 """
 
 
+def _q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged quality per source: exact long numerator/denominator
+    sums (chars, punct chars, tokens, stopwords) + one division each —
+    no per-doc float-ratio averaging, so the aggregate is engine-exact
+    AND length-weighted correctly."""
+    from ohsome_planet_spark.operators.profile import quality_profile
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return quality_profile(docs)
+
+
+_QUALITY_PROFILE_ORACLE_SQL = r"""
+WITH per AS (
+  SELECT source AS g,
+         length(text) AS len,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         w -> w <> '')) AS tok,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             w -> w IN ('the','a','an','and','or','of','to','in','is'))) AS stop
+  FROM documents
+)
+SELECT g AS source,
+       count(*) AS n_docs,
+       sum(len)::BIGINT AS total_chars,
+       sum(punct)::BIGINT AS total_punct,
+       sum(tok)::BIGINT AS total_tokens,
+       sum(stop)::BIGINT AS total_stopwords,
+       CASE WHEN sum(len) > 0
+            THEN CAST(sum(punct) AS DOUBLE) / CAST(sum(len) AS BIGINT)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN sum(tok) > 0
+            THEN CAST(sum(stop) AS DOUBLE) / CAST(sum(tok) AS BIGINT)
+            ELSE 0.0 END AS stopword_ratio
+FROM per GROUP BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4793,6 +4831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_training": _q_bpe_training,
         "geohash_rollup": _q_geohash_rollup,
         "doc_fingerprint": _q_doc_fingerprint,
+        "quality_profile": _q_quality_profile,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -5031,6 +5070,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_training": _BPE_ORACLE_SQL,
         "geohash_rollup": _GEOHASH_ROLLUP_ORACLE_SQL,
         "doc_fingerprint": _DOC_FP_ORACLE_SQL,
+        "quality_profile": _QUALITY_PROFILE_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (

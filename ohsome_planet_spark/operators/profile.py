@@ -27,6 +27,59 @@ from pyspark.sql import functions as F
 DEFAULT_QUANTILES = (0.5, 0.9, 0.99)
 
 
+def quality_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """MICRO-averaged quality signals per stratum — the domain-screening
+    aggregate ("is this source's text mostly punctuation soup?").
+
+    Micro-averaging is the exactness trick: instead of averaging per-doc
+    float ratios (an order-dependent float sum), sum the integer
+    NUMERATORS and DENOMINATORS per stratum (exact longs) and divide
+    once — engine-exact, and statistically the right weighting anyway
+    (a 10-char doc should not count as much as a 10k-char doc).
+
+    Uses the same char/punct/stopword definitions as
+    functions.text.quality_cols."""
+    t = F.col(text_col)
+    length = F.length(t)
+    punct = length - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    tokens = F.size(
+        F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda w: w != ""))
+    stop = F.size(
+        F.filter(
+            F.split(F.lower(t), r"\s+"),
+            lambda w: w.isin("the", "a", "an", "and", "or", "of", "to",
+                             "in", "is"),
+        )
+    )
+    agg = (
+        df.select(F.col(group_col).alias("g"),
+                  length.alias("_len"), punct.alias("_punct"),
+                  tokens.alias("_tok"), stop.alias("_stop"))
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_len").cast("long").alias("total_chars"),
+            F.sum("_punct").cast("long").alias("total_punct"),
+            F.sum("_tok").cast("long").alias("total_tokens"),
+            F.sum("_stop").cast("long").alias("total_stopwords"),
+        )
+    )
+    dz = lambda num, den: F.when(
+        F.col(den) > 0, F.col(num).cast("double") / F.col(den)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_docs", "total_chars", "total_punct", "total_tokens",
+        "total_stopwords",
+        dz("total_punct", "total_chars").alias("punct_ratio"),
+        dz("total_stopwords", "total_tokens").alias("stopword_ratio"),
+    )
+
+
 def length_profile(
     df: DataFrame,
     group_col: str = "source",

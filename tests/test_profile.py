@@ -37,3 +37,21 @@ def test_single_exchange_for_both_windows(docs):
     # rank and stratum-count windows share one hashpartitioning exchange
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_profile_micro_average(spark):
+    from ohsome_planet_spark.operators.profile import quality_profile
+
+    rows = [
+        (1, "the cat!!", "a"),        # 9 chars, 2 punct, 2 tokens, 1 stop
+        (2, "dogs run fast", "a"),    # 13 chars, 0 punct, 3 tokens, 0 stop
+        (3, "", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in quality_profile(df).collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["total_chars"], a["total_punct"]) == (2, 22, 2)
+    assert (a["total_tokens"], a["total_stopwords"]) == (5, 1)
+    assert a["punct_ratio"] == 2 / 22 and a["stopword_ratio"] == 1 / 5
+    b = out["b"]
+    assert b["total_chars"] == 0 and b["punct_ratio"] == 0.0
