@@ -4751,6 +4751,66 @@ FROM per GROUP BY g
 """
 
 
+def _q_tile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of entity mentions per z=6 tile (the diversity
+    metric: hotspots dominated by one entity score ≈0, mixed tiles score
+    ln(k)). Per-entity terms −(c/n)·ln(c/n) are single-expression doubles
+    rounded to 12 dp, summed as an entity-sorted fold — engine-exact."""
+    pts = _points(spark, sf_dir)
+    e = F.col("event_id")
+    cells = pts.select(
+        zxy_cell_col(F.col("lon"), F.col("lat"), 6).alias("cell"),
+        F.concat(F.lit("E"), ((e * 13) % 12).cast("string")).alias("entity"),
+    )
+    counts = cells.groupBy("cell", "entity").agg(F.count("*").alias("c"))
+    w_tot = counts.groupBy("cell").agg(F.sum("c").alias("n"))
+    j = counts.join(w_tot, "cell")
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 12)
+    return (
+        j.select("cell", "n", "entity", term.alias("_t"))
+        .groupBy("cell", "n")
+        .agg(
+            F.count("*").alias("n_entities"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("entity", "_t"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["_t"],
+                ),
+                9,
+            ).alias("entropy"),
+        )
+        .select("cell", F.col("n").cast("long").alias("n"),
+                F.col("n_entities").cast("long").alias("n_entities"),
+                "entropy")
+    )
+
+
+_TILE_ENTROPY_ORACLE_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+cells AS (
+  SELECT 6 * 288230376151711744 +
+         greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 63)) * 536870912 +
+         greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 64) AS BIGINT), 63)) AS cell,
+         'E' || ((event_id * 13) % 12) AS entity
+  FROM pts
+),
+counts AS (SELECT cell, entity, count(*) AS c FROM cells GROUP BY cell, entity),
+tot AS (SELECT cell, sum(c)::BIGINT AS n FROM counts GROUP BY cell),
+terms AS (
+  SELECT counts.cell, n, entity,
+         round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS t
+  FROM counts JOIN tot ON counts.cell = tot.cell
+)
+SELECT cell, n, count(*) AS n_entities,
+       round(list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY entity)),
+                         (a, b) -> a + b), 9) AS entropy
+FROM terms GROUP BY cell, n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4832,6 +4892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_rollup": _q_geohash_rollup,
         "doc_fingerprint": _q_doc_fingerprint,
         "quality_profile": _q_quality_profile,
+        "tile_entropy": _q_tile_entropy,
         "zonal_stats": _q_zonal_stats,
         "revenue_by_nation": _q_revenue_by_nation,
         "tag_filter": _q_tag_filter,
@@ -5071,6 +5132,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_rollup": _GEOHASH_ROLLUP_ORACLE_SQL,
         "doc_fingerprint": _DOC_FP_ORACLE_SQL,
         "quality_profile": _QUALITY_PROFILE_ORACLE_SQL,
+        "tile_entropy": _TILE_ENTROPY_ORACLE_SQL,
         "way_history": """
 WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
 nodes AS (
