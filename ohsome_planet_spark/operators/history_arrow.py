@@ -419,14 +419,20 @@ def way_partition_table(tbl: pa.Table, joiner=None) -> pa.RecordBatch | None:
     valid_to = np.where(has_next, rts[Kp1], VALID_TO_SENTINEL_NS)
     last_edit = rts[Km1]  # masked by has_before at emission
     # minorVersion resets when the RAW predecessor has a different version,
-    # else increments from the previous EMITTED value (converter :85-90)
+    # else increments from the previous EMITTED value (converter :85-90).
+    # The accumulate baseline must ALSO restart at each element: an element
+    # whose first emitted row is non-reset (its first raw rows collapsed a
+    # same-(version,changeset) run) counts from 1, never from the previous
+    # element's last reset position — hence the efirst -> j-1 floor.
     reset = ~has_before | (rver[Km1] != rver[K])
     j = np.arange(nk)
-    mv_col = j - np.maximum.accumulate(np.where(reset, j, 0))
     ke = elem[K]
     efirst = np.ones(nk, bool)
     if nk > 1:
         efirst[1:] = ke[1:] != ke[:-1]
+    mv_base = np.maximum.accumulate(
+        np.where(reset, j, np.where(efirst, j - 1, -1)))
+    mv_col = j - mv_base
     edits = j - np.maximum.accumulate(np.where(efirst, j, 0)) + 1
 
     bmaj = majr[Km1]

@@ -243,3 +243,28 @@ def test_arrow_kernel_country_join(spark):
     b = _norm(way_contributions_dict(ways_df, nodes_df, index))
     assert list(a["countries"]) == list(b["countries"])
     assert len(a) == len(b)
+
+
+def test_minor_version_baseline_restarts_per_element(spark):
+    """Regression (round 5): the arrow kernel's minor_version accumulate
+    baseline must restart at each element. Element 1 ends on a NON-reset row
+    (a minor version), and element 2's first contribution collapses a
+    same-(version, changeset) run, so its first emitted row has a raw
+    predecessor with the same version (reset=False). The old formula leaked
+    element 1's last reset position and emitted minor_version=2."""
+    ways = [
+        (1, 1, _ts("2020-01-01T00:00"), 1, 1, "a", True, {}, [10]),
+        # element 2: two raw rows with same (version, changeset) -> collapse
+        (2, 1, _ts("2020-01-05T00:00"), 5, 1, "a", True, {}, [20]),
+        (2, 1, _ts("2020-01-06T00:00"), 5, 1, "a", True, {}, [20]),
+        (2, 2, _ts("2020-01-07T00:00"), 6, 1, "a", True, {}, [20]),
+    ]
+    nodes = [
+        (10, 1, _ts("2019-12-01T00:00"), 0, 9, "n", True, 0.0, 0.0),
+        # node move after way 1 v1 -> way 1's LAST emitted row is a minor
+        (10, 2, _ts("2020-01-02T00:00"), 2, 9, "n", True, 5.0, 5.0),
+        (20, 1, _ts("2019-12-01T00:00"), 0, 9, "n", True, 1.0, 1.0),
+    ]
+    out = _assert_paths_equal(spark, ways, nodes)
+    e2 = out[out["osm_id"] == 2].sort_values("valid_from")
+    assert list(e2["osm_minor_version"]) == [1, 0]
