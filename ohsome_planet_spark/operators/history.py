@@ -1659,6 +1659,30 @@ def _combine_centroid(moments: list[tuple]) -> tuple[float, float]:
     return float("nan"), float("nan")
 
 
+def batch_gc_moment_cols(geo: dict) -> dict:
+    """Array form of `batch_gc_moments`: the nine `_gc_moments` accumulator
+    components as per-request float64/int64 columns plus a `valid` mask
+    (False = empty request, the tuple version's None). Every element equals
+    the corresponding tuple field bit-for-bit — the expressions are the
+    same, evaluated element-wise — so np.add.reduceat folds over these
+    columns in member order reproduce `_combine_centroid` exactly."""
+    moments = batch_gc_moments(geo)
+    R = len(moments)
+    valid = np.zeros(R, bool)
+    cols = np.zeros((9, R))
+    for r, t in enumerate(moments):
+        if t is None:
+            continue
+        valid[r] = True
+        cols[:, r] = t
+    return {
+        "valid": valid,
+        "aw": cols[0], "gx": cols[1], "gy": cols[2],
+        "tl": cols[3], "lx": cols[4], "ly": cols[5],
+        "npt": cols[6], "px": cols[7], "py": cols[8],
+    }
+
+
 def batch_gc_moments(geo: dict) -> list:
     """Per-request `_gc_moments` tuples computed in one vectorized pass over
     batch_geometries' flat coordinate layout (same segment machinery; the
@@ -2168,15 +2192,21 @@ def relation_contributions(
         F.col("id").alias("rel_id"),
         F.explode(F.filter("members", lambda m: m.type == "way")).alias("m"),
     ).select("rel_id", F.col("m.id").alias("way_id")).distinct()
+    # ONE dedup exchange for the whole (rel_id, node_id) feed: the old
+    # plan paid three (per-feed distinct + union distinct). Dup sources —
+    # refs repeated across way VERSIONS (factor = version count, large at
+    # planet scale) and direct members across relation versions — all
+    # collapse map-side in this single partial-aggregate exchange. The
+    # kernel additionally drops any adjacent identical node rows
+    # (`_adjacent_node_dup_mask`), so correctness never depends on this
+    # plan-level dedup — it is purely the shuffle-volume optimization.
     rel_node_direct = relations.select(
         F.col("id").alias("rel_id"),
         F.explode(F.filter("members", lambda m: m.type == "node")).alias("m"),
-    ).select("rel_id", F.col("m.id").alias("node_id")).distinct()
+    ).select("rel_id", F.col("m.id").alias("node_id"))
 
     rel_ways = rel_way_ids.join(ways.withColumnRenamed("id", "way_id"), "way_id")
-    rel_way_nodes = (
-        rel_ways.select("rel_id", F.explode("refs").alias("node_id")).distinct()
-    )
+    rel_way_nodes = rel_ways.select("rel_id", F.explode("refs").alias("node_id"))
     rel_nodes = (
         rel_node_direct.unionByName(rel_way_nodes)
         .distinct()
@@ -2223,12 +2253,24 @@ def relation_contributions(
     # which would serialize the compute-bound Python kernel on small-byte
     # inputs (see the note in history_arrow.way_contributions_arrow)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    all_packed = members_packed.withColumn(
-        "rel_member_list",
-        F.lit(None).cast("array<struct<type:string, id:long, role:string>>"),
-    ).unionByName(rels_packed).repartition(nparts, "rel_id")
+    all_packed = (
+        members_packed.withColumn(
+            "rel_member_list",
+            F.lit(None).cast("array<struct<type:string, id:long, role:string>>"),
+        )
+        .unionByName(rels_packed)
+        .repartition(nparts, "rel_id")
+        # kind literals sort node < rel < way — the order the stream
+        # collector expects; sorting JVM-side keeps the Python kernel a
+        # pure array pass (same pattern as way_contributions_arrow)
+        .sortWithinPartitions("rel_id", "kind", "member_id", "version", "ts")
+    )
 
     def partition_fn(batches):
+        import pyarrow as pa
+
+        from .relation_arrow import relation_partition_table
+
         joiner = None
         if bc is not None:
             idx = bc.value
@@ -2236,19 +2278,18 @@ def relation_contributions(
             def joiner(geom_t):
                 return idx.join_geom(geom_t[0], geom_t[1])
 
-        chunks = list(batches)
-        if not chunks:
+        batch_list = list(batches)
+        if not batch_list:
             return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if not len(pdf):
+        out = relation_partition_table(
+            pa.Table.from_batches(batch_list), joiner)
+        if out is None:
             return
-        from .relation_arrow import relation_partition_kernel
+        step = 1 << 16
+        for off in range(0, out.num_rows, step):
+            yield out.slice(off, step)
 
-        pdf_out = relation_partition_kernel(pdf, joiner)
-        if pdf_out is not None and len(pdf_out):
-            yield pdf_out
-
-    return with_xz2_from_bbox(all_packed.mapInPandas(partition_fn, REL_CONTRIB_SCHEMA))
+    return all_packed.mapInArrow(partition_fn, REL_CONTRIB_SCHEMA)
 
 
 def _relation_partition_kernel(pdf: pd.DataFrame, joiner=None):

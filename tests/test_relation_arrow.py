@@ -79,7 +79,7 @@ def m(t, i, role=""):
     return {"type": t, "id": i, "role": role}
 
 
-def test_relation_arrow_parity_adversarial():
+def _adversarial_pdf():
     rows = []
     # relation 1: multipolygon, outer square + inner triangle, node edits
     # between rel versions, a tag-only way edit (minor-way filtered), a
@@ -121,9 +121,11 @@ def test_relation_arrow_parity_adversarial():
     rows.append(_way(3, 30, 1, 0, 21, [400]))
     rows.append(_rel(3, 1, 10, 22, [m("way", 30)], tags={"type": "x"}))
 
-    pdf = pd.DataFrame(rows)
-    n = _compare(pdf)
-    assert n > 10
+    return pd.DataFrame(rows)
+
+
+def test_relation_arrow_parity_adversarial():
+    assert _compare(_adversarial_pdf()) > 10
 
 
 def test_relation_arrow_parity_bench_shape(sf_dir):
@@ -133,7 +135,7 @@ def test_relation_arrow_parity_bench_shape(sf_dir):
     assert _compare(pdf) > 100
 
 
-def test_relation_arrow_parity_randomized():
+def _randomized_pdf():
     import random
 
     rng = random.Random(7)
@@ -182,5 +184,249 @@ def test_relation_arrow_parity_randomized():
                              vis=rng.random() > 0.15,
                              tags=rng.choice([{"type": "multipolygon"},
                                               {"type": "route"}, {}])))
-    pdf = pd.DataFrame(rows)
-    assert _compare(pdf) > 40
+    return pd.DataFrame(rows)
+
+
+def test_relation_arrow_parity_randomized():
+    assert _compare(_randomized_pdf()) > 40
+
+
+# ---------------------------------------------------------------------------
+# round 5: the Arrow-table kernel (production path) vs the dict twin
+
+_PACKED_PA_SCHEMA = None
+
+
+def _packed_schema():
+    import pyarrow as pa
+
+    global _PACKED_PA_SCHEMA
+    if _PACKED_PA_SCHEMA is None:
+        _PACKED_PA_SCHEMA = pa.schema([
+            ("rel_id", pa.int64()),
+            ("kind", pa.string()),
+            ("member_id", pa.int64()),
+            ("version", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("changeset", pa.int64()),
+            ("user_id", pa.int64()),
+            ("user", pa.string()),
+            ("visible", pa.bool_()),
+            ("tags", pa.map_(pa.string(), pa.string())),
+            ("refs", pa.list_(pa.int64())),
+            ("lon", pa.float64()),
+            ("lat", pa.float64()),
+            ("rel_member_list", pa.list_(pa.struct([
+                ("type", pa.string()), ("id", pa.int64()),
+                ("role", pa.string())]))),
+        ])
+    return _PACKED_PA_SCHEMA
+
+
+def _norm_cell(x):
+    if isinstance(x, dict):
+        return sorted([list(kv) for kv in x.items()])
+    if isinstance(x, (list, tuple, np.ndarray)):
+        return [_norm_cell(v) for v in list(x)]
+    return x
+
+
+def _compare_table(pdf):
+    """relation_partition_table (arrow) vs the dict twin, all columns."""
+    import pyarrow as pa
+
+    from ohsome_planet_spark.functions.cells import xz2_code
+    from ohsome_planet_spark.operators.relation_arrow import (
+        relation_partition_table,
+    )
+
+    old = _relation_partition_kernel(pdf.copy(), None)
+    spdf = pdf.sort_values(
+        ["rel_id", "kind", "member_id", "version", "ts"], kind="stable"
+    ).reset_index(drop=True)
+    spdf["tags"] = spdf["tags"].map(
+        lambda d: None if d is None else list(d.items()))
+    tbl = pa.Table.from_pandas(spdf, schema=_packed_schema(),
+                               preserve_index=False)
+    batch = relation_partition_table(tbl, None)
+    assert (old is None) == (batch is None)
+    if old is None:
+        return 0
+    new = batch.to_pandas()
+
+    # the dict kernel leaves xz placeholders for the post-pass; replay it
+    bx = old[["xmin", "ymin", "xmax", "ymax"]].to_numpy(float)
+    ok = ~np.isnan(bx[:, 0])
+    lvl = np.full(len(old), -1, np.int64)
+    cod = np.zeros(len(old), np.int64)
+    if ok.any():
+        l, c = xz2_code(bx[ok, 0], bx[ok, 1], bx[ok, 2], bx[ok, 3])
+        lvl[ok] = l
+        cod[ok] = c
+    old = old.assign(xz_level=lvl, xz_code=cod)
+
+    key = ["osm_id", "osm_version", "valid_from", "changeset"]
+    for f in ("valid_from", "valid_to", "osm_last_edit"):
+        new[f] = pd.to_datetime(new[f]).astype("datetime64[ns]")
+    old = old.sort_values(key).reset_index(drop=True)
+    new = new.sort_values(key).reset_index(drop=True)
+    assert sorted(old.columns) == sorted(new.columns)
+    assert len(old) == len(new)
+
+    for col in old.columns:
+        a, b = old[col], new[col]
+        if str(a.dtype).startswith("float") and str(b.dtype).startswith("float"):
+            aa, bb = a.to_numpy(float), b.to_numpy(float)
+            assert ((np.isnan(aa) & np.isnan(bb)) | (aa == bb)).all(), col
+            continue
+        for i in range(len(a)):
+            x, y = _norm_cell(a.iloc[i]), _norm_cell(b.iloc[i])
+            if x is None or y is None or (
+                    not isinstance(x, list) and not isinstance(y, list)
+                    and pd.isna(x) is True and pd.isna(y) is True):
+                xna = x is None or (not isinstance(x, list) and pd.isna(x))
+                yna = y is None or (not isinstance(y, list) and pd.isna(y))
+                assert xna == yna, (col, i, x, y)
+                if xna:
+                    continue
+            assert x == y, (col, i, x, y)
+    return len(old)
+
+
+
+
+# ---------------------------------------------------------------------------
+# round 5: the Arrow-table kernel (production path) vs the dict twin
+
+import pyarrow as pa
+
+_PACKED_PA_SCHEMA = pa.schema([
+    ("rel_id", pa.int64()),
+    ("kind", pa.string()),
+    ("member_id", pa.int64()),
+    ("version", pa.int64()),
+    ("ts", pa.timestamp("us")),
+    ("changeset", pa.int64()),
+    ("user_id", pa.int64()),
+    ("user", pa.string()),
+    ("visible", pa.bool_()),
+    ("tags", pa.map_(pa.string(), pa.string())),
+    ("refs", pa.list_(pa.int64())),
+    ("lon", pa.float64()),
+    ("lat", pa.float64()),
+    ("rel_member_list", pa.list_(pa.struct([
+        ("type", pa.string()), ("id", pa.int64()), ("role", pa.string())]))),
+])
+
+
+def _packed_table(pdf):
+    spdf = pdf.sort_values(
+        ["rel_id", "kind", "member_id", "version", "ts"], kind="stable"
+    ).reset_index(drop=True)
+    spdf = spdf.assign(tags=spdf["tags"].map(
+        lambda d: None if d is None else list(d.items())))
+    return pa.Table.from_pandas(spdf, schema=_PACKED_PA_SCHEMA,
+                                preserve_index=False)
+
+
+def _norm_cell(x):
+    if isinstance(x, dict):
+        return sorted([list(kv) for kv in x.items()])
+    if isinstance(x, (list, tuple, np.ndarray)):
+        return [_norm_cell(v) for v in list(x)]
+    return x
+
+
+def _compare_table(pdf, joiner=None):
+    """relation_partition_table (arrow production path) vs the dict twin,
+    every output column (the dict kernel's xz post-pass is replayed)."""
+    from ohsome_planet_spark.functions.cells import xz2_code
+    from ohsome_planet_spark.operators.relation_arrow import (
+        relation_partition_table,
+    )
+
+    old = _relation_partition_kernel(pdf.copy(), joiner)
+    batch = relation_partition_table(_packed_table(pdf), joiner)
+    assert (old is None) == (batch is None)
+    if old is None:
+        return 0
+    new = batch.to_pandas()
+
+    bx = old[["xmin", "ymin", "xmax", "ymax"]].to_numpy(float)
+    ok = ~np.isnan(bx[:, 0])
+    lvl = np.full(len(old), -1, np.int64)
+    cod = np.zeros(len(old), np.int64)
+    if ok.any():
+        lv, cd = xz2_code(bx[ok, 0], bx[ok, 1], bx[ok, 2], bx[ok, 3])
+        lvl[ok] = lv
+        cod[ok] = cd
+    old = old.assign(xz_level=lvl, xz_code=cod)
+
+    key = ["osm_id", "osm_version", "valid_from", "changeset"]
+    for f in ("valid_from", "valid_to", "osm_last_edit"):
+        new[f] = pd.to_datetime(new[f]).astype("datetime64[ns]")
+    old = old.sort_values(key).reset_index(drop=True)
+    new = new.sort_values(key).reset_index(drop=True)
+    assert sorted(old.columns) == sorted(new.columns)
+    assert len(old) == len(new)
+
+    def isna(v):
+        if v is None:
+            return True
+        if isinstance(v, (list, tuple, np.ndarray, dict, bytes, str)):
+            return False
+        try:
+            return bool(pd.isna(v))
+        except (TypeError, ValueError):
+            return False
+
+    for col in old.columns:
+        a, b = old[col], new[col]
+        if str(a.dtype).startswith("float") and str(b.dtype).startswith("float"):
+            aa, bb = a.to_numpy(float), b.to_numpy(float)
+            assert ((np.isnan(aa) & np.isnan(bb)) | (aa == bb)).all(), col
+            continue
+        for i in range(len(a)):
+            x, y = a.iloc[i], b.iloc[i]
+            if isna(x) or isna(y):
+                assert isna(x) and isna(y), (col, i, x, y)
+                continue
+            assert _norm_cell(x) == _norm_cell(y), (col, i, x, y)
+    return len(old)
+
+
+def test_relation_table_parity_adversarial():
+    assert _compare_table(_adversarial_pdf()) > 10
+
+
+def test_relation_table_parity_randomized():
+    assert _compare_table(_randomized_pdf()) > 40
+
+
+def test_relation_table_parity_bench_shape(sf_dir):
+    from tools.profile_rel_kernel import build_rel_packed
+
+    pdf = build_rel_packed(sf_dir, 40)
+    assert _compare_table(pdf) > 100
+
+
+def test_node_dup_rows_collapse():
+    """The plan may ship a (rel_id, node_id) feed with duplicate node rows
+    (shared members across ways; see relation_contributions' dedup note) —
+    both array kernels must produce output identical to the clean feed."""
+    base = _adversarial_pdf()
+    dups = base[base["kind"] == "node"].iloc[::2]
+    doubled = pd.concat([base, dups, dups.iloc[::3]], ignore_index=True)
+
+    clean_pd = relation_partition_kernel(base.copy(), None)
+    dup_pd = relation_partition_kernel(doubled.copy(), None)
+    key = ["osm_id", "osm_version", "valid_from", "changeset"]
+    a = clean_pd.sort_values(key).reset_index(drop=True)
+    b = dup_pd.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["contrib_type"] == b["contrib_type"]).all()
+    assert (a["geometry"].isna() == b["geometry"].isna()).all()
+    ga, gb = a["geometry"].dropna(), b["geometry"].dropna()
+    assert list(ga) == list(gb)
+
+    assert _compare_table(doubled) == len(a)
