@@ -120,8 +120,15 @@ def tile_counts_from_enriched(enriched: DataFrame, salted: bool = True) -> DataF
 
     Factored out so the STREAMING twin shares it verbatim: the stream stage
     materializes enriched rows (per-row transforms only — nothing in the
-    micro-batch shuffles) and this aggregate runs over the sink, because
-    count_distinct partials are not incrementally mergeable across batches.
+    micro-batch shuffles) and this aggregate runs over the sink.
+
+    The `approx_*` distinct-cell columns are Datasketches HLL estimates:
+    per-salt `hll_sketch_agg` partials merged with `hll_union_agg`. Sketch
+    union is exact (unlike the previous summed `count_distinct` partials,
+    which over-counted any cell straddling two salt buckets), so the salted
+    estimate is bit-identical to a single unsalted sketch of the same rows —
+    the salting changes only the shuffle shape, never the value. Estimate
+    error is the standard HLL bound (~1.6% rel. std. at lgConfigK=12).
     """
     exploded = enriched.where(F.col("coord_valid")).select(
         "hex_r7", "hex_r8", "hex_r9", "hex_r10", "s2_cell", "zxy_cell", "xz2_code",
@@ -132,19 +139,19 @@ def tile_counts_from_enriched(enriched: DataFrame, salted: bool = True) -> DataF
     partials = [
         F.count("*").alias("c"),
         F.min("hex_r7").alias("h7"),
-        F.count_distinct("hex_r9").alias("d9p"),
-        F.count_distinct("hex_r10").alias("d10p"),
-        F.count_distinct("s2_cell").alias("s2p"),
-        F.count_distinct("zxy_cell").alias("zxp"),
+        F.hll_sketch_agg("hex_r9").alias("d9p"),
+        F.hll_sketch_agg("hex_r10").alias("d10p"),
+        F.hll_sketch_agg("s2_cell").alias("s2p"),
+        F.hll_sketch_agg("zxy_cell").alias("zxp"),
         F.min("xz2_code").alias("xzp"),
     ]
     finals = [
         F.sum("c").alias("n"),
         F.min("h7").alias("hex_r7"),
-        F.sum("d9p").alias("approx_r9_cells"),
-        F.sum("d10p").alias("approx_r10_cells"),
-        F.sum("s2p").alias("approx_s2_cells"),
-        F.sum("zxp").alias("approx_zxy_cells"),
+        F.hll_sketch_estimate(F.hll_union_agg("d9p")).alias("approx_r9_cells"),
+        F.hll_sketch_estimate(F.hll_union_agg("d10p")).alias("approx_r10_cells"),
+        F.hll_sketch_estimate(F.hll_union_agg("s2p")).alias("approx_s2_cells"),
+        F.hll_sketch_estimate(F.hll_union_agg("zxp")).alias("approx_zxy_cells"),
         F.min("xzp").alias("min_xz2"),
     ]
     if salted:
@@ -152,9 +159,9 @@ def tile_counts_from_enriched(enriched: DataFrame, salted: bool = True) -> DataF
     return exploded.groupBy("hex_r8", "country").agg(
         F.count("*").alias("n"),
         F.min("hex_r7").alias("hex_r7"),
-        F.count_distinct("hex_r9").alias("approx_r9_cells"),
-        F.count_distinct("hex_r10").alias("approx_r10_cells"),
-        F.count_distinct("s2_cell").alias("approx_s2_cells"),
-        F.count_distinct("zxy_cell").alias("approx_zxy_cells"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("hex_r9")).alias("approx_r9_cells"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("hex_r10")).alias("approx_r10_cells"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("s2_cell")).alias("approx_s2_cells"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("zxy_cell")).alias("approx_zxy_cells"),
         F.min("xz2_code").alias("min_xz2"),
     )

@@ -120,3 +120,46 @@ def test_html_pruned_from_parquet_scan(spark, pages, tmp_path):
     assert read_schemas, "expected a parquet scan in the plan"
     for rs in read_schemas:
         assert "html" not in rs, rs
+
+
+def test_tile_counts_hll_salted_equals_plain_and_tracks_exact(spark, enriched):
+    """The approx_* distinct-cell columns are HLL sketch estimates whose
+    per-salt partials merge EXACTLY under hll_union_agg — so the salted
+    two-level plan must produce bit-identical values to the unsalted
+    single-groupBy plan (the old summed count_distinct partials failed
+    this: a cell straddling two salt buckets was counted twice). The
+    estimate itself must track an exact recompute within the HLL error
+    bound (lgConfigK=12 → ~1.6% rel. std.; assert a generous 5%)."""
+    from ohsome_planet_spark.plans.enrich import tile_counts_from_enriched
+
+    salted = tile_counts_from_enriched(enriched, salted=True)
+    plain = tile_counts_from_enriched(enriched, salted=False)
+    key = ["hex_r8", "country"]
+    s_rows = {tuple(r[k] for k in key): tuple(r) for r in salted.collect()}
+    p_rows = {tuple(r[k] for k in key): tuple(r) for r in plain.collect()}
+    assert s_rows == p_rows  # bit-identical, not merely close
+
+    exact = (
+        enriched.where(F.col("coord_valid"))
+        .select("hex_r8", "hex_r9", "hex_r10", "s2_cell", "zxy_cell",
+                F.explode_outer("countries").alias("country"))
+        .groupBy(*key)
+        .agg(
+            F.count_distinct("hex_r9").alias("e9"),
+            F.count_distinct("hex_r10").alias("e10"),
+            F.count_distinct("s2_cell").alias("es2"),
+            F.count_distinct("zxy_cell").alias("ezx"),
+        )
+    )
+    e_rows = {tuple(r[k] for k in key): r for r in exact.collect()}
+    assert set(e_rows) == set(s_rows)
+    checked = 0
+    for k, r in e_rows.items():
+        approx = dict(zip(salted.columns, s_rows[k]))
+        for est_col, ex in [("approx_r9_cells", r["e9"]),
+                            ("approx_r10_cells", r["e10"]),
+                            ("approx_s2_cells", r["es2"]),
+                            ("approx_zxy_cells", r["ezx"])]:
+            assert abs(approx[est_col] - ex) <= max(1, 0.05 * ex)
+            checked += 1
+    assert checked >= 4
