@@ -819,3 +819,71 @@ def test_7xx_hole_touching_outer_at_single_node():
     kind, polys = build_multipolygon([outer], [hole])
     assert len(polys) == 1 and len(polys[0]) == 2
     assert _planar_area(polys) == pytest.approx(100.0 - 6.0)
+
+
+# --- round-5 grid-7xx-class additions (VERDICT r4 item 6) -------------------
+
+
+def test_7xx_touching_inners_enclose_pocket_union_semantics():
+    """714-class: four rectangular inners touching edge-to-edge form a frame
+    enclosing a center pocket. The engine unions touching inners and carves
+    the union's EXTERIOR ring — the enclosed pocket is swallowed by the
+    hole (same doctrine as test_7xx_two_c_pocket_partial_edges_union_drops_
+    pocket): one polygon, one hole ring (1,1)-(9,9), area 100-64."""
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    left = [(1, 1), (3, 1), (3, 9), (1, 9), (1, 1)]
+    right = [(7, 1), (9, 1), (9, 9), (7, 9), (7, 1)]
+    top = [(3, 7), (7, 7), (7, 9), (3, 9), (3, 7)]
+    bot = [(3, 1), (7, 1), (7, 3), (3, 3), (3, 1)]
+    kind, polys = build_multipolygon([outer], [left, right, top, bot])
+    assert len(polys) == 1 and len(polys[0]) == 2
+    assert _planar_area(polys) == pytest.approx(100.0 - 64.0)
+
+
+def test_7xx_self_crossing_ring_error():
+    """744-class: a bowtie ring with a PROPER edge crossing (no shared
+    vertex, unlike the valid figure-8 split) → error ⇒ empty geometry."""
+    bow = [(0, 0), (4, 4), (4, 0), (0, 4), (0, 0)]
+    with pytest.raises(MultiPolygonBuildError):
+        build_multipolygon([bow], [])
+
+
+def test_7xx_two_disjoint_outers_each_with_own_hole():
+    """707-class: two disjoint outer rings, each containing its own inner —
+    hole assignment is per-containing-outer, never cross-polygon."""
+    o1 = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    h1 = [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]
+    o2 = [(20, 0), (30, 0), (30, 10), (20, 10), (20, 0)]
+    h2 = [(22, 2), (26, 2), (26, 6), (22, 6), (22, 2)]
+    kind, polys = build_multipolygon([o1, o2], [h1, h2])
+    assert len(polys) == 2
+    assert sorted(len(p) for p in polys) == [2, 2]
+    assert _planar_area(polys) == pytest.approx((100 - 4) + (100 - 16))
+
+
+def test_7xx_outer_from_two_open_ways_one_reversed():
+    """705-class: the outer ring assembled from exactly two open ways whose
+    stored directions disagree — the walk must stitch tail-to-tail."""
+    w1 = [(0, 0), (10, 0), (10, 10)]
+    w2 = [(0, 0), (0, 10), (10, 10)]
+    kind, polys = build_multipolygon([w1, w2], [])
+    assert len(polys) == 1 and len(polys[0]) == 1
+    assert _planar_area(polys) == pytest.approx(100.0)
+
+
+def test_7xx_inner_ring_spike_removed():
+    """743-class applied to an INNER ring: the doubling-back spike on the
+    hole boundary is dropped and the remaining 4x4 hole carves cleanly."""
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    spiked = [(2, 2), (6, 2), (6, 4), (8, 4), (6, 4), (6, 6), (2, 6), (2, 2)]
+    kind, polys = build_multipolygon([outer], [spiked])
+    assert len(polys) == 1 and len(polys[0]) == 2
+    assert _planar_area(polys) == pytest.approx(100.0 - 16.0)
+
+
+def test_7xx_degenerate_two_point_ring_empty():
+    """A 'closed way' with zero enclosed area (A-B-A) contributes no ring:
+    the result is the EMPTY multipolygon, not an error — degenerate members
+    are filtered before ring assembly."""
+    kind, polys = build_multipolygon([[(0, 0), (5, 5), (0, 0)]], [])
+    assert polys == []
