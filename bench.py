@@ -123,9 +123,9 @@ def main() -> None:
     headline = [
         "corpus_curation_e2e",
         "pip_countries",
-        "cell_assign_zxy",
+        "cell_assign_multi",
         "cell_counts_salted",
-        "xz2_points",
+        "xz2_codes",
         "pricing_summary",
         "validity_window",
         "doc_exact_dedup",
