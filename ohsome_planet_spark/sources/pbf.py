@@ -192,6 +192,12 @@ def decode_header_block(data: bytes) -> dict:
             out["required_features"].append(val.decode())
         elif field == 5:
             out["optional_features"].append(val.decode())
+        elif field == 32:  # osmosis_replication_timestamp (Header.java:91)
+            out["replication_timestamp"] = val
+        elif field == 33:  # osmosis_replication_sequence_number (Header.java:92)
+            out["replication_sequence_number"] = val
+        elif field == 34:  # osmosis_replication_base_url (Header.java:93)
+            out["replication_base_url"] = val.decode()
     return out
 
 
@@ -446,9 +452,14 @@ def write_osm_pbf(
     relations: list[dict] | None = None,
     compress: bool = True,
     nodes_per_block: int = 8000,
+    replication_timestamp: int | None = None,
+    replication_sequence_number: int | None = None,
+    replication_base_url: str | None = None,
 ) -> None:
     """Minimal OSM PBF writer (dense nodes + ways + relations), used as the
-    decoder's independent cross-check and fixture generator."""
+    decoder's independent cross-check and fixture generator. The optional
+    osmosis_replication_* args emit HeaderBlock fields 32/33/34
+    (`Header.java:91-93`) for the fileinfo replication round-trip."""
     ways = ways or []
     relations = relations or []
 
@@ -477,6 +488,12 @@ def write_osm_pbf(
     header_block = _field(4, 2, b"OsmSchema-V0.6") + _field(4, 2, b"DenseNodes") + _field(
         4, 2, b"Sort.Type_then_ID"
     )
+    if replication_timestamp is not None:
+        header_block += _field(32, 0, replication_timestamp)
+    if replication_sequence_number is not None:
+        header_block += _field(33, 0, replication_sequence_number)
+    if replication_base_url is not None:
+        header_block += _field(34, 2, replication_base_url.encode())
     out += blob("OSMHeader", header_block)
 
     # dense node blocks

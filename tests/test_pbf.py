@@ -113,3 +113,56 @@ def test_pbf_to_contributions_end_to_end(spark, tmp_path):
     assert [(c["osm_version"], c["osm_minor_version"]) for c in contribs] == [(1, 0), (1, 1)]
     assert contribs[1]["changeset"] == 4  # node move propagated
     assert contribs[0]["geometry_type"] == "LineString"
+
+
+def test_replication_header_roundtrip(tmp_path):
+    """fileinfo parity for the osmosis replication block (`Header.java:
+    57-93`, fields 32/33/34): encode replication timestamp / sequence /
+    base-url in the fixture writer, decode through the header scan, and
+    assert the fileinfo CLI surfaces all three verbatim."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from ohsome_planet_spark.sources.pbf import (
+        _read_blob_payload, decode_header_block)
+
+    p = tmp_path / "repl.osm.pbf"
+    write_osm_pbf(
+        p,
+        nodes=[{"id": 1, "version": 1, "ts_ms": 1000, "changeset": 1,
+                "uid": 1, "user": "u", "visible": True, "tags": {},
+                "lon": 1.0, "lat": 2.0}],
+        replication_timestamp=1736160000,
+        replication_sequence_number=4242,
+        replication_base_url="https://planet.osm.org/replication/minute/",
+    )
+    hdr_blob = next(h for h in scan_blob_headers(p) if h["type"] == "OSMHeader")
+    header = decode_header_block(
+        _read_blob_payload(str(p), hdr_blob["offset"], hdr_blob["size"]))
+    assert header["replication_timestamp"] == 1736160000
+    assert header["replication_sequence_number"] == 4242
+    assert header["replication_base_url"] == \
+        "https://planet.osm.org/replication/minute/"
+
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve().parent.parent
+                             / "tools" / "fileinfo.py"), str(p)],
+        capture_output=True, text=True, check=True)
+    info = json.loads(out.stdout)
+    assert info["replication_timestamp"] == 1736160000
+    assert info["replication_sequence_number"] == 4242
+    assert info["replication_base_url"] == \
+        "https://planet.osm.org/replication/minute/"
+
+    # absent block → explicit nulls, never garbage
+    p2 = tmp_path / "norepl.osm.pbf"
+    write_osm_pbf(p2, nodes=[{"id": 1, "version": 1, "ts_ms": 1000,
+                              "changeset": 1, "uid": 1, "user": "u",
+                              "visible": True, "tags": {},
+                              "lon": 1.0, "lat": 2.0}])
+    hdr2 = next(h for h in scan_blob_headers(p2) if h["type"] == "OSMHeader")
+    header2 = decode_header_block(
+        _read_blob_payload(str(p2), hdr2["offset"], hdr2["size"]))
+    assert "replication_timestamp" not in header2

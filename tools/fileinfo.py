@@ -37,6 +37,11 @@ def main() -> None:
                 "bbox": header.get("bbox"),
                 "required_features": header.get("required_features"),
                 "optional_features": header.get("optional_features"),
+                # osmosis replication block (`Header.java:57-93`)
+                "replication_timestamp": header.get("replication_timestamp"),
+                "replication_sequence_number": header.get(
+                    "replication_sequence_number"),
+                "replication_base_url": header.get("replication_base_url"),
             },
             indent=1,
         ))
