@@ -1374,8 +1374,9 @@ def node_contributions_kernel(nodes: DataFrame, country_index=None) -> DataFrame
     spark = nodes.sparkSession
     bc = spark.sparkContext.broadcast(country_index) if country_index is not None else None
 
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    repartitioned = nodes.repartition(nparts, "id")
+    from ohsome_planet_spark.session import kernel_partitions
+
+    repartitioned = nodes.repartition(kernel_partitions(spark), "id")
 
     def partition_fn(batches):
         joiner = None
@@ -2251,8 +2252,11 @@ def relation_contributions(
 
     # explicit partition count: exempt from AQE post-shuffle coalescing,
     # which would serialize the compute-bound Python kernel on small-byte
-    # inputs (see the note in history_arrow.way_contributions_arrow)
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # inputs (see the note in history_arrow.way_contributions_arrow; count
+    # rationale in session.kernel_partitions — one wave of cores)
+    from ohsome_planet_spark.session import kernel_partitions
+
+    nparts = kernel_partitions(spark)
     all_packed = (
         members_packed.withColumn(
             "rel_member_list",

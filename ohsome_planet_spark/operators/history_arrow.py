@@ -659,15 +659,22 @@ def way_contributions_arrow(ways, nodes, country_index=None):
         F.lit(None).cast("array<long>").alias("refs"),
         "node_id", "lon", "lat",
     )
-    # bare repartition(col) ON PURPOSE: AQE post-shuffle coalescing may
-    # merge small packed tables, and for THIS kernel that is the right
-    # trade — the per-row Python cost is low enough that per-partition
-    # worker startup dominates on small inputs, while at scale AQE leaves
-    # full parallelism alone. The relation op makes the opposite call
-    # (explicit count) because its per-row kernel cost is ~20× higher.
+    # explicit partition count ON PURPOSE (same call as the relation op):
+    # AQE post-shuffle coalescing targets shuffle BYTES, so a byte-small
+    # packed table feeding a compute-bound Python kernel gets coalesced to
+    # 1-2 partitions and the kernel serializes — wide elements (48-node
+    # ways, boundary relations) are exactly the rows where that hurts.
+    # (r4 had chosen bare repartition here because per-partition worker
+    # startup looked dominant on small inputs; r5 traced that cost to
+    # first-touch page faults in the VM, not to worker startup — with warm
+    # workers the explicit count wins on every fixture and is the only
+    # choice that survives a skewed 100 TB run. Count rationale:
+    # session.kernel_partitions.)
+    from ohsome_planet_spark.session import kernel_partitions
+
     packed = (
         ways_packed.unionByName(nodes_packed)
-        .repartition("way_id")
+        .repartition(kernel_partitions(spark), "way_id")
         .sortWithinPartitions("way_id", "kind", "node_id", "version", "ts")
     )
 

@@ -9,8 +9,13 @@ Every knob here exists for a scale reason:
   explicitly in operators/skew.py).
 - Arrow batches sized so pandas-UDF kernels amortize Python dispatch
   (reference batches 10k OSH per fetch, `TransformerNodes.java:85`).
-- shuffle.partitions defaults to 2×cores locally; on a real cluster this is
-  overridden (or left to AQE coalescing from a high initial number).
+- shuffle.partitions defaults to 2×cores locally (declarative stages like the
+  enrich pipeline measurably prefer the finer grain; AQE re-coalesces by
+  bytes where it's too fine); on a real cluster this is overridden (or left
+  to AQE coalescing from a high initial number). The compute-bound Arrow
+  KERNEL stages do NOT use it directly — see kernel_partitions(): a kernel
+  stage wants exactly one wave of cores (measured −30% on relation_merge_1k
+  vs two waves), never fewer partitions than memory safety demands.
 """
 
 from __future__ import annotations
@@ -57,3 +62,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def kernel_partitions(spark: SparkSession) -> int:
+    """Partition count for a compute-bound Python/Arrow kernel stage (the
+    way/relation merge kernels, the imperative node twin).
+
+    Those stages use explicit repartition(n, key) to stay exempt from AQE
+    post-shuffle coalescing (AQE targets shuffle BYTES and would serialize a
+    byte-small but compute-heavy kernel onto 1-2 tasks). That makes n the
+    literal task count, and the right n is ONE WAVE of all cores: with the
+    local 2×cores shuffle.partitions default, kernels paid two waves of
+    Python-worker round trips (measured +30-45% on relation_merge_1k /
+    way_merge_10k at sf0.1). Never go BELOW shuffle.partitions/2 either —
+    on a cluster where shuffle.partitions is tuned high for memory (100 TB:
+    thousands), a kernel partition must still fit an executor's Arrow batch
+    in memory, so the memory-driven grain wins when it is finer than a
+    single wave."""
+    cores = spark.sparkContext.defaultParallelism
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(cores, nparts // 2)
