@@ -278,6 +278,36 @@ def main() -> None:
     record("relation_merge_1k", lambda: counters.__setitem__(
         "relation_contrib_rows", rel_df.count()), runs=merge_runs, iqr=True)
 
+    # sf1 soak row (r4 verdict item 5): run the headline enrichment once at
+    # 10x the pages of the configured SF dir (sf0.1 -> 10M pages) to surface
+    # memory/shuffle cliffs the small factors hide. Generation is cached and
+    # excluded from the metric like the main pages table. Two timed runs
+    # (soak, not regression row); SPARK_GRAFT_SF1_SOAK=0 disables.
+    sf1_stats: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF1_SOAK", "1") != "0" and abs(
+        float(sf_dir.rstrip("/").split("sf")[-1]) - 0.1
+    ) < 1e-9:
+        n_pages_sf1 = n_pages * 10
+        sf1_dir = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_pages_{n_pages_sf1}"
+        )
+        if not os.path.exists(os.path.join(sf1_dir, "_SUCCESS")):
+            write_pages_table(spark, sf1_dir, n_pages_sf1)
+        pages_sf1 = spark.read.parquet(sf1_dir)
+
+        def soak() -> None:
+            counters["sf1_result_rows"] = enrich_tile_counts(
+                spark, pages_sf1, salted=True).count()
+
+        med, lo, hi = _measure(soak, 2)
+        sf1_stats = {
+            "sf1_pages": n_pages_sf1,
+            "sf1_enrich_sec": med,
+            "sf1_enrich_spread": [lo, hi],
+            "sf1_headline_pages_per_sec": round(n_pages_sf1 / med, 2),
+            "sf1_result_rows": counters.get("sf1_result_rows"),
+        }
+
     # hardware-calibration control (context for the throughput number on
     # shared/throttled VMs): ideal-parallel pure-JVM compute, 1 task/core
     def control() -> None:
@@ -311,6 +341,7 @@ def main() -> None:
                 "cpus": cpus,
                 "jvm_control_sec": ctl_med,
                 "jvm_control_spread": [ctl_lo, ctl_hi],
+                **sf1_stats,
             }
         )
     )

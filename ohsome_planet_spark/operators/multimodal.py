@@ -155,10 +155,22 @@ def video_features(frames: np.ndarray) -> np.ndarray:
 # PNG is zlib (stdlib) + per-scanline filters + bit packing — all
 # implementable in NumPy. Spec: RFC 2083 / the W3C PNG specification
 # (public). Supported: bit depths 1/2/4/8/16, color types 0 (gray),
-# 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
-# Adam7 interlace is rare in stored corpora and raises a clear error.
+# 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); both interlace methods
+# (0 = none, 1 = Adam7 — each of the 7 passes is defiltered as its own
+# sub-image and scattered back on the pass grid).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, spec order
+_ADAM7_GRID = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _png_defilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -260,17 +272,43 @@ def decode_png(content: bytes, meta=None) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     bits_per_px = depth * channels
     bpp = max(1, bits_per_px // 8)
-    stride = (w * bits_per_px + 7) // 8
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG pixel payload size mismatch")
-    rows = _png_defilter(raw, h, stride, bpp)
-    samples = _png_unpack_bits(rows, depth, w, channels)
+    if interlace == 0:
+        stride = (w * bits_per_px + 7) // 8
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG pixel payload size mismatch")
+        rows = _png_defilter(raw, h, stride, bpp)
+        samples = _png_unpack_bits(rows, depth, w, channels)
+    else:
+        # Adam7: 7 independent sub-images, each with its own scanline
+        # stride and filtering, scattered onto the (x_start + j*x_step,
+        # y_start + i*y_step) grid. Empty passes contribute zero bytes.
+        wide = np.uint16 if depth == 16 else np.uint8
+        full = np.zeros((h, w, channels), wide)
+        pos = 0
+        for xs, ys, xstep, ystep in _ADAM7_GRID:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = (pw * bits_per_px + 7) // 8
+            nbytes = ph * (pstride + 1)
+            chunk = raw[pos: pos + nbytes]
+            if chunk.size != nbytes:
+                raise ValueError("PNG pixel payload size mismatch")
+            pos += nbytes
+            prows = _png_defilter(chunk, ph, pstride, bpp)
+            psamples = _png_unpack_bits(prows, depth, pw, channels)
+            full[ys::ystep, xs::xstep, :] = (
+                psamples.reshape(ph, pw, channels))
+        if pos != raw.size:
+            raise ValueError("PNG pixel payload size mismatch")
+        samples = full.reshape(h, w * channels)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
