@@ -150,7 +150,8 @@ def main() -> None:
         "pricing_summary",
         "validity_window",
         "doc_exact_dedup",
-        "embedding_topk",
+        "embedding_topk",   # brute-force exactness baseline (quadratic BY
+        "embedding_ann",    # DESIGN); the ANN row beside it is the scale path
         "hashtags",
         "contamination",
         "url_canonical_dedup",
