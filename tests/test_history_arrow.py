@@ -268,3 +268,60 @@ def test_minor_version_baseline_restarts_per_element(spark):
     out = _assert_paths_equal(spark, ways, nodes)
     e2 = out[out["osm_id"] == 2].sort_values("valid_from")
     assert list(e2["osm_minor_version"]) == [1, 0]
+
+
+def test_kernel_stage_keeps_one_wave_of_partitions(spark):
+    """Regression guard for the r5 fix: the packed way-merge shuffle is
+    byte-small, so AQE post-shuffle coalescing would serialize the
+    compute-bound kernel onto 1-2 tasks (r4: wide-way fixture ran in ONE
+    task with a [1.1, 5.6]s spread). The explicit repartition must pin the
+    kernel stage at session.kernel_partitions() regardless of input bytes."""
+    from ohsome_planet_spark.operators.history_arrow import (
+        way_contributions_arrow)
+    from ohsome_planet_spark.session import kernel_partitions
+
+    ways = [(i, 1, _ts("2020-01-01T00:00"), 1, 1, "a", True, {},
+             [10 + (i % 3)]) for i in range(40)]
+    nodes = [(n, 1, _ts("2019-12-01T00:00"), 0, 9, "n", True, 0.0, 0.0)
+             for n in (10, 11, 12)]
+    wdf = spark.createDataFrame(
+        ways,
+        "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+        "user string, visible boolean, tags map<string,string>, refs array<long>",
+    )
+    ndf = spark.createDataFrame(
+        nodes,
+        "id long, version int, ts timestamp_ntz, changeset long, user_id long, "
+        "user string, visible boolean, lon double, lat double",
+    )
+    out = way_contributions_arrow(wdf, ndf)
+    kp = kernel_partitions(spark)
+    assert kp >= 2  # the guard is vacuous on a 1-core session
+    assert out.rdd.getNumPartitions() == kp
+    assert out.count() == 40
+
+
+def test_kernel_partitions_rule():
+    """kernel_partitions = max(cores, shuffle.partitions // 2): one wave of
+    cores locally; on a cluster tuned to thousands of shuffle partitions the
+    memory-driven grain wins."""
+    class _Conf:
+        def __init__(self, n):
+            self._n = n
+        def get(self, key):
+            assert key == "spark.sql.shuffle.partitions"
+            return str(self._n)
+
+    class _SC:
+        def __init__(self, cores):
+            self.defaultParallelism = cores
+
+    class _Spark:
+        def __init__(self, cores, shuffle):
+            self.sparkContext = _SC(cores)
+            self.conf = _Conf(shuffle)
+
+    from ohsome_planet_spark.session import kernel_partitions
+    assert kernel_partitions(_Spark(32, 64)) == 32      # local: one wave
+    assert kernel_partitions(_Spark(4, 4)) == 4         # tests session
+    assert kernel_partitions(_Spark(800, 4000)) == 2000  # cluster: memory grain
