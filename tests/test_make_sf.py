@@ -1,0 +1,41 @@
+"""tools/make_sf.py: the deterministic SF scale-up keeps referential
+integrity and row multiplicity exactly (copy 0 is the source verbatim)."""
+
+import duckdb
+
+from tools.make_sf import make_sf
+
+
+def test_make_sf_counts_and_fk_integrity(tmp_path):
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf2x")
+    make_sf(src, dst, 2)
+    con = duckdb.connect()
+    for tbl, factor in [("lineitem", 2), ("orders", 2), ("customer", 2),
+                        ("events", 2), ("documents", 2), ("region", 1)]:
+        n_src = con.execute(
+            f"select count(*) from '{src}/{tbl}.parquet'").fetchone()[0]
+        n_dst = con.execute(
+            f"select count(*) from '{dst}/{tbl}.parquet'").fetchone()[0]
+        assert n_dst == n_src * factor, tbl
+    # FK integrity: every order still finds its customer, every lineitem
+    # its order — in BOTH copies
+    orphans = con.execute(f"""
+        select count(*) from '{dst}/orders.parquet' o
+        left join '{dst}/customer.parquet' c on o.o_custkey = c.c_custkey
+        where c.c_custkey is null""").fetchone()[0]
+    assert orphans == 0
+    orphans = con.execute(f"""
+        select count(*) from '{dst}/lineitem.parquet' l
+        left join '{dst}/orders.parquet' o on l.l_orderkey = o.o_orderkey
+        where o.o_orderkey is null""").fetchone()[0]
+    assert orphans == 0
+    # copy 0 is byte-identical content (same rows, same values)
+    diff = con.execute(f"""
+        select count(*) from (
+          (select * from '{src}/orders.parquet')
+          except
+          (select * from '{dst}/orders.parquet'
+           where o_orderkey < (select max(o_orderkey)+1
+                               from '{src}/orders.parquet')))""").fetchone()[0]
+    assert diff == 0
