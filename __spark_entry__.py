@@ -687,7 +687,10 @@ def _q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("query_id"), "lon", "lat"
     )
     c = pts.select(F.col("event_id").alias("cand_id"), "lon", "lat")
-    return knn_join(q, c, k=3, zoom=6)
+    # zoom=None → density-matched grid (operators/knn.auto_zoom): keeps the
+    # ring pair volume bounded at ANY sf; the oracle replays the same
+    # closed-form zoom choice in SQL
+    return knn_join(q, c, k=3, zoom=None)
 
 
 def _q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5139,17 +5142,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_grid": f"""
             WITH pts AS ({_POINTS_SQL}),
+                 -- density-matched zoom, the same closed form as
+                 -- operators/knn.auto_zoom (target 64 candidates/cell,
+                 -- round(…, 9) before ceil absorbs the last-ulp libm
+                 -- difference between engines; clamp [1, 14])
+                 zsel AS (
+                   SELECT CAST(pow(2.0, greatest(1, least(14, CAST(ceil(
+                            round(ln(64800.0 * count(*) /
+                                     (greatest((max(lon) - min(lon)) *
+                                               (max(lat) - min(lat)), 0.000000001)
+                                      * 64.0)) / ln(4.0), 9)) AS BIGINT)))) AS BIGINT) AS nz
+                   FROM pts
+                 ),
                  cells AS (
                    SELECT event_id, lon, lat,
-                          greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 63)) AS ix,
-                          greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 64) AS BIGINT), 63)) AS iy
-                   FROM pts
+                          greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * nz) AS BIGINT), nz - 1)) AS ix,
+                          greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * nz) AS BIGINT), nz - 1)) AS iy,
+                          nz
+                   FROM pts, zsel
                  ),
                  offsets AS (SELECT dx, dy FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
                  q AS (
                    SELECT event_id AS query_id, lon AS q_lon, lat AS q_lat,
-                          ((ix + dx) % 64 + 64) % 64 AS jx,
-                          greatest(0, least(iy + dy, 63)) AS jy
+                          ((ix + dx) % nz + nz) % nz AS jx,
+                          greatest(0, least(iy + dy, nz - 1)) AS jy
                    FROM cells, offsets WHERE event_id % 20 = 0
                  ),
                  c AS (SELECT event_id AS cand_id, lon AS c_lon, lat AS c_lat, ix, iy FROM cells),

@@ -52,14 +52,75 @@ def planar_distance_sq(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -
     return dx * dx + dy * dy
 
 
+def auto_zoom(n_candidates: int, lon_extent: float, lat_extent: float,
+              target_per_cell: int = 64, lo: int = 1, hi: int = 14) -> int:
+    """Density-matched grid zoom (r5 soak finding #3 — the root fix).
+
+    A FIXED zoom makes the ring-join pair volume O(n²) whenever candidate
+    density grows with n: at sf1 the 45°×45° fixture put ~7,750 points in
+    each zoom-6 cell → 3.1e9 pairs, and NO pair plan (window, Arrow local
+    top-k, k-pass min) survives materializing them. The grid must track
+    density: pick the smallest zoom whose expected per-cell occupancy is ≤
+    target_per_cell, from three scalars (count, lon/lat extents):
+
+        cell_area(z) = 64800 / 4^z  (global grid, degrees²)
+        z = ceil( log4( 64800·n / (extent_area · target) ) )
+
+    Deterministic and engine-portable: the same closed form is replayed in
+    the DuckDB oracle SQL (ln/ln(4), round(…, 9) before ceil to absorb the
+    last-ulp libm difference). Clamped to [lo, hi]; hi=14 keeps cells ≥
+    ~2.4 km so the 3×3 ring still out-covers realistic k."""
+    import math
+
+    area = max(lon_extent * lat_extent, 1e-9)
+    x = 64800.0 * max(n_candidates, 1) / (area * target_per_cell)
+    if x <= 1.0:
+        return lo
+    z = math.ceil(round(math.log(x) / math.log(4.0), 9))
+    return max(lo, min(hi, int(z)))
+
+
+def _local_topk_arrow(k: int, qcol: str, ccol: str):
+    """Per-Arrow-batch exact top-k per query (NumPy lexsort + run-position
+    mask, no Python row loop). Keeping each batch's k best per query is
+    lossless for the global top-k (the global winner set is a subset of
+    every batch's winner set), so the downstream global window sees
+    O(batches × queries × k) rows instead of the full pair stream — at sf1
+    that is the difference between shuffling ~1M and ~110M rows."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            q = b.column(b.schema.get_field_index(qcol)).to_numpy(
+                zero_copy_only=False)
+            c = b.column(b.schema.get_field_index(ccol)).to_numpy(
+                zero_copy_only=False)
+            d = b.column(b.schema.get_field_index("dist_sq")).to_numpy(
+                zero_copy_only=False)
+            order = np.lexsort((c, d, q))
+            qs = q[order]
+            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            runlen = np.diff(np.r_[starts, qs.size])
+            pos = np.arange(qs.size) - np.repeat(starts, runlen)
+            keep = order[pos < k]
+            yield b.take(pa.array(keep))
+
+    return fn
+
+
 def knn_join(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 5,
-    zoom: int = 6,
+    zoom: int | None = 6,
     query_id: str = "query_id",
     cand_id: str = "cand_id",
     metric: str = "planar",
+    local_topk: bool = True,
 ) -> DataFrame:
     """Top-k nearest candidates per query among the 3×3 cell neighborhood.
 
@@ -73,12 +134,30 @@ def knn_join(
     """
     if metric not in ("planar", "haversine"):
         raise ValueError("metric must be 'planar' or 'haversine'")
+    from ohsome_planet_spark.session import kernel_partitions
+
+    if zoom is None:
+        # density-matched zoom from three scalars — ONE tiny aggregate job
+        # at plan-build time (count + bbox of the candidate set)
+        n_c, ln0, ln1, lt0, lt1 = candidates.agg(
+            F.count(F.lit(1)), F.min("lon"), F.max("lon"),
+            F.min("lat"), F.max("lat")).first()
+        zoom = auto_zoom(int(n_c), float(ln1 - ln0), float(lt1 - lt0))
+
     q = queries.select(
         F.col(query_id),
         F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"),
         F.explode(_neighbor_cells_col(F.col("lon"), F.col("lat"), zoom)).alias("cell"),
     )
+    # spread pair GENERATION (r5 soak finding #2): when the candidate side
+    # broadcasts, the join's parallelism is whatever the probe side's file
+    # layout happened to be — a 24 MB query parquet reads as 1-2 partitions
+    # and the entire pair stream (110M rows at sf1) generates on 1-2 tasks.
+    # One tiny round-robin exchange of the exploded queries (9 rows/query,
+    # ids+coords only) pins pair-gen at one wave of cores; REPARTITION_BY_NUM
+    # keeps AQE from coalescing it back down.
+    q = q.repartition(kernel_partitions(queries.sparkSession))
     c = candidates.select(
         F.col(cand_id),
         F.col("lon").alias("c_lon"),
@@ -95,9 +174,19 @@ def knn_join(
             planar_distance_sq(F.col("q_lon"), F.col("q_lat"),
                                F.col("c_lon"), F.col("c_lat")), 9)
     scored = pairs.select(query_id, cand_id, dist.alias("dist_sq"))
-    # a candidate may be reached via several of the query's neighbor cells →
-    # dedup before ranking
-    scored = scored.dropDuplicates([query_id, cand_id])
+    # NO pair dedup needed (r5 soak finding — the old dropDuplicates here
+    # shuffled the ENTIRE pair stream once more, 110M rows at sf1): each
+    # candidate carries exactly ONE home cell and the query's exploded ring
+    # is array_distinct-unique, so a (query, candidate) pair can only form
+    # once. Uniqueness is pinned by test_knn_pairs_unique.
+    if local_topk:
+        # map-side reduction BEFORE the only wide exchange: the pair stream
+        # is generated by a broadcast join (no shuffle), so without this the
+        # global rank window would shuffle every pair; dense cells (urban
+        # mega-cells / the sf1 lattice) make that quadratic-ish in cell
+        # density. Output is provably identical (see _local_topk_arrow).
+        scored = scored.mapInArrow(
+            _local_topk_arrow(k, query_id, cand_id), scored.schema)
     w = Window.partitionBy(query_id).orderBy(F.asc("dist_sq"), F.asc(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -231,3 +231,72 @@ def test_knn_haversine_metric(spark):
             for j in range(200))
         want = [cid for _, cid in dists[:3]]
         assert [cid for _, cid in sorted(got[qi])] == want, qi
+
+
+def test_knn_pairs_unique_and_local_topk_equivalent(spark):
+    """r5 soak findings pinned: (1) the (query, candidate) pair stream is
+    unique BY CONSTRUCTION (candidate has one home cell; the query ring is
+    array_distinct-unique even across the antimeridian wrap), so no pair
+    dedup shuffle is needed; (2) the map-side Arrow local top-k is lossless —
+    identical output with local_topk on and off."""
+    rng = np.random.default_rng(42)
+    n = 400
+    # cluster points around the antimeridian AND a dense equator cell to
+    # exercise the pmod wrap and multi-point-per-cell paths
+    lon = np.concatenate([
+        rng.uniform(176.0, 180.0, n // 4),
+        rng.uniform(-180.0, -176.0, n // 4),
+        rng.uniform(-1.0, 1.0, n // 2),
+    ])
+    lat = np.concatenate([
+        rng.uniform(-3.0, 3.0, n // 2), rng.uniform(-3.0, 3.0, n // 2)])
+    rows = [(int(i), float(lon[i]), float(lat[i])) for i in range(n)]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    q = pts.where(F.col("id") % 5 == 0).select(
+        F.col("id").alias("query_id"), "lon", "lat")
+    c = pts.select(F.col("id").alias("cand_id"), "lon", "lat")
+
+    # (1) uniqueness of the raw pair stream (local_topk off, window removed
+    # by taking the scored stream via a huge k so nothing is cut)
+    allpairs = knn_join(q, c, k=10**6, zoom=6, local_topk=False)
+    total = allpairs.count()
+    distinct = allpairs.select("query_id", "cand_id").distinct().count()
+    assert total == distinct > 0
+
+    # (2) local_topk equivalence on the real k
+    a = sorted(map(tuple, knn_join(q, c, k=3, zoom=6,
+                                   local_topk=True).collect()))
+    b = sorted(map(tuple, knn_join(q, c, k=3, zoom=6,
+                                   local_topk=False).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_auto_zoom_formula():
+    from ohsome_planet_spark.operators.knn import auto_zoom
+    # sf1 lattice: 1M candidates over 45x45 deg -> z10 (≈30/cell), not z6
+    assert auto_zoom(1_000_000, 45.0, 45.0) == 10
+    assert auto_zoom(10_000, 45.0, 45.0) == 7
+    # sparse globe-wide data stays coarse; degenerate extent clamps hi
+    assert auto_zoom(100, 360.0, 180.0) == 1
+    assert auto_zoom(10**9, 0.0, 0.0) == 14
+    assert auto_zoom(0, 360.0, 180.0) == 1
+
+
+def test_knn_auto_zoom_matches_explicit(spark):
+    """zoom=None must equal the explicitly-passed auto_zoom value — the
+    operator's zoom selection and its grid execution are separable."""
+    from ohsome_planet_spark.operators.knn import auto_zoom
+
+    rng = np.random.default_rng(5)
+    n = 600
+    rows = [(int(i), float(rng.uniform(0, 30)), float(rng.uniform(0, 30)))
+            for i in range(n)]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    q = pts.where(F.col("id") % 10 == 0).select(
+        F.col("id").alias("query_id"), "lon", "lat")
+    c = pts.select(F.col("id").alias("cand_id"), "lon", "lat")
+    stats = c.agg(F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")).first()
+    z = auto_zoom(n, stats[1] - stats[0], stats[3] - stats[2])
+    a = sorted(map(tuple, knn_join(q, c, k=3, zoom=None).collect()))
+    b = sorted(map(tuple, knn_join(q, c, k=3, zoom=z).collect()))
+    assert a == b and len(a) > 0
