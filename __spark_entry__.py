@@ -4239,7 +4239,12 @@ def _q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ohsome_planet_spark.operators.knn import radius_join
 
     pts = _points(spark, sf_dir)
-    q = pts.where(F.col("event_id") % 50 == 0).select(
+    # query-id cap: value-neutral at sf<=0.1 (ids stop at 100k there); at
+    # sf1+ it bounds the ORACLE's intentionally-naive cross join (20k
+    # queries x 1M candidates = 2e10 trig evals) so the gate stays
+    # repeatable — the Spark side needs no cap (bin join scales)
+    q = pts.where((F.col("event_id") % 50 == 0)
+                  & (F.col("event_id") < 100_000)).select(
         F.col("event_id").alias("query_id"), "lon", "lat")
     c = pts.select(F.col("event_id").alias("cand_id"), "lon", "lat")
     return radius_join(q, c, 30_000.0)
@@ -4253,7 +4258,7 @@ _HAVERSINE_SQL = """round(2.0 * 6371008.8 * asin(sqrt(
 
 _RADIUS_JOIN_ORACLE_SQL = f"""
 WITH pts AS ({_POINTS_SQL}),
-q AS (SELECT event_id AS query_id, lon, lat FROM pts WHERE event_id % 50 = 0),
+q AS (SELECT event_id AS query_id, lon, lat FROM pts WHERE event_id % 50 = 0 AND event_id < 100000),
 c AS (SELECT event_id AS cand_id, lon, lat FROM pts)
 SELECT q.query_id, c.cand_id, {_HAVERSINE_SQL} AS dist_m
 FROM q CROSS JOIN c
