@@ -1901,7 +1901,12 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        # round(…, 2) AFTER the exact-decimal sum's double cast: the cast
+        # itself differs by 1 ulp between engines once the scaled integer
+        # sum exceeds 2^53 (Spark: correctly-rounded BigDecimal→double;
+        # DuckDB: int128 scaled through double division) — seen at sf1
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
     )
 
 
@@ -5348,8 +5353,8 @@ FROM numbered
         "zonal_stats": _ZONAL_ORACLE_SQL,
         "revenue_by_nation": """
             SELECT n.n_name,
-                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
-                            (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
                    count(*) AS n_items
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -34,19 +34,30 @@ def rolling_counts(
     by = [by] if isinstance(by, str) else list(by)
     t = F.col(time_col)
     dtype = dict(df.dtypes)[time_col]
+    # MICROSECOND range key for timestamps (r5 sf1 finding): a whole-SECOND
+    # key makes same-second-different-µs rows RANGE PEERS — Spark then
+    # counts them into each other's frames while a µs-exact SQL INTERVAL
+    # frame (DuckDB twin) does not. Only bites once per-key density reaches
+    # two events in one second (sf1), which is exactly the regime that
+    # matters at 100 TB.
     if dtype == "timestamp_ntz":
         # NTZ has no epoch cast; diff against an NTZ anchor is exact and
         # timezone-independent
         epoch = F.expr(
-            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
             f"`{time_col}`)"
         )
-    else:  # timestamp (tz) casts to epoch seconds; numerics pass through
+        frame = window_seconds * 1_000_000
+    elif dtype.startswith("timestamp"):
+        epoch = F.unix_micros(t)
+        frame = window_seconds * 1_000_000
+    else:  # numeric time passes through in window_seconds' own unit
         epoch = t.cast("long")
+        frame = window_seconds
     w = (
         Window.partitionBy(*by)
         .orderBy(F.col("_epoch"))
-        .rangeBetween(-window_seconds, 0)
+        .rangeBetween(-frame, 0)
     )
     out = df.withColumn("_epoch", epoch).withColumn(
         "n_in_window", F.count("*").over(w).cast("long"))

@@ -1,5 +1,7 @@
 """Rolling trailing-window aggregates (operators/rolling.py)."""
 
+from pyspark.sql import functions as F
+
 from ohsome_planet_spark.operators.rolling import rolling_counts
 
 
@@ -77,3 +79,27 @@ def test_decayed_counts_hand_computed(spark):
     assert out["b"]["decayed_score"] == r(r(math.exp(1000 * rate), 12), 9)
     # recency dominance: 3 recent events beat 1 ancient one by far
     assert out["a"]["decayed_score"] > 100 * out["b"]["decayed_score"]
+
+
+def test_rolling_counts_microsecond_peers(spark):
+    """r5 sf1 regression: two events of one user in the SAME whole second
+    but different microseconds must NOT be range peers — the frame key is
+    µs-exact, like a SQL RANGE INTERVAL frame."""
+    from ohsome_planet_spark.operators.rolling import rolling_counts
+
+    rows = [
+        (1, 7, "2024-01-01 10:00:00.100000", 5),
+        (2, 7, "2024-01-01 10:00:00.300000", 5),   # same second, later µs
+        (3, 7, "2024-01-01 11:00:00.200000", 5),   # 3599.9s after #2: in
+        (4, 7, "2024-01-01 11:00:00.400000", 5),   # 3600.1s after #2: out
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string, points long") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["event_id"]: r["n_in_window"]
+           for r in rolling_counts(df, window_seconds=3600,
+                                   sum_cols=["points"]).collect()}
+    # row 1: itself only. row 2: row 1 (0.2s earlier) + itself. row 3:
+    # row 1 is 3600.1s before (OUT at µs precision — a whole-second key
+    # would have included it), row 2 is 3599.9s before (IN) + itself.
+    # row 4: row 2 is 3600.1s before (OUT), row 3 (IN) + itself.
+    assert out == {1: 1, 2: 2, 3: 2, 4: 2}

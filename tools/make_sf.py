@@ -38,7 +38,13 @@ OFFSETS: dict[str, list[tuple[str, str, str]]] = {
         ("l_partkey", "part", "p_partkey"),
         ("l_suppkey", "supplier", "s_suppkey"),
     ],
-    "events": [("event_id", "events", "event_id")],
+    "events": [
+        ("event_id", "events", "event_id"),
+        # user_id must be offset too: replicated copies sharing (user_id,
+        # ts) pairs make range-frame window oracles tie-ambiguous across
+        # engines (r5: rolling_counts counted 20 vs 10 at sf1)
+        ("user_id", "events", "user_id"),
+    ],
     "documents": [("doc_id", "documents", "doc_id")],
     "embeddings": [("vec_id", "embeddings", "vec_id")],
 }
@@ -48,12 +54,12 @@ COPY_AS_IS = ["region", "nation"]
 def make_sf(src: str, dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    # span of every table that appears as a key SOURCE (primary tables)
-    spans: dict[str, int] = {}
+    # span of every (table, key) that appears as a key SOURCE
+    spans: dict[tuple[str, str], int] = {}
     for offs in OFFSETS.values():
         for _col, src_tbl, src_key in offs:
-            if src_tbl not in spans:
-                spans[src_tbl] = con.execute(
+            if (src_tbl, src_key) not in spans:
+                spans[(src_tbl, src_key)] = con.execute(
                     f"SELECT max({src_key}) + 1 FROM '{src}/{src_tbl}.parquet'"
                 ).fetchone()[0]
     for tbl in COPY_AS_IS:
@@ -68,7 +74,7 @@ def make_sf(src: str, dst: str, factor: int) -> None:
                 f"DESCRIBE SELECT * FROM '{src}/{tbl}.parquet'"
             ).fetchall()
         ]
-        off_map = {c: f"({c} + i.i * {spans[st]})" for c, st, _k in offs}
+        off_map = {c: f"({c} + i.i * {spans[(st, k)]})" for c, st, k in offs}
         sel = ", ".join(off_map.get(c, c) + f" AS {c}" for c in cols)
         con.execute(
             f"COPY (SELECT {sel} FROM '{src}/{tbl}.parquet', "
