@@ -29,7 +29,17 @@ from ohsome_planet_spark.plans.enrich import enrich_tile_counts
 from ohsome_planet_spark.sources.pages import pages_df
 
 pages = spark.read.parquet({pages_dir!r})
-# warm up: run the full job once untimed (python worker forks + JIT)
+# warm guest memory first (r5: the VM faults pages from the host at
+# ~10 MB/s/thread on first touch — see bench.py) ...
+import numpy as _np
+import pandas as _pd
+def _touch(it):
+    a = _np.ones(256 * 131072); s = float(a[::512].sum())
+    for pdf in it:
+        yield _pd.DataFrame({{"id": [0]}})
+spark.range({cores} * 2, numPartitions={cores} * 2).mapInPandas(
+    _touch, "id long").count()
+# ... then run the full job once untimed (python worker forks + JIT)
 enrich_tile_counts(spark, pages).count()
 walls = []
 rows = 0
@@ -93,6 +103,11 @@ def main() -> None:
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    marker = "<!-- MANUAL SECTIONS BELOW: scaling_bench.py preserves everything after this line -->"
+    manual_tail = ""
+    existing = bench_dir / "BASELINE.md"
+    if existing.exists() and marker in existing.read_text():
+        manual_tail = "\n" + marker + existing.read_text().split(marker, 1)[1]
     (bench_dir / "BASELINE.md").write_text(
         f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
@@ -137,7 +152,7 @@ beyond what the hardware itself loses (target ≥ 0.8 per `BASELINE.json`
 north_rule, met on the engine-attributable number).
 
 Result rows: {r_hi['rows']} (identical at both parallelism levels).
-"""
+""" + manual_tail
     )
     print(f"wrote {bench_dir / 'BASELINE.md'}")
 
