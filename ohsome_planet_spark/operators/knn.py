@@ -260,6 +260,13 @@ def radius_join(
         ])).alias("_b"),
     ).select(query_id, "_qlon", "_qlat",
              F.col("_b.bx").alias("_bx"), F.col("_b.by").alias("_by"))
+    # same parallelism guard as knn_join (r5 soak finding #2): when the
+    # candidate side broadcasts, pair generation + the haversine filter run
+    # at the probe side's file partitioning — repartition the tiny exploded
+    # query stream so the expensive map side gets one wave of cores
+    from ohsome_planet_spark.session import kernel_partitions
+
+    q = q.repartition(kernel_partitions(queries.sparkSession))
 
     cx, cy = bins(F.col(lon_col), F.col(lat_col))
     c = candidates.select(

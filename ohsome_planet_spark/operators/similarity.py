@@ -122,6 +122,13 @@ def ann_topk(
         q = q.select(query_id, "qv", "qn", F.explode(probes).alias("_bkt"))
     else:
         q = q.select(query_id, "qv", "qn", F.col("_b0").alias("_bkt"))
+    # parallelism guard (r5, same as knn_join): with the candidate side
+    # broadcast, bucket probing + the per-pair cosine run at whatever the
+    # query scan's file partitioning was — one tiny exchange of the probe
+    # stream pins the expensive map side at one wave of cores
+    from ohsome_planet_spark.session import kernel_partitions
+
+    q = q.repartition(kernel_partitions(queries.sparkSession))
     c = candidates.select(
         F.col(cand_id), _to_double(F.col(vec_col)).alias("cv")
     ).select(
@@ -129,11 +136,16 @@ def ann_topk(
         _bucket_col(F.col("cv"), hyper).alias("_bkt"),
     )
     pairs = q.join(c, "_bkt").where(F.col(query_id) != F.col(cand_id))
+    # NO pair dedup (r5, same proof as knn_join): a candidate lives in
+    # exactly ONE bucket and the probe list {b0, b0^2^p} is distinct ints,
+    # so each (query, candidate) pair forms at most once — the old
+    # dropDuplicates re-shuffled the whole scored stream for nothing.
+    # Pinned by test_ann_pairs_unique.
     scored = pairs.select(
         query_id, cand_id,
         F.round(_dot_over_norms(F.col("qv"), F.col("cv"),
                                 F.col("qn"), F.col("cn")), 4).alias("cos_sim"),
-    ).dropDuplicates([query_id, cand_id])
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -274,3 +274,26 @@ def test_ivf_kmeans_quantizer_recall_and_determinism(spark, sf_dir):
     b = sorted(map(tuple, ivf_topk(q, c.repartition(5), k=5, n_centroids=8,
                                    nprobe=4, quantizer="kmeans").collect()))
     assert a == b  # Lloyd quantizer is partitioning-invariant
+
+
+def test_ann_pairs_unique(spark):
+    """r5: the ann_topk (query, candidate) pair stream is unique by
+    construction — candidate home bucket is single and the multiprobe list
+    {b0} ∪ {b0 xor 2^p} is distinct ints — so no pair-dedup shuffle exists
+    in the plan and none is needed."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.similarity import ann_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(64)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    out = ann_topk(q, c, k=10**6, planes=4)  # huge k: nothing cut by rank
+    total = out.count()
+    distinct = out.select("query_id", "cand_id").distinct().count()
+    assert total == distinct > 0
