@@ -247,11 +247,14 @@ def ivf_topk(
         F.explode(lists_udf(nprobe)(F.col(vec_col))).alias("_list"),
     ).select(query_id, "qv", "_list", norm_col(F.col("qv")).alias("qn"))
     pairs = q_assigned.join(c_assigned, "_list").where(F.col(query_id) != F.col(cand_id))
+    # NO pair dedup (r5, same proof as ann_topk/knn_join): each candidate
+    # lives in exactly ONE inverted list and a query's nprobe list ids are
+    # distinct (argsort positions), so a pair forms at most once.
     scored = pairs.select(
         query_id, cand_id,
         F.round(_dot_over_norms(F.col("qv"), F.col("cv"),
                                 F.col("qn"), F.col("cn")), 4).alias("cos_sim"),
-    ).dropDuplicates([query_id, cand_id])
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
