@@ -418,6 +418,11 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), to_dbl("embedding").alias("qv")
     )
+    # parallelism guard (r5): the brute-force crossJoin broadcasts the
+    # candidate side, so the (interpreted-HOF) dot products run at the
+    # query scan's file partitioning — 1-2 tasks for a small parquet
+    from ohsome_planet_spark.session import kernel_partitions
+    q = q.repartition(kernel_partitions(spark))
     c = emb.select(F.col("vec_id").alias("cand_id"), to_dbl("embedding").alias("cv"))
     pairs = q.crossJoin(c).where(F.col("query_id") != F.col("cand_id"))
     dot = F.aggregate(
