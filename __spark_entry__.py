@@ -34,7 +34,19 @@ from ohsome_planet_spark.sources.countries import fixture_features
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader with an input-parallelism floor (r5): the small-SF
+    parquet files are single row groups, so the scan is 1 partition and
+    every scan-adjacent heavy stage (shingling, regex extraction, explode)
+    runs on ONE task — downstream shuffles restore parallelism too late.
+    One cheap round-robin exchange of the raw rows fixes it; at real scale
+    (scans already ≥ cores partitions) the condition never fires."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ohsome_planet_spark.session import kernel_partitions
+
+    floor = kernel_partitions(spark)
+    if df.rdd.getNumPartitions() < floor:
+        df = df.repartition(floor)
+    return df
 
 
 # ---------------------------------------------------------------------------
