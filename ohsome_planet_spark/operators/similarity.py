@@ -167,6 +167,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     quantizer: str = "sample",
     kmeans_iterations: int = 2,
+    fixed_centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer → vectors assigned to their
     nearest centroid (inverted lists) → queries probe their `nprobe`
@@ -178,10 +179,28 @@ def ivf_topk(
     quantizer='kmeans': full distributed Lloyd's over ALL candidates
     (operators/kmeans — every point participates, deterministic across
     runs/partitionings); only the k final centroids come to the driver.
-    The committed-index path when list balance matters."""
+    The committed-index path when list balance matters.
+    quantizer='fixed': caller-supplied `fixed_centroids` (n_centroids ×
+    dim) — the production pattern at 100 TB (train the coarse quantizer
+    offline, broadcast the frozen codebook to every batch/stream job so
+    list assignment never drifts between runs), and the cross-engine
+    oracle path (literal centroids replay exactly in SQL).
+
+    List assignment rounds centroid similarity to 9 dp and tie-breaks by
+    centroid index (stable argsort), so assignment is reproducible across
+    BLAS builds and replayable in any engine that computes the same dot
+    products (last-ulp association differences are absorbed by the
+    rounding, same trick as knn auto_zoom)."""
     from pyspark.sql.types import ArrayType, IntegerType
 
-    if quantizer == "kmeans":
+    if quantizer == "fixed":
+        if fixed_centroids is None:
+            raise ValueError("quantizer='fixed' requires fixed_centroids")
+        centroids = np.asarray(fixed_centroids, np.float64)
+        norms = np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True),
+                           1e-12)
+        centroids = centroids / norms
+    elif quantizer == "kmeans":
         from .kmeans import kmeans as _kmeans
 
         nv = _to_double(F.col(vec_col))
@@ -220,7 +239,7 @@ def ivf_topk(
             chosen.append(int(worst))
         centroids = vecs[chosen]
     else:
-        raise ValueError("quantizer must be 'sample' or 'kmeans'")
+        raise ValueError("quantizer must be 'sample', 'kmeans', or 'fixed'")
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 
@@ -230,8 +249,11 @@ def ivf_topk(
             c = bc.value
             mat = np.stack(v.map(lambda x: np.asarray(x, np.float64)))
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ c.T
-            order = np.argsort(-sims, axis=1)[:, :n_lists]
+            # round-9 before ranking: BLAS matmul association differs from a
+            # sequential fold in the last ulp; rounding + stable index
+            # tie-break makes assignment engine- and build-independent
+            sims = np.round(mat @ c.T, 9)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_lists]
             return pd.Series([[int(x) for x in row] for row in order])
 
         return assign

@@ -276,6 +276,38 @@ def test_ivf_kmeans_quantizer_recall_and_determinism(spark, sf_dir):
     assert a == b  # Lloyd quantizer is partitioning-invariant
 
 
+def test_ivf_fixed_quantizer_recall_and_guard(spark, sf_dir):
+    """quantizer='fixed' (r6): frozen offline codebook. Recall holds with a
+    seeded random codebook, assignment is partitioning-invariant, and the
+    mode demands its centroids."""
+    import numpy as np
+
+    from ohsome_planet_spark.operators.similarity import (
+        ann_recall_vs_exact,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = np.random.default_rng(29).standard_normal((16, 64))
+    rec = ann_recall_vs_exact(
+        spark, emb, k=5, method="ivf", n_centroids=16, nprobe=4,
+        quantizer="fixed", fixed_centroids=cents)
+    assert rec >= 0.3  # random codebook probing 1/4 of lists
+
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    a = sorted(map(tuple, ivf_topk(q, c, k=5, quantizer="fixed",
+                                   fixed_centroids=cents).collect()))
+    b = sorted(map(tuple, ivf_topk(q, c.repartition(5), k=5,
+                                   quantizer="fixed",
+                                   fixed_centroids=cents).collect()))
+    assert a == b
+
+    with pytest.raises(ValueError, match="fixed_centroids"):
+        ivf_topk(q, c, quantizer="fixed")
+
+
 def test_ann_pairs_unique(spark):
     """r5: the ann_topk (query, candidate) pair stream is unique by
     construction — candidate home bucket is single and the multiprobe list
