@@ -8,9 +8,11 @@ Two decode tiers:
   preprocessed-tensor layout a training pipeline actually stores at scale
   (decode-once upstream, raw arrays in parquet/lance afterwards).
 - COMPRESSED image formats decode FOR REAL with zero new dependencies:
-  PNG (zlib + the five scanline filters in NumPy, below) and baseline
-  JPEG (T.81 sequential DCT — Huffman + IDCT, operators/jpeg.py). Only
-  the audio/video codecs (mp3/h264) remain `COMPRESSED_DECODERS` swap
+  PNG (zlib + the five scanline filters in NumPy, below), baseline
+  JPEG (T.81 sequential DCT — Huffman + IDCT, operators/jpeg.py), GIF
+  (variable-width LZW + interlace + frame disposal, operators/gif.py),
+  and FLAC audio (operators/flac.py). Only
+  the lossy audio/video codecs (mp3/h264) remain `COMPRESSED_DECODERS` swap
   points raising NotImplementedError — replaced by a torchaudio/decord
   call with the same (bytes, meta) → ndarray signature in deployment.
   Nothing else changes: schemas, batch shapes, partitioning and the
@@ -368,8 +370,15 @@ def _decode_flac(content: bytes, meta=None):
     return samples
 
 
+def _decode_gif(content: bytes, meta=None):
+    from .gif import decode_gif
+
+    return decode_gif(content, meta)
+
+
 COMPRESSED_DECODERS["jpeg"] = _decode_jpeg
 COMPRESSED_DECODERS["flac"] = _decode_flac  # REAL: operators/flac.py
+COMPRESSED_DECODERS["gif"] = _decode_gif  # REAL: LZW + disposal, operators/gif.py
 
 
 def decode_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
@@ -394,6 +403,10 @@ def decode_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                     from .jpeg import decode_jpeg, jpeg_to_gray
 
                     vec = image_features(jpeg_to_gray(decode_jpeg(content)))
+                elif row.format == "gif":
+                    from .gif import decode_gif, gif_to_gray
+
+                    vec = image_features(gif_to_gray(decode_gif(content)))
                 elif row.format == "flac":
                     from .flac import decode_flac
 
