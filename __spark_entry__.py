@@ -33,19 +33,34 @@ from ohsome_planet_spark.operators.tiling import xz2_point_udf, zxy_cell_col
 from ohsome_planet_spark.sources.countries import fixture_features
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Table loader with an input-parallelism floor (r5): the small-SF
-    parquet files are single row groups, so the scan is 1 partition and
-    every scan-adjacent heavy stage (shingling, regex extraction, explode)
-    runs on ONE task — downstream shuffles restore parallelism too late.
-    One cheap round-robin exchange of the raw rows fixes it; at real scale
-    (scans already ≥ cores partitions) the condition never fires."""
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       floor: bool = False) -> DataFrame:
+    """Table loader. floor=True adds an input-parallelism floor: the
+    small-SF parquet files are single row groups, so the scan is 1
+    partition and a scan-adjacent compute-heavy stage (shingling, regex
+    extraction, per-pair HOF folds) runs on ONE task — downstream shuffles
+    restore parallelism too late. One round-robin exchange of the raw rows
+    fixes that, but it is NOT free (~0.3-0.6 s per read at sf0.1), so it is
+    opt-in (r6; r5 applied it unconditionally and taxed every cheap
+    query whose first real stage is already a shuffle — doc_exact_dedup
+    3.6×, validity_window 2.6×). Call sites set floor=True only where the
+    measured floor-on/floor-off A/B at sf0.1 showed a win (tools/
+    floor_ab.py). At real scale (scans ≥ cores partitions, see
+    tools/make_sf.py row-group sizing) the condition never fires.
+    SPARK_GRAFT_T_FLOOR=always|never overrides for A/B measurement."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    mode = os.environ.get("SPARK_GRAFT_T_FLOOR", "")
+    if mode == "always":
+        floor = True
+    elif mode == "never":
+        floor = False
+    if not floor:
+        return df
     from ohsome_planet_spark.session import kernel_partitions
 
-    floor = kernel_partitions(spark)
-    if df.rdd.getNumPartitions() < floor:
-        df = df.repartition(floor)
+    target = kernel_partitions(spark)
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df
 
 
@@ -733,7 +748,7 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-over-shingles arithmetic is replayed exactly in the DuckDB oracle."""
     from ohsome_planet_spark.operators.dedup import minhash_signature_col
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    docs = _t(spark, sf_dir, "documents", floor=True).where(F.col("doc_id") < 500)
     sig = minhash_signature_col(F.col("text"), num_hashes=8, shingle_n=3, hash_mode="md5")
     return docs.select(
         "doc_id", F.posexplode(sig).alias("h_idx", "sig")
@@ -2104,7 +2119,7 @@ def _q_contributions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ohsome_planet_spark.plans.contributions import contributions_to_parquet
     from ohsome_planet_spark.sources.pbf import write_osm_pbf
 
-    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    ev = _t(spark, sf_dir, "events", floor=True).where(F.col("event_id") < 2000)
     tst = F.date_trunc("second", F.col("ts")).cast("timestamp_ntz")
     node_rows = ev.select(
         (F.col("event_id") % 100).alias("id"),
@@ -2330,7 +2345,7 @@ def _q_way_history_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ohsome_planet_spark.operators.history import way_contributions
 
-    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2400)
+    ev = _t(spark, sf_dir, "events", floor=True).where(F.col("event_id") < 2400)
     nodes = ev.select(
         (F.col("event_id") % 240).alias("id"),
         F.row_number()
@@ -2918,7 +2933,7 @@ def _q_gopher_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     are IEEE-identical cross-engine)."""
     from ohsome_planet_spark.functions.text import gopher_lexical_cols
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", floor=True)
     g = gopher_lexical_cols(F.col("text"))
     return docs.select(
         "doc_id",
@@ -3107,7 +3122,7 @@ def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     string output, md5 value-checked."""
     from ohsome_planet_spark.functions.text import c4_line_filter_col
 
-    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    ev = _t(spark, sf_dir, "events", floor=True).where(F.col("event_id") < 3000)
     e = F.col("event_id")
     nl = F.lit("\n")
     l1 = F.concat(F.lit("this line has plenty of words and ends well "),
@@ -3937,7 +3952,7 @@ def _q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", floor=True)
     e = F.col("event_id")
     dom = lambda expr: F.concat(F.lit("d"), expr.cast("string"),
                                 F.lit(".example.com"))
@@ -4041,7 +4056,7 @@ def _q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_indexable,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", floor=True)
     e = F.col("event_id")
     dst1 = F.concat(F.lit("https://d"), ((e * 3 + 1) % 20).cast("string"),
                     F.lit(".example.com/x"))
@@ -4344,12 +4359,12 @@ def _q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ohsome_planet_spark.operators.knn import radius_join
 
     pts = _points(spark, sf_dir)
-    # query-id cap: value-neutral at sf<=0.1 (ids stop at 100k there); at
-    # sf1+ it bounds the ORACLE's intentionally-naive cross join (20k
-    # queries x 1M candidates = 2e10 trig evals) so the gate stays
-    # repeatable — the Spark side needs no cap (bin join scales)
-    q = pts.where((F.col("event_id") % 50 == 0)
-                  & (F.col("event_id") < 100_000)).select(
+    # uncapped (r6, verdict item 5): the oracle is no longer a naive cross
+    # join — it pre-filters with a provably-complete lat/lon band (30 km ⇒
+    # |Δlat| ≤ 0.270°, |Δlon| ≤ 0.382° at |lat| < 45°; bands 0.35°/0.45°
+    # add margin) that DuckDB executes as an IEJoin, so the sf1 gate runs
+    # the full query set
+    q = pts.where(F.col("event_id") % 50 == 0).select(
         F.col("event_id").alias("query_id"), "lon", "lat")
     c = pts.select(F.col("event_id").alias("cand_id"), "lon", "lat")
     return radius_join(q, c, 30_000.0)
@@ -4361,12 +4376,21 @@ _HAVERSINE_SQL = """round(2.0 * 6371008.8 * asin(sqrt(
       * sin(radians(c.lon - q.lon) / 2.0)
       * sin(radians(c.lon - q.lon) / 2.0))), 3)"""
 
+# Banded prefilter (r6): a 30 km pair satisfies |Δlat| ≤ dist/R_rad =
+# 0.2698° and, for the fixture's |lat| < 45°, |Δlon| ≤ 0.2698/cos(45°) =
+# 0.3816° — the 0.35°/0.45° bands are therefore a strict superset of the
+# answer, and the exact haversine keeps the final predicate identical to
+# the uncapped cross join while DuckDB runs the bands as an IEJoin
+# (deliberately NOT the operator's modular-bin scheme — the oracle stays
+# an independent derivation).
 _RADIUS_JOIN_ORACLE_SQL = f"""
 WITH pts AS ({_POINTS_SQL}),
-q AS (SELECT event_id AS query_id, lon, lat FROM pts WHERE event_id % 50 = 0 AND event_id < 100000),
+q AS (SELECT event_id AS query_id, lon, lat FROM pts WHERE event_id % 50 = 0),
 c AS (SELECT event_id AS cand_id, lon, lat FROM pts)
 SELECT q.query_id, c.cand_id, {_HAVERSINE_SQL} AS dist_m
-FROM q CROSS JOIN c
+FROM q JOIN c
+  ON c.lat BETWEEN q.lat - 0.35 AND q.lat + 0.35
+ AND c.lon BETWEEN q.lon - 0.45 AND q.lon + 0.45
 WHERE {_HAVERSINE_SQL} <= 30000.0
 """
 

@@ -58,7 +58,11 @@ def main() -> int:
     spark = get_spark(app_name="check-oracles", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # make_sf fixtures (r6) are multi-file directories; the driver's
+        # testdata fixtures are single files — register either layout
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

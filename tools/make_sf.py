@@ -14,6 +14,24 @@ integrity is preserved exactly (copy 0 is byte-identical to the source).
 Dimension tables (region, nation) are copied as-is. The result is fully
 deterministic — no RNG anywhere. DuckDB does the replication (a single
 CROSS JOIN range(FACTOR) scan per table) and writes zstd parquet.
+
+r6 (verdict item 1): fact tables are written as MULTI-FILE directories
+(`{dst}/{tbl}.parquet/part*.parquet`, ≥ SPARK_GRAFT_CPUS files) with small
+row groups, so Spark scans start with ≥ one-task-per-core parallelism
+NATURALLY — the way a real 100 TB table would — instead of needing the
+`_t` raw-row repartition floor that taxed every cheap bench row in r5.
+Spark reads the directory transparently; DuckDB reads it via
+`read_parquet('{tbl}.parquet/*.parquet')` (tools/check_oracles.py handles
+both layouts).
+
+r6 (r5 advisor item 5): when FACTOR > 1 an additional `events_dense`
+fixture is written — same rows as `events`, but copies share user_ids in
+groups of DENSE_K (default min(FACTOR, 10)), with ts broken per-copy by
++copy_index microseconds so (user_id, ts) stays unique. Per-user event
+density then GROWS with FACTOR (the plain fixture keeps it constant by
+offsetting user_id per copy for oracle tie-determinism), exercising the
+denser-per-key regime where window/rolling bugs (r5's rolling_counts
+microsecond-peer class) actually live.
 """
 
 from __future__ import annotations
@@ -51,8 +69,19 @@ OFFSETS: dict[str, list[tuple[str, str, str]]] = {
 COPY_AS_IS = ["region", "nation"]
 
 
-def make_sf(src: str, dst: str, factor: int) -> None:
+def _read(path_no_ext: str) -> str:
+    """DuckDB source expression for either fixture layout."""
+    if os.path.isdir(path_no_ext + ".parquet"):
+        return f"read_parquet('{path_no_ext}.parquet/*.parquet')"
+    return f"'{path_no_ext}.parquet'"
+
+
+def make_sf(src: str, dst: str, factor: int,
+            files_per_table: int | None = None,
+            dense_k: int | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
+    if files_per_table is None:
+        files_per_table = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     con = duckdb.connect()
     # span of every (table, key) that appears as a key SOURCE
     spans: dict[tuple[str, str], int] = {}
@@ -60,38 +89,89 @@ def make_sf(src: str, dst: str, factor: int) -> None:
         for _col, src_tbl, src_key in offs:
             if (src_tbl, src_key) not in spans:
                 spans[(src_tbl, src_key)] = con.execute(
-                    f"SELECT max({src_key}) + 1 FROM '{src}/{src_tbl}.parquet'"
+                    f"SELECT max({src_key}) + 1 FROM {_read(f'{src}/{src_tbl}')}"
                 ).fetchone()[0]
     for tbl in COPY_AS_IS:
         con.execute(
-            f"COPY (SELECT * FROM '{src}/{tbl}.parquet') TO "
+            f"COPY (SELECT * FROM {_read(f'{src}/{tbl}')}) TO "
             f"'{dst}/{tbl}.parquet' (FORMAT parquet, COMPRESSION zstd)"
         )
-    for tbl, offs in OFFSETS.items():
+
+    def replicate(tbl: str, out: str, off_map: dict[str, str]) -> None:
         cols = [
             r[0]
             for r in con.execute(
-                f"DESCRIBE SELECT * FROM '{src}/{tbl}.parquet'"
+                f"DESCRIBE SELECT * FROM {_read(f'{src}/{tbl}')}"
             ).fetchall()
         ]
-        off_map = {c: f"({c} + i.i * {spans[(st, k)]})" for c, st, k in offs}
         sel = ", ".join(off_map.get(c, c) + f" AS {c}" for c in cols)
+        n_rows = con.execute(
+            f"SELECT count(*) FROM {_read(f'{src}/{tbl}')}"
+        ).fetchone()[0] * factor
+        # multi-file + small row groups: a Spark scan of the directory
+        # starts ≥ one task per core without any repartition; hash on the
+        # first offset column spreads each source copy over every file so
+        # per-file value ranges stay representative
+        part_col = next(iter(off_map), cols[0]).split(" ")[0]
+        rg = max(2048, n_rows // (files_per_table * 4))
+        outdir = f"{dst}/{out}.parquet"
+        os.makedirs(outdir, exist_ok=True)
         con.execute(
-            f"COPY (SELECT {sel} FROM '{src}/{tbl}.parquet', "
+            f"COPY (SELECT {sel}, hash({part_col}) % {files_per_table} AS _f "
+            f"FROM {_read(f'{src}/{tbl}')}, "
             f"(SELECT unnest(generate_series(0, {factor - 1})) AS i) i "
-            f"ORDER BY i.i) TO '{dst}/{tbl}.parquet' "
-            f"(FORMAT parquet, COMPRESSION zstd)"
+            f"ORDER BY _f) TO '{outdir}' "
+            f"(FORMAT parquet, COMPRESSION zstd, ROW_GROUP_SIZE {rg}, "
+            f"PARTITION_BY (_f), OVERWRITE_OR_IGNORE, "
+            f"FILENAME_PATTERN 'part-{{i}}')"
         )
-    for tbl in list(OFFSETS) + COPY_AS_IS:
+        # flatten hive dirs (_f=0/part.parquet → part-000.parquet) so the
+        # synthetic _f column never reaches readers
+        import glob as _glob
+        import shutil as _shutil
+
+        for sub in sorted(_glob.glob(f"{outdir}/_f=*")):
+            fv = sub.rsplit("=", 1)[1]
+            for f in _glob.glob(f"{sub}/*.parquet"):
+                _shutil.move(f, f"{outdir}/part-{int(fv):03d}.parquet")
+            os.rmdir(sub)
+
+    for tbl, offs in OFFSETS.items():
+        off_map = {c: f"({c} + i.i * {spans[(st, k)]})" for c, st, k in offs}
+        replicate(tbl, tbl, off_map)
+
+    if factor > 1:
+        k = dense_k if dense_k is not None else min(factor, 10)
+        uspan = spans[("events", "user_id")]
+        espan = spans[("events", "event_id")]
+        replicate("events", "events_dense", {
+            "event_id": f"(event_id + i.i * {espan})",
+            "user_id": f"(user_id + (i.i // {k}) * {uspan})",
+            "ts": f"(ts + to_microseconds(i.i % {k}))",
+        })
+
+    made = list(OFFSETS) + (["events_dense"] if factor > 1 else [])
+    for tbl in made + COPY_AS_IS:
+        src_tbl = "events" if tbl == "events_dense" else tbl
         n_src = con.execute(
-            f"SELECT count(*) FROM '{src}/{tbl}.parquet'"
+            f"SELECT count(*) FROM {_read(f'{src}/{src_tbl}')}"
         ).fetchone()[0]
         n_dst = con.execute(
-            f"SELECT count(*) FROM '{dst}/{tbl}.parquet'"
+            f"SELECT count(*) FROM {_read(f'{dst}/{tbl}')}"
         ).fetchone()[0]
         want = n_src * (1 if tbl in COPY_AS_IS else factor)
         assert n_dst == want, (tbl, n_src, n_dst)
         print(f"{tbl}: {n_src} -> {n_dst}")
+    if factor > 1:
+        dens = con.execute(
+            f"SELECT max(c) FROM (SELECT count(*) AS c FROM "
+            f"{_read(f'{dst}/events_dense')} GROUP BY user_id)"
+        ).fetchone()[0]
+        base = con.execute(
+            f"SELECT max(c) FROM (SELECT count(*) AS c FROM "
+            f"{_read(f'{src}/events')} GROUP BY user_id)"
+        ).fetchone()[0]
+        print(f"events_dense max per-user density: {base} -> {dens}")
 
 
 if __name__ == "__main__":
