@@ -131,6 +131,14 @@ def knn_join(
     round(great-circle meters, 3) (column name stays dist_sq for schema
     stability; it holds METERS then). cand_id breaks ties
     (deterministic, oracle-friendly).
+
+    zoom=None is EAGER: picking the density-matched zoom needs the
+    candidate count + bbox, so a small aggregate job over `candidates`
+    runs at plan-BUILD time (and the join recomputes `candidates` later).
+    For a plain table scan that's one cheap extra pass; if `candidates`
+    is an expensive derived frame, .persist()/.localCheckpoint() it
+    before calling with zoom=None (or pass an explicit zoom) so the
+    lineage doesn't execute twice.
     """
     if metric not in ("planar", "haversine"):
         raise ValueError("metric must be 'planar' or 'haversine'")

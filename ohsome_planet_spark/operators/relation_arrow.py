@@ -801,16 +801,35 @@ def relation_partition_table(tbl: pa.Table, joiner=None) -> pa.RecordBatch | Non
         # moment sums must be SEQUENTIAL left folds in member order
         # (np.add.reduceat is pairwise from n>=3 and would diverge from
         # _combine_centroid's += chain, which the DuckDB oracles replay):
-        # ladder fold — one vectorized += pass per member ordinal
+        # ladder fold — one vectorized += pass per member ordinal.
+        # BOUNDED (r6, r5-advice item 3): GeometryCollection rows are not
+        # capped by MEMBERS_THRESHOLD, so one planet-scale relation with
+        # tens of thousands of members would otherwise make every ladder
+        # rung pay an O(n_groups) mask over ALL groups — groups above
+        # _LADDER_MAX instead take a per-group plain-Python sequential
+        # fold (same 0.0-init left fold in member order, so bit-identical;
+        # ~9 float adds per member, no per-rung NumPy dispatch overhead).
         ng = gs.size
         cnt_g = np.append(gs[1:], comp.size) - gs
         keys = ("aw", "gx", "gy", "tl", "lx", "ly", "npt", "px", "py")
         accs = {k: np.zeros(ng) for k in keys}
-        for t in range(int(cnt_g.max())):
-            sel = np.nonzero(cnt_g > t)[0]
-            p = cpos[gs[sel] + t]
+        _LADDER_MAX = 64
+        small = np.nonzero(cnt_g <= _LADDER_MAX)[0]
+        if small.size:
+            cnt_s = cnt_g[small]
+            for t in range(int(cnt_s.max())):
+                sel = small[cnt_s > t]
+                p = cpos[gs[sel] + t]
+                for k in keys:
+                    accs[k][sel] += pos_mom[k][p]
+        for j in np.nonzero(cnt_g > _LADDER_MAX)[0].tolist():
+            s, n = int(gs[j]), int(cnt_g[j])
+            idx = cpos[s:s + n]
             for k in keys:
-                accs[k][sel] += pos_mom[k][p]
+                acc = 0.0
+                for v in pos_mom[k][idx].tolist():
+                    acc += v
+                accs[k][j] = acc
         aw, gx, gy = accs["aw"], accs["gx"], accs["gy"]
         tl, lx, ly = accs["tl"], accs["lx"], accs["ly"]
         npt, px, py = accs["npt"], accs["px"], accs["py"]

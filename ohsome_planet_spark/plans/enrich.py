@@ -129,6 +129,15 @@ def tile_counts_from_enriched(enriched: DataFrame, salted: bool = True) -> DataF
     estimate is bit-identical to a single unsalted sketch of the same rows —
     the salting changes only the shuffle shape, never the value. Estimate
     error is the standard HLL bound (~1.6% rel. std. at lgConfigK=12).
+
+    BEHAVIOR CHANGE (r5, flagged r5-advice): before the sketch switch the
+    UNSALTED path used exact `count_distinct`; both paths now return HLL
+    estimates, so small inputs that previously saw exact distinct counts
+    see ~±1.6% values instead. This is deliberate: the columns are named
+    `approx_*`, salted and unsalted must agree bit-for-bit (they are the
+    same sketch), and at the 100 TB design point exact distinct per cell
+    is a full extra shuffle. Consumers needing exact counts at small
+    scale should aggregate `count_distinct` off `enrich_pages` directly.
     """
     exploded = enriched.where(F.col("coord_valid")).select(
         "hex_r7", "hex_r8", "hex_r9", "hex_r10", "s2_cell", "zxy_cell", "xz2_code",

@@ -128,6 +128,26 @@ def test_relation_arrow_parity_adversarial():
     assert _compare(_adversarial_pdf()) > 10
 
 
+def test_relation_arrow_parity_giant_gc():
+    """r6 (r5-advice item 3): GeometryCollection rows above the bounded
+    centroid-ladder threshold (_LADDER_MAX=64 members) take the per-group
+    sequential fold — values must stay bit-identical to the dict twin,
+    alongside small GC rows folded by the ladder in the same batch."""
+    rows = []
+    big, small = 80, 5
+    for i in range(big):
+        rows.append(_node(9, 1000 + i, 1, 0, 1,
+                          lon=(i % 13) * 1.7, lat=float(i % 7) - 3.0))
+    rows.append(_rel(9, 1, 2, 5, [m("node", 1000 + i) for i in range(big)],
+                     tags={"type": "site"}))
+    for i in range(small):
+        rows.append(_node(10, 2000 + i, 1, 0, 1,
+                          lon=float(i) * 0.3, lat=1.0 - i * 0.1))
+    rows.append(_rel(10, 1, 2, 6, [m("node", 2000 + i) for i in range(small)],
+                     tags={"type": "site"}))
+    assert _compare(pd.DataFrame(rows)) >= 2
+
+
 def test_relation_arrow_parity_bench_shape(sf_dir):
     from tools.profile_rel_kernel import build_rel_packed
 
