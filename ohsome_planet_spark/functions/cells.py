@@ -36,6 +36,8 @@ Parity notes (semantics only, no code taken):
   (tests/test_cells.py `test_hex_cell_real_h3_upgrade`) remain the
   correct integration: one `pip install h3` on a real cluster turns the
   column into real H3 ids with no code change.
+  Environment re-verified round 6 (2026-08-18): still no `h3` module,
+  wheel, jar, or extension anywhere in the container — gate unchanged.
 """
 
 from __future__ import annotations

@@ -11,6 +11,8 @@ ohsome-contributions/src/main/java/org/heigit/ohsome/contributions/
 transformer/Transformer.java:168-225`, `Writer.java:76-96`); on a real
 deployment this layer is swapped for Iceberg catalog commits — the operator
 API (write_partitions / resume) is deliberately identical in shape.
+Environment re-verified round 6 (2026-08-18): no iceberg-spark-runtime jar
+in pyspark/jars or elsewhere in the container — the stand-in remains.
 
 Layout:
     <root>/data/<part_col>=<value>/snap-<id>-part-*.parquet
