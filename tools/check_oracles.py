@@ -24,7 +24,15 @@ TABLES = [
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        df[c] = df[c].map(lambda v: _norm_val(v))
+        s = df[c]
+        # vectorized fast path for plain machine ints (r6: the sf1 gate's
+        # 20M-row join results are all-int frames; the per-value Python
+        # map made the CHECKER the slowest stage of the gate). astype(str)
+        # on int64/int32 produces exactly _norm_val's str(int(v)).
+        if str(s.dtype) in ("int64", "int32", "int16", "int8"):
+            df[c] = s.astype("int64").astype(str)
+        else:
+            df[c] = s.map(lambda v: _norm_val(v))
     return df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
 
 
