@@ -1,9 +1,13 @@
 """tools/make_sf.py: the deterministic SF scale-up keeps referential
-integrity and row multiplicity exactly (copy 0 is the source verbatim)."""
+integrity and row multiplicity exactly (copy 0 is the source verbatim).
+Since r6, fact tables are multi-file directories — reads go through
+make_sf._read which handles both layouts."""
+
+import os
 
 import duckdb
 
-from tools.make_sf import make_sf
+from tools.make_sf import _read, make_sf
 
 
 def test_make_sf_counts_and_fk_integrity(tmp_path):
@@ -14,20 +18,23 @@ def test_make_sf_counts_and_fk_integrity(tmp_path):
     for tbl, factor in [("lineitem", 2), ("orders", 2), ("customer", 2),
                         ("events", 2), ("documents", 2), ("region", 1)]:
         n_src = con.execute(
-            f"select count(*) from '{src}/{tbl}.parquet'").fetchone()[0]
+            f"select count(*) from {_read(f'{src}/{tbl}')}").fetchone()[0]
         n_dst = con.execute(
-            f"select count(*) from '{dst}/{tbl}.parquet'").fetchone()[0]
+            f"select count(*) from {_read(f'{dst}/{tbl}')}").fetchone()[0]
         assert n_dst == n_src * factor, tbl
+    # fact tables are ≥-cores-file directories (the scan-parallelism fix)
+    assert os.path.isdir(f"{dst}/lineitem.parquet")
+    assert len(os.listdir(f"{dst}/lineitem.parquet")) >= 2
     # FK integrity: every order still finds its customer, every lineitem
     # its order — in BOTH copies
     orphans = con.execute(f"""
-        select count(*) from '{dst}/orders.parquet' o
-        left join '{dst}/customer.parquet' c on o.o_custkey = c.c_custkey
+        select count(*) from {_read(f'{dst}/orders')} o
+        left join {_read(f'{dst}/customer')} c on o.o_custkey = c.c_custkey
         where c.c_custkey is null""").fetchone()[0]
     assert orphans == 0
     orphans = con.execute(f"""
-        select count(*) from '{dst}/lineitem.parquet' l
-        left join '{dst}/orders.parquet' o on l.l_orderkey = o.o_orderkey
+        select count(*) from {_read(f'{dst}/lineitem')} l
+        left join {_read(f'{dst}/orders')} o on l.l_orderkey = o.o_orderkey
         where o.o_orderkey is null""").fetchone()[0]
     assert orphans == 0
     # copy 0 is byte-identical content (same rows, same values)
@@ -35,7 +42,7 @@ def test_make_sf_counts_and_fk_integrity(tmp_path):
         select count(*) from (
           (select * from '{src}/orders.parquet')
           except
-          (select * from '{dst}/orders.parquet'
+          (select * from {_read(f'{dst}/orders')}
            where o_orderkey < (select max(o_orderkey)+1
                                from '{src}/orders.parquet')))""").fetchone()[0]
     assert diff == 0

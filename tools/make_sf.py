@@ -111,30 +111,26 @@ def make_sf(src: str, dst: str, factor: int,
         # multi-file + small row groups: a Spark scan of the directory
         # starts ≥ one task per core without any repartition; hash on the
         # first offset column spreads each source copy over every file so
-        # per-file value ranges stay representative
-        part_col = next(iter(off_map), cols[0]).split(" ")[0]
+        # per-file value ranges stay representative. One COPY per file
+        # (deterministic placement; the synthetic bucket column never
+        # reaches the files — DuckDB PARTITION_BY would write it).
+        part_col = next(iter(off_map), cols[0])
         rg = max(2048, n_rows // (files_per_table * 4))
         outdir = f"{dst}/{out}.parquet"
         os.makedirs(outdir, exist_ok=True)
         con.execute(
-            f"COPY (SELECT {sel}, hash({part_col}) % {files_per_table} AS _f "
+            f"CREATE OR REPLACE TEMP VIEW _rep AS "
+            f"SELECT {sel}, hash({part_col}) % {files_per_table} AS _f "
             f"FROM {_read(f'{src}/{tbl}')}, "
-            f"(SELECT unnest(generate_series(0, {factor - 1})) AS i) i "
-            f"ORDER BY _f) TO '{outdir}' "
-            f"(FORMAT parquet, COMPRESSION zstd, ROW_GROUP_SIZE {rg}, "
-            f"PARTITION_BY (_f), OVERWRITE_OR_IGNORE, "
-            f"FILENAME_PATTERN 'part-{{i}}')"
+            f"(SELECT unnest(generate_series(0, {factor - 1})) AS i) i"
         )
-        # flatten hive dirs (_f=0/part.parquet → part-000.parquet) so the
-        # synthetic _f column never reaches readers
-        import glob as _glob
-        import shutil as _shutil
-
-        for sub in sorted(_glob.glob(f"{outdir}/_f=*")):
-            fv = sub.rsplit("=", 1)[1]
-            for f in _glob.glob(f"{sub}/*.parquet"):
-                _shutil.move(f, f"{outdir}/part-{int(fv):03d}.parquet")
-            os.rmdir(sub)
+        for fv in range(files_per_table):
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (_f) FROM _rep WHERE _f = {fv}) "
+                f"TO '{outdir}/part-{fv:03d}.parquet' "
+                f"(FORMAT parquet, COMPRESSION zstd, ROW_GROUP_SIZE {rg})"
+            )
+        con.execute("DROP VIEW _rep")
 
     for tbl, offs in OFFSETS.items():
         off_map = {c: f"({c} + i.i * {spans[(st, k)]})" for c, st, k in offs}
