@@ -190,7 +190,15 @@ def ivf_topk(
     centroid index (stable argsort), so assignment is reproducible across
     BLAS builds and replayable in any engine that computes the same dot
     products (last-ulp association differences are absorbed by the
-    rounding, same trick as knn auto_zoom)."""
+    rounding, same trick as knn auto_zoom).
+
+    SCALE NOTE: `n_centroids` is also the distinct-key count of the
+    inverted-list join. At test scale the candidate side broadcasts and
+    the key count is irrelevant; at cluster scale (candidates too big to
+    broadcast) the join shuffles BOTH sides on `_list`, so 16 lists would
+    serialize onto 16 reducers. Size it like a real IVF index — `~sqrt(n)`
+    lists (1M lists at 10^12 vectors), at minimum several × the cluster's
+    total cores — and raise `nprobe` proportionally to hold recall."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     if quantizer == "fixed":
