@@ -276,6 +276,13 @@ def ivf_topk(
         _to_double(F.col(vec_col)).alias("qv"),
         F.explode(lists_udf(nprobe)(F.col(vec_col))).alias("_list"),
     ).select(query_id, "qv", "_list", norm_col(F.col("qv")).alias("qn"))
+    # same parallelism guard as ann_topk/knn_join (r5 soak finding): with
+    # the candidate side broadcast, the per-pair cosine runs at whatever
+    # the probe scan's file partitioning was — one tiny exchange of the
+    # (id, vector, list) probe stream pins it at one wave of cores
+    from ohsome_planet_spark.session import kernel_partitions
+
+    q_assigned = q_assigned.repartition(kernel_partitions(queries.sparkSession))
     pairs = q_assigned.join(c_assigned, "_list").where(F.col(query_id) != F.col(cand_id))
     # NO pair dedup (r5, same proof as ann_topk/knn_join): each candidate
     # lives in exactly ONE inverted list and a query's nprobe list ids are
