@@ -3965,7 +3965,10 @@ def _q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('/y">two</a>'),
         ).alias("html"),
     )
-    edges = domain_edges(extract_links(pages))
+    # materialize the edge list once — degree_stats AND pagerank consume
+    # it (pagerank would otherwise also re-run the extraction per the
+    # lineage, see operators/linkgraph.pagerank's own checkpoint)
+    edges = domain_edges(extract_links(pages)).localCheckpoint()
     pr = pagerank(edges, iterations=2)
     return degree_stats(edges).join(pr, "domain")
 

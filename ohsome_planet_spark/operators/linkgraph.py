@@ -168,6 +168,11 @@ def pagerank(edges: DataFrame, iterations: int = 2,
     Edge WEIGHTS are ignored (classic PageRank splits rank evenly over
     distinct out-neighbors). See module docstring for the exact float
     discipline; the DuckDB oracle replays the identical arithmetic."""
+    # materialize the static edge list ONCE (lineage truncation — the r2
+    # iterative-DataFrame lesson): without this every iteration's plan
+    # re-executes the whole upstream edge derivation (URL parsing, joins),
+    # and nodes/outdeg/e each re-derive it again within one iteration
+    edges = edges.select("src", "dst").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("domain"))
         .union(edges.select(F.col("dst").alias("domain")))
@@ -175,7 +180,7 @@ def pagerank(edges: DataFrame, iterations: int = 2,
     )
     n = nodes.count()  # one scalar — the node count parameterizes literals
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    e = edges.select("src", "dst").join(F.broadcast(outdeg), "src")
+    e = edges.join(F.broadcast(outdeg), "src")
 
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
