@@ -99,7 +99,14 @@ def kmeans(
                 ).alias("_c")
             )
         )
-        # empty clusters keep their previous centroid
+        # empty clusters keep their previous centroid.
+        # NO per-round checkpoint here, measured both ways (r6): at the
+        # 2-iteration default the single lazy plan beats eager AND lazy
+        # centroid localCheckpoints ~2× (Spark reuses the broadcast/exchange
+        # subtrees within one plan; a checkpoint forces the upstream jobs to
+        # run standalone). Lineage does grow with iterations — callers
+        # running MANY Lloyd rounds should checkpoint the returned centroids
+        # between calls (k tiny rows), as dedup_clusters does per round.
         centroids = (
             centroids.select("cluster", F.col("_c").alias("_c_prev"))
             .join(new_c, "cluster", "left")
