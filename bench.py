@@ -33,14 +33,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _measure(action, n: int, iqr: bool = False) -> tuple[float, float, float]:
-    """Run once warm, then n timed runs → (median, lo, hi) seconds.
+def _measure(action, n: int, iqr: bool = False,
+             warm: int = 1) -> tuple[float, float, float]:
+    """Run `warm` untimed runs, then n timed runs → (median, lo, hi) secs.
 
     lo/hi are min/max by default; iqr=True reports the 25th/75th
     percentiles instead — used for the one fixture (way_merge_wide, 120
     heavy elements over few tasks) whose min/max is straggler-dominated
-    on a shared VM while its median is stable."""
-    action()
+    on a shared VM while its median is stable. warm=2 for the flagship:
+    its wholestage-codegen JIT keeps decaying through the 2nd-3rd run
+    (measured 7.1 → 2.2 → 1.9 → 1.7 → steady ~1.7), so one warm pass
+    leaves the first timed runs measuring C2 compilation, not the plan."""
+    for _ in range(warm):
+        action()
     times = []
     for _ in range(n):
         t0 = time.time()
@@ -117,9 +122,9 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
 
     def record(name: str, action, runs: int | None = None,
-               iqr: bool = False) -> None:
+               iqr: bool = False, warm: int = 1) -> None:
         med, lo, hi = _measure(
-            action, runs if runs is not None else n_runs, iqr=iqr)
+            action, runs if runs is not None else n_runs, iqr=iqr, warm=warm)
         qtimes[name] = med
         spread[name] = [lo, hi]
 
@@ -133,7 +138,12 @@ def main() -> None:
     # pipeline has a ~2× cold mode that one warm pass doesn't always clear
     # (r5's driver headline 242k vs judge idle-box 573k was exactly this);
     # min/max over n=3 can't reject a cold window, the IQR of 5+ can
-    record("enrich_pipeline", flagship, runs=max(5, n_runs), iqr=True)
+    # warm=3: the flagship's decay curve (JIT + python-worker reuse) was
+    # measured at [10.1, 2.6, 2.2, 2.1, 2.0, 1.8, 1.9, 1.8, ...] — the
+    # advertised metric is steady-state throughput of a pipeline that runs
+    # for hours at 100 TB, so timed runs start at the plateau
+    record("enrich_pipeline", flagship, runs=max(5, n_runs), iqr=True,
+           warm=3)
     pages_per_sec = n_pages / qtimes["enrich_pipeline"]
 
     # full-row enrichment with and without WKB geometry (r1 verdict item 3:
