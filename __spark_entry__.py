@@ -972,6 +972,48 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.pack_sequences): the
+    corpus as one whitespace-token stream in doc_id order, chunked into
+    512-token training sequences — one row per (sequence, doc) overlap.
+    The engine computes the global prefix sum with the scale-correct
+    two-phase scheme (range partition → local cumsum → broadcast partition
+    offsets); the oracle replays it as DuckDB's single global window —
+    integer arithmetic end to end, so the match is exact."""
+    from ohsome_planet_spark.functions.text import token_count_col
+    from ohsome_planet_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens"))
+    return pack_sequences(d, capacity=512)
+
+
+_PACK_SEQUENCES_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+  FROM toks WHERE n > 0
+),
+spans AS (
+  SELECT doc_id, e - n AS s, e,
+         unnest(generate_series((e - n) // 512, (e - 1) // 512)) AS seq_id
+  FROM cum
+)
+SELECT seq_id, doc_id,
+       CAST(least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS INT) AS tokens_in_seq,
+       CAST(greatest(s - seq_id * 512, 0) AS INT) AS offset_in_seq
+FROM spans
+"""
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling: md5-bucket thresholds per
     language stratum — identical surviving rows on every run AND every
@@ -5064,8 +5106,8 @@ _GATE_ORDER = [
     "entity_cooccurrence", "travel_distance", "entity_footprints",
     "bpe_training", "geohash_rollup", "quality_profile",
     "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
-    "semi_join", "anti_join", "sessionize", "ivf_topk",
-    # ---- gate cap boundary (50 = 34 above + first 16 below) ----
+    "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
+    # ---- gate cap boundary (50 = 35 above + first 15 below) ----
     # -- driver-gated in round 5, in their round-5 order --
     "pricing_summary", "changeset_join_default", "validity_window",
     "version_numbering", "contrib_type", "consecutive_dedup",
@@ -5114,6 +5156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "embedding_ann": _q_embedding_ann,
         "ivf_topk": _q_ivf_topk,
+        "pack_sequences": _q_pack_sequences,
         "embedding_near_dup": _q_embedding_near_dup,
         "rasterize_cells": _q_rasterize_cells,
         "dedup_clusters": _q_dedup_clusters,
@@ -5355,6 +5398,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_oracle_sql(),
         "embedding_ann": _embedding_ann_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "pack_sequences": _PACK_SEQUENCES_ORACLE_SQL,
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "rasterize_cells": _RASTERIZE_ORACLE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE_SQL,
