@@ -972,6 +972,39 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group token-budget capping (operators/sampling.cap_per_group —
+    C4-style hot-domain downsampling): each language keeps documents in
+    stable hash order until a 5000-token budget is spent. Integer running
+    sums over the md5 bucket order → the DuckDB twin is exact."""
+    from ohsome_planet_spark.functions.text import token_count_col
+    from ohsome_planet_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"))
+    return cap_per_group(docs, budget=5000, group_col="lang",
+                         size_col="n_tokens")
+
+
+_DOMAIN_CAP_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS bkt
+  FROM documents
+),
+run AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY bkt, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens FROM run WHERE r - n_tokens < 5000
+"""
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.pack_sequences): the
     corpus as one whitespace-token stream in doc_id order, chunked into
@@ -5107,7 +5140,8 @@ _GATE_ORDER = [
     "bpe_training", "geohash_rollup", "quality_profile",
     "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
-    # ---- gate cap boundary (50 = 35 above + first 15 below) ----
+    "domain_cap",
+    # ---- gate cap boundary (50 = 36 above + first 14 below) ----
     # -- driver-gated in round 5, in their round-5 order --
     "pricing_summary", "changeset_join_default", "validity_window",
     "version_numbering", "contrib_type", "consecutive_dedup",
@@ -5157,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann": _q_embedding_ann,
         "ivf_topk": _q_ivf_topk,
         "pack_sequences": _q_pack_sequences,
+        "domain_cap": _q_domain_cap,
         "embedding_near_dup": _q_embedding_near_dup,
         "rasterize_cells": _q_rasterize_cells,
         "dedup_clusters": _q_dedup_clusters,
@@ -5399,6 +5434,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann": _embedding_ann_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pack_sequences": _PACK_SEQUENCES_ORACLE_SQL,
+        "domain_cap": _DOMAIN_CAP_ORACLE_SQL,
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "rasterize_cells": _RASTERIZE_ORACLE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE_SQL,

@@ -142,3 +142,41 @@ def weighted_sample(
         .where(F.col("_rn") <= k)
         .drop("_wkey", "_rn")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-group budget capping (C4-style hot-domain downsampling): keep
+    each group's rows in STABLE HASH ORDER until the budget is exhausted,
+    drop the rest.
+
+    size_col=None caps by ROW count (budget = max rows per group);
+    size_col given caps by its SUM (e.g. a token count — the first row
+    that would overflow the budget is the last one kept, so every group
+    retains at least one row and the kept set is a prefix of the hash
+    order). Hash order (not id order) so the survivors are an unbiased
+    sample of the group rather than its oldest ids, yet identical on
+    every run, engine, and cluster size. One window over the group
+    partitioning — no global shuffle beyond it."""
+    from pyspark.sql.window import Window
+
+    order = [hash_bucket_col(F.col(id_col)).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    if size_col is None:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= budget)
+            .drop("_rn")
+        )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = F.sum(F.col(size_col).cast("long")).over(wsum)
+    return (
+        df.withColumn("_run", running)
+        .where(F.col("_run") - F.col(size_col).cast("long") < budget)
+        .drop("_run")
+    )

@@ -241,3 +241,46 @@ def test_weighted_sample_properties(spark):
                            .otherwise(F.col("w")))
     kept = {r["doc_id"] for r in weighted_sample(zero_w, 50, "w").collect()}
     assert kept == {398, 399}
+
+
+def test_cap_per_group_properties(spark):
+    """cap_per_group (r6): row caps, token budgets, hash-order prefix,
+    at-least-one-row guarantee, and partitioning invariance."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.sampling import (
+        cap_per_group,
+        hash_bucket_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), 10 + (i * 7) % 50) for i in range(300)],
+        "doc_id long, dom string, n long")
+
+    # row-count cap: exactly `budget` rows per group, the hash-order prefix
+    capped = cap_per_group(df, 5, "dom")
+    sizes = {r["dom"]: r["c"] for r in
+             capped.groupBy("dom").agg(F.count("*").alias("c")).collect()}
+    assert sizes == {"g0": 5, "g1": 5, "g2": 5}
+    ordered = df.withColumn("_b", hash_bucket_col(F.col("doc_id")))
+    want_g0 = [r["doc_id"] for r in ordered.where(F.col("dom") == "g0")
+               .orderBy("_b", "doc_id").limit(5).collect()]
+    got_g0 = {r["doc_id"] for r in capped.where(F.col("dom") == "g0").collect()}
+    assert got_g0 == set(want_g0)
+
+    # token budget: per-group sums stop at the first overflowing row,
+    # every group keeps at least one row
+    tok = cap_per_group(df, 100, "dom", size_col="n")
+    for r in tok.groupBy("dom").agg(
+            F.sum("n").alias("s"), F.count("*").alias("c")).collect():
+        assert r["c"] >= 1
+        assert r["s"] - 59 < 100  # prev-sum < budget (max row size 59)
+    # a huge first row still survives
+    one = spark.createDataFrame([(1, "g", 10_000)], "doc_id long, dom string, n long")
+    assert cap_per_group(one, 5, "dom", size_col="n").count() == 1
+
+    # partitioning invariance
+    a = sorted(r["doc_id"] for r in tok.collect())
+    b = sorted(r["doc_id"] for r in cap_per_group(
+        df.repartition(13), 100, "dom", size_col="n").collect())
+    assert a == b
