@@ -972,6 +972,53 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+_QM_SEED, _QM_BUCKETS = 41, 256
+
+
+def _qm_weights():
+    import numpy as np
+
+    return np.round(
+        np.random.default_rng(_QM_SEED).standard_normal(_QM_BUCKETS) * 0.1, 6)
+
+
+def _q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-shaped hashed linear quality scorer (operators/
+    quality_model.hashed_linear_score) with a seeded-literal model (the
+    frozen-offline-model pattern, as with the IVF codebook): md5 token
+    buckets → sequential weight fold in document order → score + label.
+    No libm in the gated columns, so the DuckDB replay is bit-exact."""
+    from ohsome_planet_spark.operators.quality_model import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_linear_score(
+        docs, weights=[float(x) for x in _qm_weights()], bias=-0.05
+    ).select("doc_id", "score", "label")
+
+
+def _quality_model_oracle_sql() -> str:
+    w = ", ".join(repr(float(x)) for x in _qm_weights())
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(-0.05::DOUBLE,
+             list_transform(w, t ->
+               ([{w}])[(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                        % {_QM_BUCKETS}) + 1])),
+           (a, b) -> a + b) AS score
+  FROM toks
+)
+SELECT doc_id, score, score > 0 AS label FROM scored
+"""
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group token-budget capping (operators/sampling.cap_per_group —
     C4-style hot-domain downsampling): each language keeps documents in
@@ -5140,8 +5187,8 @@ _GATE_ORDER = [
     "bpe_training", "geohash_rollup", "quality_profile",
     "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
-    "domain_cap",
-    # ---- gate cap boundary (50 = 36 above + first 14 below) ----
+    "domain_cap", "quality_model_score",
+    # ---- gate cap boundary (50 = 37 above + first 13 below) ----
     # -- driver-gated in round 5, in their round-5 order --
     "pricing_summary", "changeset_join_default", "validity_window",
     "version_numbering", "contrib_type", "consecutive_dedup",
@@ -5192,6 +5239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "pack_sequences": _q_pack_sequences,
         "domain_cap": _q_domain_cap,
+        "quality_model_score": _q_quality_model_score,
         "embedding_near_dup": _q_embedding_near_dup,
         "rasterize_cells": _q_rasterize_cells,
         "dedup_clusters": _q_dedup_clusters,
@@ -5435,6 +5483,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pack_sequences": _PACK_SEQUENCES_ORACLE_SQL,
         "domain_cap": _DOMAIN_CAP_ORACLE_SQL,
+        "quality_model_score": _quality_model_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "rasterize_cells": _RASTERIZE_ORACLE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE_SQL,

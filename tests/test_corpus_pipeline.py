@@ -284,3 +284,42 @@ def test_cap_per_group_properties(spark):
     b = sorted(r["doc_id"] for r in cap_per_group(
         df.repartition(13), 100, "dom", size_col="n").collect())
     assert a == b
+
+
+def test_hashed_linear_score_properties(spark):
+    """hashed_linear_score (r6): closed-form replay in Python, empty-doc
+    bias, prob monotonicity, arg guard."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.quality_model import hashed_linear_score
+
+    import hashlib
+
+    w = [0.5, -0.25, 0.125, -1.0]
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 4
+
+    rows = [(1, "alpha beta beta gamma"), (2, "  "), (3, "x"),
+            (4, "Alpha ALPHA alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           hashed_linear_score(df, w, bias=0.75, with_prob=True).collect()}
+
+    def expect(text):
+        acc = 0.75
+        for t in text.lower().split():
+            acc += w[bucket(t)]
+        return acc
+
+    for i, text in rows:
+        assert out[i]["score"] == expect(text), (i, text)
+        assert out[i]["label"] == (out[i]["score"] > 0)
+        p = out[i]["prob"]
+        assert abs(p - 1.0 / (1.0 + np.exp(-out[i]["score"]))) < 1e-12
+    assert out[2]["score"] == 0.75  # whitespace-only doc scores the bias
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="weights"):
+        hashed_linear_score(df, [])
