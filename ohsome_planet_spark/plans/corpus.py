@@ -64,6 +64,11 @@ def curate_corpus(
     lm_top_k: int = 100_000,
     redact_pii: bool = False,
     max_pii_hits: int | None = None,
+    quality_model_weights: "list[float] | None" = None,
+    quality_model_bias: float = 0.0,
+    min_quality_score: float = 0.0,
+    group_budget: int | None = None,
+    group_budget_col: str = "source",
     with_manifest: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (clean_docs, stage_counts).
@@ -218,6 +223,34 @@ def curate_corpus(
         from ..operators.pii import redact_pii_col
 
         docs = docs.withColumn(text_col, redact_pii_col(F.col(text_col)))
+
+    # 4c. optional trained quality-classifier gate (the fasttext-shaped
+    #     stage of CCNet-class pipelines) — after text rewrites so the
+    #     model sees what training will see
+    if quality_model_weights is not None:
+        from ..operators.quality_model import hashed_linear_score
+
+        scored = hashed_linear_score(
+            docs, quality_model_weights, bias=quality_model_bias,
+            text_col=text_col)
+        docs = scored.where(
+            F.col("score") >= min_quality_score).drop("score", "label")
+        docs = stage(docs, "after_quality_model")
+
+    # 4d. optional per-group budget cap (hot-domain downsampling) —
+    #     last filter before mixing so budgets apply to survivors
+    if group_budget is not None:
+        from ..functions.text import token_count_col
+        from ..operators.sampling import cap_per_group
+
+        capped = cap_per_group(
+            docs.withColumn("_cap_n",
+                            token_count_col(F.col(text_col)).cast("long")),
+            budget=group_budget, group_col=group_budget_col, id_col=id_col,
+            size_col="_cap_n",
+        ).drop("_cap_n")
+        docs = capped
+        docs = stage(docs, "after_group_cap")
 
     # 5. mixture-weighted deterministic sample
     if mixture_weights is not None:

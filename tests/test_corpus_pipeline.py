@@ -323,3 +323,38 @@ def test_hashed_linear_score_properties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="weights"):
         hashed_linear_score(df, [])
+
+
+def test_curate_corpus_quality_model_and_group_cap_stages(spark):
+    """r6 stages compose into the one-call pipeline: the classifier gate
+    drops below-threshold docs, the per-group budget caps survivors, and
+    the manifest records both."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.quality_model import hashed_linear_score
+    from ohsome_planet_spark.plans.corpus import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 17} common tokens here for doc {i}", "s" + str(i % 2))
+         for i in range(120)],
+        "doc_id long, text string, source string")
+    w = [0.05] * 64
+    clean, counts = curate_corpus(
+        docs, min_tokens=1,
+        quality_model_weights=w, quality_model_bias=-0.3,
+        min_quality_score=0.0,
+        group_budget=80, group_budget_col="source",
+    )
+    got = clean.collect()
+    assert counts["after_quality_model"] <= counts["after_quality"]
+    assert counts["after_group_cap"] <= counts["after_quality_model"]
+    assert len(got) == counts["after_group_cap"] > 0
+    # classifier gate honored (all weights 0.05, 7 tokens -> 0.35-0.3 > 0)
+    scored = hashed_linear_score(clean, w, bias=-0.3)
+    assert scored.where(F.col("score") < 0).count() == 0
+    # per-source token budget honored up to the last-kept-row overflow
+    tok = clean.select(
+        "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+    for r in tok.groupBy("source").agg(
+            F.sum("n").alias("s"), F.max("n").alias("mx")).collect():
+        assert r["s"] - r["mx"] < 80
