@@ -46,3 +46,26 @@ def test_make_sf_counts_and_fk_integrity(tmp_path):
            where o_orderkey < (select max(o_orderkey)+1
                                from '{src}/orders.parquet')))""").fetchone()[0]
     assert diff == 0
+
+
+def test_make_sf_is_deterministic(tmp_path):
+    """Two runs from the same source produce byte-identical fixtures (the
+    docstring's 'fully deterministic' claim — placement uses DuckDB's hash,
+    not RNG)."""
+    import hashlib
+
+    src = "/root/testdata/sf0.001"
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    make_sf(src, a, 2)
+    make_sf(src, b, 2)
+
+    def digest(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, root)
+                out[rel] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    assert digest(a) == digest(b)
