@@ -869,9 +869,15 @@ def _embedding_ann_oracle_sql(planes: int = 4, dim: int = 64, seed: int = 13, k:
         + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(planes)
     )
+    # CAST to DOUBLE[] (r6): DuckDB's list_dot_product on FLOAT[] computes
+    # in float32, so round(cos, 4) can land on the other side of a
+    # boundary than Spark's double math (first seen at sf0.1: 0.29999…f
+    # rounds to 0.3, the double rounds to 0.2999). Spark casts via
+    # _to_double; the oracle must widen identically.
     return f"""
 WITH b AS (
-  SELECT vec_id, embedding AS v, {bucket_terms} AS bkt FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket_terms} AS bkt
+  FROM embeddings
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, bkt AS qb FROM b WHERE vec_id % 100 = 0),
 c AS (SELECT vec_id AS cand_id, v AS cv, bkt AS cb FROM b),
