@@ -4428,7 +4428,23 @@ def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments
 
 
-def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, id-greedy variant): k-means cluster
+    the embeddings (the bit-exact kmeans operator), then flag any vector
+    whose cosine to a lower-id vector in the same cluster is >= 0.4.
+    Clustering bounds the pair space to sum(|c|^2) — the production-scale
+    answer to all-pairs cosine dedup. The DuckDB twin reuses the unrolled
+    Lloyd CTEs and the same dimension-order fold, so the threshold
+    comparison is engine-exact with no rounding."""
+    from ohsome_planet_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup(emb, k=4, iterations=2, threshold=0.4)
+
+
+def _kmeans_cte_sql(k: int = 4, iterations: int = 2) -> str:
+    """The unrolled-Lloyd WITH block shared by the kmeans and semdedup
+    oracles: ends after CTE a{iterations} = (vec_id, embedding, cluster, d)."""
     def dist_expr(cen_list: str) -> str:
         # list_zip structs are unnamed in this DuckDB — numeric access
         diff = "(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
@@ -4473,13 +4489,44 @@ c{i} AS (
   USING (cluster)
 )""")
         prev = f"c{i}"
-    parts.append(f"""
-SELECT vec_id, cluster, round(d, 9) AS dist FROM a{iterations}
-""")
     return "".join(parts)
 
 
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
+    return _kmeans_cte_sql(k, iterations) + f"""
+SELECT vec_id, cluster, round(d, 9) AS dist FROM a{iterations}
+"""
+
+
+def _semdedup_oracle_sql(k: int = 4, iterations: int = 2,
+                         threshold: float = 0.4) -> str:
+    # cosine folds per-dimension double products in dimension order and
+    # divides by the product of two IEEE sqrts — bit-identical to the
+    # Spark fold, so the >= threshold comparison needs no rounding
+    a = f"a{iterations}"
+    dot = ("list_reduce(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2]),"
+           " (m, n) -> m + n)")
+    nrm = "sqrt(list_reduce(list_transform({t}.v, z -> z * z), (m, n) -> m + n))"
+    return _kmeans_cte_sql(k, iterations) + f""",
+sd AS (
+  SELECT vec_id, cluster,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+  FROM {a}
+),
+dup AS (
+  SELECT DISTINCT x.vec_id
+  FROM sd x JOIN sd y
+    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+  WHERE {dot} / ({nrm.format(t='x')} * {nrm.format(t='y')}) >= {threshold}
+)
+SELECT s.vec_id, s.cluster,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM sd s LEFT JOIN dup d USING (vec_id)
+"""
+
+
 _KMEANS_ORACLE_SQL = _kmeans_oracle_sql(4, 2)
+_SEMDEDUP_ORACLE_SQL = _semdedup_oracle_sql(4, 2, 0.4)
 
 
 def _q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5187,7 +5234,7 @@ _GATE_ORDER = [
     "cross_doc_dup", "unicode_normalize", "gopher_repetition",
     "tfidf_keywords", "length_profile", "pmi_collocations",
     "pagerank_domains", "anchor_terms", "weighted_sample", "rolling_counts",
-    "kmeans_embeddings", "tile_top_entities", "s2_rollup",
+    "kmeans_embeddings", "semdedup", "tile_top_entities", "s2_rollup",
     "decayed_popularity", "robots_filter", "country_lang_mix",
     "entity_cooccurrence", "travel_distance", "entity_footprints",
     "bpe_training", "geohash_rollup", "quality_profile",
@@ -5287,6 +5334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "semdedup": _q_semdedup,
         "radius_join": _q_radius_join,
         "tile_top_entities": _q_tile_top_entities,
         "s2_rollup": _q_s2_rollup,
@@ -5530,6 +5578,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
+        "semdedup": _SEMDEDUP_ORACLE_SQL,
         "radius_join": _RADIUS_JOIN_ORACLE_SQL,
         "tile_top_entities": _TILE_TOP_ORACLE_SQL,
         "s2_rollup": _s2_rollup_oracle_sql(14, 10),

@@ -683,3 +683,66 @@ def with_cross_doc_dup_fraction(
             ).otherwise(F.lit(0.0)).alias("dup_window_fraction"),
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = k-means cluster the
+    embeddings, then mark as duplicate any point whose cosine similarity
+    to a LOWER-ID point in the same cluster is >= threshold (the id-greedy
+    deterministic variant of the paper's keep-one-per-similar-group rule;
+    min id is the canonical survivor, matching this module's other dedup
+    operators). Returns (id_col, cluster, is_dup) for every input row.
+
+    Engine-exact by construction: the Lloyd steps are the bit-exact
+    operators/kmeans.py, and the cosine is a left fold of per-dimension
+    double products in dimension order, divided by the product of two
+    IEEE sqrts — no rounding needed before the threshold comparison.
+
+    100 TB shape: clustering is the whole point — only within-cluster
+    pairs are scored, so the quadratic pair space shrinks from n^2 to
+    sum(|c|^2). k must therefore scale with n (the paper uses k ~ n /
+    target_cluster_size, e.g. 50k clusters for 5B docs); the self-join
+    shuffles on the cluster id, so parallelism is bounded by k — at k=4
+    this is a correctness fixture, at production k it spreads evenly.
+    A runaway hot cluster (skew) is bounded by capping cluster size
+    upstream or raising k; pair generation itself stays JVM-side.
+    """
+    from .kmeans import kmeans
+
+    assign, _ = kmeans(df, k=k, iterations=iterations,
+                       id_col=id_col, vec_col=vec_col, keep_vec=True)
+    # stage the double-cast vector once per row (pairs >> rows would be
+    # the opposite call, but within tight clusters pairs ~ rows here)
+    a = assign.select(
+        F.col(id_col).alias("_id"), "cluster",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    pairs = (
+        a.alias("l")
+        .join(a.alias("r"),
+              (F.col("l.cluster") == F.col("r.cluster"))
+              & (F.col("r._id") < F.col("l._id")))
+        .select(F.col("l._id").alias("_id"),
+                F.col("l._v").alias("va"), F.col("r._v").alias("vb"))
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, v: acc + v * v))
+    dup_ids = (
+        pairs.where((dot / (na * nb)) >= F.lit(threshold))
+        .select("_id").distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        a.join(dup_ids, "_id", "left")
+        .select(F.col("_id").alias(id_col), "cluster",
+                F.coalesce("_dup", F.lit(0)).alias("is_dup"))
+    )

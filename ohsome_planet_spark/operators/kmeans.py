@@ -48,9 +48,15 @@ def kmeans(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assignments, centroids) after `iterations` Lloyd steps:
-    assignments = (id, cluster, dist); centroids = (cluster, centroid)."""
+    assignments = (id, cluster, dist); centroids = (cluster, centroid).
+
+    keep_vec=True carries the input vector through into assignments (as
+    vec_col) — consumers that need the vector per assignment (semdedup's
+    within-cluster cosine pass) avoid re-joining the source, which at
+    scale would be a second shuffle of the full embedding column."""
     pts = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
     # TakeOrderedAndProject first (distributed partial top-k); the
@@ -113,8 +119,10 @@ def kmeans(
             .select("cluster", F.coalesce("_c", "_c_prev").alias("_c"))
         )
 
-    assignments = assign.select(
-        F.col("_id").alias(id_col), "cluster",
-        F.round(F.col("_d"), 9).alias("dist"))
+    out_cols = [F.col("_id").alias(id_col), F.col("cluster"),
+                F.round(F.col("_d"), 9).alias("dist")]
+    if keep_vec:
+        out_cols.append(F.col("_v").alias(vec_col))
+    assignments = assign.select(*out_cols)
     return assignments, centroids.select(
         "cluster", F.col("_c").alias("centroid"))
