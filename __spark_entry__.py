@@ -3301,6 +3301,75 @@ SELECT event_id, md5(n) AS clean_md5, length(n)::INT AS clean_len FROM clean
 """
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet cross-document paragraph dedup (Wenzek et al. 2020 §3.1):
+    docs are synthesized as 4 lines — constant boilerplate (dropped:
+    appears in every doc), a group banner shared by doc_id % 37 (dropped),
+    the real documents.text (dropped exactly where the corpus has exact
+    text duplicates), and a per-doc unique footer (kept). Output is the
+    md5/length of the reassembled text plus paragraph counts — exact
+    string semantics, value-checked."""
+    from ohsome_planet_spark.operators.dedup import cross_doc_paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    built = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter for updates."), nl,
+            F.lit("shared group banner number "),
+            (F.col("doc_id") % 37).cast("string"), F.lit("."), nl,
+            F.col("text"), nl,
+            F.lit("unique footer for document "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    res = cross_doc_paragraph_dedup(built, min_docs=2)
+    return res.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("clean_len"),
+        "n_paragraphs",
+        "n_dropped",
+    )
+
+
+_PARAGRAPH_DEDUP_ORACLE_SQL = """
+WITH built AS (
+  SELECT doc_id,
+    'subscribe to our newsletter for updates.' || chr(10) ||
+    'shared group banner number ' || CAST(doc_id % 37 AS VARCHAR) || '.' || chr(10) ||
+    text || chr(10) ||
+    'unique footer for document ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, j, ls[j] AS line, md5(lower(trim(ls[j]))) AS h
+  FROM (
+    SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS j
+    FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM built)
+  )
+),
+hot AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM lines)
+  GROUP BY h HAVING count(*) >= 2
+),
+kept AS (SELECT * FROM lines WHERE h NOT IN (SELECT h FROM hot)),
+re AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY j), chr(10)) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_paragraphs FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       md5(coalesce(r.clean_text, '')) AS clean_md5,
+       length(coalesce(r.clean_text, '')) AS clean_len,
+       t.n_paragraphs,
+       t.n_paragraphs - coalesce(r.n_kept, 0) AS n_dropped
+FROM tot t LEFT JOIN re r USING (doc_id)
+"""
+
+
 def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC normalization + control stripping over texts synthesized with
     decomposed accents (e + U+0301 etc.), precomposed twins, and embedded
@@ -5234,7 +5303,8 @@ _GATE_ORDER = [
     "cross_doc_dup", "unicode_normalize", "gopher_repetition",
     "tfidf_keywords", "length_profile", "pmi_collocations",
     "pagerank_domains", "anchor_terms", "weighted_sample", "rolling_counts",
-    "kmeans_embeddings", "semdedup", "tile_top_entities", "s2_rollup",
+    "kmeans_embeddings", "semdedup", "paragraph_dedup",
+    "tile_top_entities", "s2_rollup",
     "decayed_popularity", "robots_filter", "country_lang_mix",
     "entity_cooccurrence", "travel_distance", "entity_footprints",
     "bpe_training", "geohash_rollup", "quality_profile",
@@ -5335,6 +5405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
+        "paragraph_dedup": _q_paragraph_dedup,
         "radius_join": _q_radius_join,
         "tile_top_entities": _q_tile_top_entities,
         "s2_rollup": _q_s2_rollup,
@@ -5579,6 +5650,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE_SQL,
         "radius_join": _RADIUS_JOIN_ORACLE_SQL,
         "tile_top_entities": _TILE_TOP_ORACLE_SQL,
         "s2_rollup": _s2_rollup_oracle_sql(14, 10),

@@ -746,3 +746,64 @@ def semdedup(
         .select(F.col("_id").alias(id_col), "cluster",
                 F.coalesce("_dup", F.lit(0)).alias("is_dup"))
     )
+
+
+def cross_doc_paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style global paragraph dedup (Wenzek et al. 2020 §3.1):
+    split each document into paragraphs on `sep`, hash the normalized
+    (lowercased, trimmed) paragraph, and DROP every paragraph whose hash
+    occurs in >= min_docs distinct documents; survivors re-join in their
+    original order. Returns (id_col, clean_text, n_paragraphs, n_dropped)
+    with one row per input document (a fully-boilerplate doc keeps its
+    row with clean_text = '').
+
+    100 TB shape: three shuffles, all well-spread —
+    * distinct (hash, doc) pairs: map-side combine collapses a doc's own
+      repeats; the shuffle key includes doc id, so a boilerplate line in
+      billions of docs does NOT pile onto one reducer;
+    * per-hash doc count: algebraic sum of partials after the distinct —
+      partial aggregation absorbs the hot hashes;
+    * reassembly groupBy(doc): bounded by document size.
+    The hot-hash set is typically tiny relative to the corpus (boilerplate
+    follows a zipf head), but the anti-join stays a shuffle join here: at
+    100 TB its size is unknown at plan time and AQE converts it to
+    broadcast when the built side turns out small.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5(F.lower(F.trim("_line"))))
+    hot = (
+        lines.select("_h", "_id").distinct()
+        .groupBy("_h").agg(F.count("*").alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(hot, "_h", "left_anti")
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count("*").alias("n_paragraphs"))
+    return (
+        totals.join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paragraphs",
+            (F.col("n_paragraphs") - F.coalesce("_n_kept", F.lit(0)))
+            .alias("n_dropped"),
+        )
+    )
