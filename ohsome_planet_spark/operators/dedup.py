@@ -796,7 +796,14 @@ def cross_doc_paragraph_dedup(
         ).alias("clean_text"),
         F.count("*").alias("_n_kept"),
     )
-    totals = lines.groupBy("_id").agg(F.count("*").alias("n_paragraphs"))
+    # per-doc totals come from the UN-exploded row (size of the split
+    # array): the exploded `lines` subtree already feeds two consumers
+    # (hot-hash build + anti-join); a third groupBy over it would re-run
+    # the explode over the full corpus just to count
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), sep)).alias("n_paragraphs"),
+    )
     return (
         totals.join(reassembled, "_id", "left")
         .select(
