@@ -3369,6 +3369,90 @@ SELECT t.doc_id,
 FROM tot t LEFT JOIN re r USING (doc_id)
 """
 
+_SHARED25 = ("the quick brown fox jumps over the lazy dog while reading common "
+             "crawl pages about spark engines running at planet scale every "
+             "single day today")
+
+
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2021, 20-word
+    windows): docs are synthesized as unique preamble (contains doc_id) +
+    either a constant 25-word block (doc_id % 5 == 0) or a unique filler +
+    the real documents.text + unique footer. The 25-word block spans six
+    overlapping flagged windows that must merge and vanish from every
+    fifth doc; organically duplicated corpus texts lose their interior
+    windows too. Exact string output, md5 value-checked."""
+    from ohsome_planet_spark.operators.dedup import exact_substring_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.lit("doc"), i, F.lit("opens with a unique preamble header"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_SHARED25))
+             .otherwise(F.concat_ws(
+                 " ", F.lit("standalone filler segment for document"), i)),
+            F.col("text"),
+            F.lit("closing footer token"), i,
+        ).alias("text"),
+    )
+    res = exact_substring_dedup(built, window=20, min_count=2)
+    return res.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("clean_len"),
+        "n_words",
+        "n_dropped_words",
+    )
+
+
+_SUBSTRING_DEDUP_ORACLE_SQL = f"""
+WITH built AS (
+  SELECT doc_id,
+    'doc ' || CAST(doc_id AS VARCHAR) || ' opens with a unique preamble header '
+    || CASE WHEN doc_id % 5 = 0 THEN '{_SHARED25}'
+            ELSE 'standalone filler segment for document ' || CAST(doc_id AS VARCHAR)
+       END
+    || ' ' || text || ' closing footer token ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(t, ' ') AS w FROM built),
+spans AS (
+  SELECT doc_id, s, md5(array_to_string(w[s : s + 19], ' ')) AS h
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS s
+    FROM w WHERE len(w) >= 20
+  )
+),
+hot AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+flg AS (
+  SELECT doc_id, list(DISTINCT s) AS starts
+  FROM spans WHERE h IN (SELECT h FROM hot) GROUP BY doc_id
+),
+j AS (
+  SELECT w.doc_id, w.w, coalesce(f.starts, []) AS starts
+  FROM w LEFT JOIN flg f USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_filter(
+           list_transform(generate_series(1, len(w)),
+             i -> CASE WHEN len(list_filter(starts,
+                          s -> s <= i AND i < s + 20)) = 0
+                       THEN w[i] END),
+           x -> x IS NOT NULL) AS kw
+  FROM j
+)
+SELECT doc_id,
+       md5(array_to_string(kw, ' ')) AS clean_md5,
+       length(array_to_string(kw, ' ')) AS clean_len,
+       n_words,
+       n_words - len(kw) AS n_dropped_words
+FROM kept
+"""
+
 
 def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC normalization + control stripping over texts synthesized with
@@ -5303,7 +5387,7 @@ _GATE_ORDER = [
     "cross_doc_dup", "unicode_normalize", "gopher_repetition",
     "tfidf_keywords", "length_profile", "pmi_collocations",
     "pagerank_domains", "anchor_terms", "weighted_sample", "rolling_counts",
-    "kmeans_embeddings", "semdedup", "paragraph_dedup",
+    "kmeans_embeddings", "semdedup", "paragraph_dedup", "substring_dedup",
     "tile_top_entities", "s2_rollup",
     "decayed_popularity", "robots_filter", "country_lang_mix",
     "entity_cooccurrence", "travel_distance", "entity_footprints",
@@ -5406,6 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
         "paragraph_dedup": _q_paragraph_dedup,
+        "substring_dedup": _q_substring_dedup,
         "radius_join": _q_radius_join,
         "tile_top_entities": _q_tile_top_entities,
         "s2_rollup": _q_s2_rollup,
@@ -5651,6 +5736,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE_SQL,
+        "substring_dedup": _SUBSTRING_DEDUP_ORACLE_SQL,
         "radius_join": _RADIUS_JOIN_ORACLE_SQL,
         "tile_top_entities": _TILE_TOP_ORACLE_SQL,
         "s2_rollup": _s2_rollup_oracle_sql(14, 10),

@@ -814,3 +814,83 @@ def cross_doc_paragraph_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", word-window variant):
+    hash every `window`-word span; any span whose hash occurs >= min_count
+    times ACROSS THE CORPUS (including within one doc) is removed from
+    every occurrence; the surviving words re-join in order. Returns
+    (id_col, clean_text, n_words, n_dropped_words), one row per doc.
+
+    A word is dropped iff some flagged span covers it, so overlapping
+    duplicated spans merge naturally (the union of flagged [s, s+window)
+    intervals). Docs shorter than `window` words have no spans and pass
+    through whole.
+
+    100 TB shape: the span table is the big intermediate — (docs x words)
+    rows; the hash groupBy is an algebraic count (map-side combine eats
+    same-doc repeats), and flagged spans re-join per doc id. Hashing here
+    is md5 over the joined slice — O(words x window) chars per doc, chosen
+    because the DuckDB twin can replay it byte-for-byte; a production run
+    swaps in a Rabin-Karp rolling hash over per-word hashes (O(words) per
+    doc, same plan shape, no cross-engine oracle). The per-word coverage
+    test is exists() over the doc's flagged starts — flagged starts are
+    rare (zipf head), so it stays near-linear.
+    """
+    L = window
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    spans = words.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size("_w") >= L,
+                F.sequence(F.lit(1), F.size("_w") - (L - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_s"),
+        "_w",
+    ).select(
+        "_id", "_s",
+        F.md5(F.array_join(F.slice("_w", F.col("_s"), L), " ")).alias("_h"),
+    )
+    hot = (
+        spans.groupBy("_h").agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    flagged = (
+        spans.join(hot, "_h", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_s").alias("_starts"))
+    )
+    joined = words.join(flagged, "_id", "left").select(
+        "_id", "_w",
+        F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
+    )
+    covered = lambda j: F.exists(
+        "_starts", lambda s: (s <= j) & (j < s + F.lit(L))
+    )
+    kept = F.filter(
+        F.zip_with(
+            "_w",
+            F.sequence(F.lit(1), F.size("_w")),
+            lambda w, j: F.when(~covered(j), w),
+        ),
+        lambda w: w.isNotNull(),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_w").alias("n_words"),
+        (F.size("_w") - F.size(kept)).alias("n_dropped_words"),
+    )
