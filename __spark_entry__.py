@@ -4545,6 +4545,82 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    bucket models over a target slice (doc_id % 7 = 0) vs the full corpus,
+    per-doc log-likelihood-ratio weight (document-order fold of 9-dp
+    terms), deterministic Gumbel-top-k selection. The model collect is
+    bounded (512 buckets — the codebook doctrine, like ivf_topk); the
+    DuckDB oracle refits both bucket models and replays the fold, the
+    hash-derived Gumbel noise, and the top-k bit for bit."""
+    from ohsome_planet_spark.operators.dsir import (
+        dsir_log_ratios, dsir_resample)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    lr = dsir_log_ratios(target, docs, num_buckets=512)
+    sel = dsir_resample(docs, lr, k=120)
+    return sel.select("doc_id", "n_features", "weight", "gkey")
+
+
+_DSIR_ORACLE_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         list_concat(w, list_transform(
+           generate_series(1, greatest(len(w) - 1, 0)),
+           i -> w[i] || ' ' || w[i+1])) AS fs
+  FROM docs
+),
+tf AS (
+  SELECT CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 512 AS b
+  FROM (SELECT unnest(fs) AS f FROM feats WHERE doc_id % 7 = 0)
+),
+qf AS (
+  SELECT CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 512 AS b
+  FROM (SELECT unnest(fs) AS f FROM feats)
+),
+tc AS (SELECT b, count(*) AS n FROM tf GROUP BY b),
+qc AS (SELECT b, count(*) AS n FROM qf GROUP BY b),
+tt AS (SELECT count(*) AS n FROM tf),
+qt AS (SELECT count(*) AS n FROM qf),
+model AS (
+  SELECT g.b,
+         round(ln((CAST(coalesce(tc.n, 0) AS DOUBLE) + 1.0)
+                  / (CAST(tt.n AS DOUBLE) + 512.0))
+             - ln((CAST(coalesce(qc.n, 0) AS DOUBLE) + 1.0)
+                  / (CAST(qt.n AS DOUBLE) + 512.0)), 9) AS lr
+  FROM (SELECT unnest(generate_series(0, 511)) AS b) g
+  LEFT JOIN tc ON g.b = tc.b
+  LEFT JOIN qc ON g.b = qc.b
+  CROSS JOIN tt CROSS JOIN qt
+),
+lrs AS (SELECT list(lr ORDER BY b) AS arr FROM model),
+weights AS (
+  SELECT doc_id,
+         len(fs)::BIGINT AS n_features,
+         round(list_reduce(
+           list_prepend(0.0::DOUBLE, list_transform(fs,
+             f -> arr[CAST(CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT)
+                           % 512 AS INTEGER) + 1])),
+           (a, x) -> a + x), 6) AS weight
+  FROM feats CROSS JOIN lrs
+)
+SELECT doc_id, n_features, weight,
+       weight + round(-ln(-ln(
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 + 1 AS DOUBLE) / 1000001.0)), 9) AS gkey
+FROM weights
+ORDER BY gkey DESC, doc_id ASC
+LIMIT 120
+"""
+
+
 def _q_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user activity window over events: one range
     frame (count + exact integer sum), inclusive on both boundary
@@ -5394,8 +5470,8 @@ _GATE_ORDER = [
     "bpe_training", "geohash_rollup", "quality_profile",
     "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
-    "domain_cap", "quality_model_score",
-    # ---- gate cap boundary (50 = 37 above + first 13 below) ----
+    "domain_cap", "quality_model_score", "dsir_resample",
+    # ---- gate cap boundary (never-gated + new entries above) ----
     # -- driver-gated in round 5, in their round-5 order --
     "pricing_summary", "changeset_join_default", "validity_window",
     "version_numbering", "contrib_type", "consecutive_dedup",
@@ -5486,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "weighted_sample": _q_weighted_sample,
+        "dsir_resample": _q_dsir_resample,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -5732,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_ORACLE_SQL,
         "range_join": _RANGE_JOIN_ORACLE_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE_SQL,
+        "dsir_resample": _DSIR_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,
