@@ -3932,6 +3932,74 @@ FROM ctoks LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: top-500 bigram model,
+    ENGINE-EXACT per-doc logprob (9-dp add-k terms folded in DOCUMENT
+    order — the position-indexed collect_list variant, unlike
+    lm_bigram_score whose Σ ln stays out of the hash), lpt = fold /
+    n_bigrams (no final round: the IEEE division of identical doubles is
+    already bit-exact, and rounding a rounded-term sum divided by a
+    power-of-two count hits half-boundary ties systematically), then
+    per-language ntile(3) with unscorable docs sorted last. The full
+    float score IS oracle-hashed here."""
+    from ohsome_planet_spark.operators.ngram_lm import (
+        bigram_model, perplexity_buckets)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = bigram_model(docs, top_k=500)
+    return perplexity_buckets(docs, model, n_buckets=3, lang_col="lang")
+
+
+_CCNET_BUCKETS_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, i, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks)
+),
+model AS (
+  SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2
+  ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 500
+),
+ctx AS (SELECT w1, sum(n) AS ctx_n FROM model GROUP BY w1),
+vs AS (SELECT count(DISTINCT w2) + 1 AS v FROM model),
+terms AS (
+  SELECT p.doc_id, p.i,
+         round(ln((CAST(coalesce(m.n, 0) AS DOUBLE) + 1.0)
+                  / (CAST(coalesce(c.ctx_n, 0) AS DOUBLE)
+                     + CAST(v AS DOUBLE))), 9) AS term
+  FROM pairs p
+  LEFT JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+  LEFT JOIN ctx c ON p.w1 = c.w1
+  CROSS JOIN vs
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY i)),
+                     (a, b) -> a + b) / count(*) AS lpt
+  FROM terms GROUP BY doc_id
+),
+tiled AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+         s.lpt,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.lpt DESC NULLS LAST, d.doc_id ASC)
+           AS bucket
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+SELECT doc_id, lang, n_bigrams, lpt, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS label
+FROM tiled
+"""
+
+
 def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction: emails / ipv4 (octet-range-checked) /
     international phones planted into every 7th document, counted with
@@ -5470,7 +5538,7 @@ _GATE_ORDER = [
     "bpe_training", "geohash_rollup", "quality_profile",
     "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
-    "domain_cap", "quality_model_score", "dsir_resample",
+    "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
     # ---- gate cap boundary (never-gated + new entries above) ----
     # -- driver-gated in round 5, in their round-5 order --
     "pricing_summary", "changeset_join_default", "validity_window",
@@ -5563,6 +5631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "weighted_sample": _q_weighted_sample,
         "dsir_resample": _q_dsir_resample,
+        "ccnet_buckets": _q_ccnet_buckets,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -5810,6 +5879,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _RANGE_JOIN_ORACLE_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE_SQL,
         "dsir_resample": _DSIR_ORACLE_SQL,
+        "ccnet_buckets": _CCNET_BUCKETS_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,

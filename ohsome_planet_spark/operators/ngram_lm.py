@@ -146,6 +146,152 @@ def pmi_collocations(
     )
 
 
+def doc_bigrams_indexed(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(_id, i, w1, w2) — doc_bigrams plus the bigram's 1-based document
+    position, so downstream float folds can pin document order even after
+    a join scrambles row order."""
+    toks = _tokens_col(F.col(text_col))
+    pairs = F.expr(
+        "zip_with(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        "slice(_toks, 2, greatest(size(_toks) - 1, 0)), "
+        "(a, b) -> struct(a AS w1, b AS w2))"
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select("_id", F.posexplode(pairs).alias("_i", "_p"))
+        .select("_id", (F.col("_i") + 1).alias("i"),
+                F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def with_lm_logprob_exact(
+    df: DataFrame,
+    model: DataFrame,
+    k: float = 1.0,
+    vocab_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-doc (id, n_bigrams, logprob) with an ENGINE-EXACT logprob.
+
+    Unlike ``with_lm_stats`` (whose Σ ln terms aggregate in arbitrary row
+    order — fine to threshold on, unfit for cross-engine hashing or exact
+    ranking), each add-k term is rounded to 9 dp and summed as a
+    DOCUMENT-ORDER left fold: the per-doc bigram terms are collected with
+    their position index, sorted, and folded sequentially, so the result
+    is bit-identical across runs, engines, and cluster sizes.
+
+    Scale shape: model + contexts broadcast (pruned top-K); the only
+    shuffle carries (doc, position, term) aggregate rows; per-doc
+    collect_list is bounded by document length (the same bound every
+    text operator here lives under)."""
+    if vocab_size is None:
+        vocab_size = model.select("w2").distinct().count() + 1
+
+    ctx = context_counts(model)
+    m = model.withColumnRenamed("n", "_bn")
+    c = ctx.withColumnRenamed("ctx_n", "_cn")
+    if broadcast_model:
+        m, c = F.broadcast(m), F.broadcast(c)
+
+    pairs = doc_bigrams_indexed(df, id_col, text_col)
+    joined = pairs.join(m, ["w1", "w2"], "left").join(c, ["w1"], "left")
+    term = F.round(
+        F.log(
+            (F.coalesce(F.col("_bn"), F.lit(0)).cast("double")
+             + F.lit(float(k)))
+            / (F.coalesce(F.col("_cn"), F.lit(0)).cast("double")
+               + F.lit(float(k * vocab_size)))
+        ),
+        9,
+    )
+    per_doc = (
+        joined.select("_id", "i", term.alias("_term"))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "_term"))),
+                    lambda s: s["_term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("logprob"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("_id"))
+    z = F.lit(0)
+    return (
+        ids.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", z).cast("long").alias("n_bigrams"),
+            F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
+        )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: DataFrame,
+    n_buckets: int = 3,
+    k: float = 1.0,
+    vocab_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by exact
+    logprob-per-bigram (best first) and cut into ``n_buckets`` equal
+    ntiles — per language when ``lang_col`` is given, exactly as CCNet
+    buckets each language shard into head/middle/tail. Docs too short to
+    score (no bigrams) sort last (NULLS LAST) and land in the tail.
+
+    Output: id (+ lang), n_bigrams, lpt (exact logprob per bigram,
+    NULL when unscorable), bucket (1..n), and for the canonical 3-way cut
+    a head/middle/tail label.
+
+    Scale note: ntile is one window per language partition — the CCNet
+    sharding; for a corpus where single languages are too big to sort,
+    swap the window for approx_percentile cut points (sketch-mergeable,
+    one pass) at the cost of exact tile boundaries."""
+    from pyspark.sql.window import Window
+
+    keep = [id_col] + ([lang_col] if lang_col else [])
+    stats = with_lm_logprob_exact(
+        docs, model, k=k, vocab_size=vocab_size,
+        id_col=id_col, text_col=text_col,
+    )
+    base = docs.select(*keep).join(stats, id_col)
+    # NO final round: the fold and the IEEE division are already
+    # bit-identical cross-engine; rounding a value that is a rounded-term
+    # sum divided by a (often power-of-two) count lands on half-boundary
+    # ties SYSTEMATICALLY and would re-introduce engine divergence
+    lpt = F.when(
+        F.col("n_bigrams") > 0, F.col("logprob") / F.col("n_bigrams")
+    )
+    part = [lang_col] if lang_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("lpt").desc_nulls_last(), F.col(id_col).asc())
+    out = (
+        base.withColumn("lpt", lpt)
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .drop("logprob")
+    )
+    if n_buckets == 3:
+        out = out.withColumn(
+            "label",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("bucket"),
+            ),
+        )
+    return out
+
+
 def with_lm_stats(
     df: DataFrame,
     model: DataFrame,

@@ -135,3 +135,65 @@ def test_pmi_collocations(spark):
     again = pmi_collocations(df, min_count=3, top_k=5).collect()
     assert [(x["w1"], x["w2"], x["pmi"]) for x in again] == \
            [(x["w1"], x["w2"], x["pmi"]) for x in out]
+
+
+def test_logprob_exact_matches_python_fold(spark):
+    from ohsome_planet_spark.operators.ngram_lm import (
+        bigram_model, with_lm_logprob_exact)
+    import math
+
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "zz qq"), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = bigram_model(df, top_k=100)
+    mrows = {(r["w1"], r["w2"]): r["n"] for r in model.collect()}
+    ctx = {}
+    for (w1, _), n in mrows.items():
+        ctx[w1] = ctx.get(w1, 0) + n
+    v = len({w2 for _, w2 in mrows}) + 1
+
+    def fold(text):
+        t = text.split()
+        acc = 0.0
+        for a, b in zip(t, t[1:]):
+            acc += round(
+                math.log((mrows.get((a, b), 0) + 1.0) / (ctx.get(a, 0) + v)),
+                9)
+        return acc
+
+    got = {r["doc_id"]: r for r in with_lm_logprob_exact(df, model).collect()}
+    assert got[1]["logprob"] == fold("a b a b c")
+    assert got[2]["logprob"] == fold("a b")
+    assert got[3]["logprob"] == fold("zz qq")  # unseen pairs: ln(1/V) terms
+    assert got[4]["n_bigrams"] == 0 and got[4]["logprob"] == 0.0
+
+
+def test_perplexity_buckets_head_is_best(spark):
+    from ohsome_planet_spark.operators.ngram_lm import (
+        bigram_model, perplexity_buckets)
+
+    # 6 fluent docs from one template + 3 gibberish docs; per-lang tiles
+    rows = [(i, "en", "the cat sat on the mat") for i in range(6)]
+    rows += [(10 + i, "en", f"zzq{i} vvw{i} qxj{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = bigram_model(df, top_k=100)
+    out = perplexity_buckets(df, model, n_buckets=3, lang_col="lang")
+    by = {r["doc_id"]: r for r in out.collect()}
+    # every gibberish doc lands in the tail; fluent docs fill the head
+    assert all(by[10 + i]["label"] == "tail" for i in range(3))
+    assert all(by[i]["label"] == "head" for i in range(3))
+    # buckets are balanced ntiles: 9 docs -> 3/3/3
+    from collections import Counter
+    assert Counter(r["label"] for r in by.values()) == {
+        "head": 3, "middle": 3, "tail": 3}
+
+
+def test_perplexity_buckets_short_docs_sort_last(spark):
+    from ohsome_planet_spark.operators.ngram_lm import (
+        bigram_model, perplexity_buckets)
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "x")]  # doc 3: no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = bigram_model(df, top_k=10)
+    out = {r["doc_id"]: r for r in
+           perplexity_buckets(df, model, n_buckets=3).collect()}
+    assert out[3]["lpt"] is None and out[3]["bucket"] == 3
