@@ -156,21 +156,37 @@ def minhash_lsh_pairs(
         F.hash(F.slice("_sig", i * rows_per_band + 1, rows_per_band), F.lit(i)).alias("_b")
         for i in range(bands)
     ]
-    # ids ONLY ride through the band self-join (r1 finding 5: carrying the
+    # ids ONLY ride through the band stage (r1 finding 5: carrying the
     # shingle arrays multiplied the heaviest column by bands × fan-out);
     # the shingle table is re-joined on the deduplicated candidate pairs.
+    #
+    # Pair generation is ONE groupBy per (band, bucket) + a streaming
+    # two-step explode over the sorted member list — NOT a banded
+    # self-join. A self-join computes the full minhash signature subtree
+    # on BOTH sides (verified: Spark does not reuse the exchange across
+    # the two sides — the Generate node defeats plan canonicalization)
+    # and shuffles the banded rows twice; this shape computes signatures
+    # once and shuffles (band, bucket, id) once. Skew profile is
+    # unchanged (either shape lands a whole bucket in one task); memory
+    # per generator row is O(bucket), never O(bucket²), because the
+    # second explode slices the shared sorted array instead of
+    # materializing the pair cross-product.
     banded = sig.select(
         "_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_bucket")
     )
+    buckets = (
+        banded.groupBy("_band_idx", "_bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
     cand_ids = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l._band_idx") == F.col("r._band_idx"))
-            & (F.col("l._bucket") == F.col("r._bucket"))
-            & (F.col("l._id") < F.col("r._id")),
+        buckets.select("_ids", F.posexplode("_ids").alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.expr("slice(_ids, _i + 2, size(_ids))")
+            ).alias("id_b"),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     sh_tbl = sig.select("_id", "_sh")
