@@ -160,17 +160,11 @@ def minhash_lsh_pairs(
     # shingle arrays multiplied the heaviest column by bands × fan-out);
     # the shingle table is re-joined on the deduplicated candidate pairs.
     #
-    # Pair generation is ONE groupBy per (band, bucket) + a streaming
-    # two-step explode over the sorted member list — NOT a banded
-    # self-join. A self-join computes the full minhash signature subtree
-    # on BOTH sides (verified: Spark does not reuse the exchange across
-    # the two sides — the Generate node defeats plan canonicalization)
-    # and shuffles the banded rows twice; this shape computes signatures
-    # once and shuffles (band, bucket, id) once. Skew profile is
-    # unchanged (either shape lands a whole bucket in one task); memory
-    # per generator row is O(bucket), never O(bucket²), because the
-    # second explode slices the shared sorted array instead of
-    # materializing the pair cross-product.
+    # Pair generation is ONE groupBy per (band, bucket) + the shared
+    # streaming pair generator (see _element_pairs for why this beats a
+    # banded self-join: the signature subtree computes once and the
+    # banded rows shuffle once; skew profile unchanged — either shape
+    # lands a whole bucket in one task).
     banded = sig.select(
         "_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_bucket")
     )
@@ -180,13 +174,8 @@ def minhash_lsh_pairs(
         .where(F.size("_ids") >= 2)
     )
     cand_ids = (
-        buckets.select("_ids", F.posexplode("_ids").alias("_i", "id_a"))
-        .select(
-            "id_a",
-            F.explode(
-                F.expr("slice(_ids, _i + 2, size(_ids))")
-            ).alias("id_b"),
-        )
+        _element_pairs(buckets, "_ids")
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     sh_tbl = sig.select("_id", "_sh")
@@ -202,6 +191,29 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _element_pairs(grouped: DataFrame, arr_col: str) -> DataFrame:
+    """(_a, _b) for every i < j element pair of each row's SORTED array —
+    the shared candidate-pair generator for every bucketed near-dup op.
+
+    A bucketed self-join computes the bucket-key subtree on both sides
+    (Spark does not reuse the exchange across them — Generate nodes
+    defeat plan canonicalization; verified on executed plans) and
+    shuffles the rows twice. Grouping each bucket's members once and
+    exploding pairs from the sorted array computes the subtree once and
+    shuffles once. Both explodes are streaming generators: per emitted
+    row the slice copy is O(|bucket|), never O(|bucket|²). Elements must
+    be pre-sorted so _a < _b by value (structs: by leading id field)."""
+    return (
+        grouped.select(arr_col, F.posexplode(arr_col).alias("_i", "_a"))
+        .select(
+            "_a",
+            F.explode(
+                F.expr(f"slice({arr_col}, _i + 2, size({arr_col}))")
+            ).alias("_b"),
+        )
     )
 
 
@@ -232,12 +244,18 @@ def ngram_jaccard_pairs(
     ).cache()
     inv = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_doc_freq is None:
-        # exact intersection counts straight off the inverted index
+        # exact intersection counts straight off the inverted index:
+        # group each shingle's posting list once, stream element pairs
+        # (see _element_pairs), count co-occurrences per pair
         sizes = sh.select("_id", F.size("_sh").alias("_n"))
+        postings = (
+            inv.groupBy("_s")
+            .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+            .where(F.size("_ids") >= 2)
+        )
         pair_inter = (
-            inv.alias("l")
-            .join(inv.alias("r"), (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
-            .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+            _element_pairs(postings, "_ids")
+            .groupBy(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
             .agg(F.count("*").alias("_inter"))
         )
         joined = (
@@ -262,10 +280,14 @@ def ngram_jaccard_pairs(
         "candidate generation (pairs re-verified exactly)", n_hot, max_doc_freq
     )
     inv_capped = inv.join(hot.select("_s"), "_s", "left_anti")
+    capped_postings = (
+        inv_capped.groupBy("_s")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
     cand_ids = (
-        inv_capped.alias("l")
-        .join(inv_capped.alias("r"), (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        _element_pairs(capped_postings, "_ids")
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     cand = cand_ids.join(
@@ -394,20 +416,23 @@ def simhash_near_dups(
         (F.shiftrightunsigned("_sig", i * width).bitwiseAND(F.lit(mask))).alias("_blk")
         for i in range(blocks)
     ]
+    # grouped pair generation (see _element_pairs): the whole
+    # token-explode simhash aggregation computes ONCE, not once per
+    # self-join side; members carry (id, sig) — one long each, so a
+    # grouped bucket row stays small even for large blocks
     blocked = sig.select("_id", "_sig", F.posexplode(F.array(*block_cols)).alias("_bi", "_blk"))
+    groups = (
+        blocked.groupBy("_bi", "_blk")
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_sig"))).alias("_ms"))
+        .where(F.size("_ms") >= 2)
+    )
     cand = (
-        blocked.alias("l")
-        .join(
-            blocked.alias("r"),
-            (F.col("l._bi") == F.col("r._bi"))
-            & (F.col("l._blk") == F.col("r._blk"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+        _element_pairs(groups, "_ms")
         .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sig").alias("sig_a"),
-            F.col("r._sig").alias("sig_b"),
+            F.col("_a._id").alias("id_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_a._sig").alias("sig_a"),
+            F.col("_b._sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -448,18 +473,24 @@ def embedding_near_dups(
         sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
     bucket = sum(sign_bits[1:], sign_bits[0])
     tagged = base.select("_id", "_v", bucket.alias("_bkt"))
-    cand = (
-        tagged.alias("l")
-        .join(
-            tagged.alias("r"),
-            (F.col("l._bkt") == F.col("r._bkt")) & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._v").alias("va"),
-            F.col("r._v").alias("vb"),
-        )
+    # grouped pair generation (see _element_pairs): the `planes`
+    # dot-product bucket projection computes ONCE, not once per
+    # self-join side. Only ids ride the grouped buckets (a bucket of
+    # vectors in one row would be O(bucket × dim) driver-of-skew
+    # memory); vectors re-attach by two id-keyed joins against the
+    # plain projection, which carries no hyperplane math to recompute.
+    groups = (
+        tagged.groupBy("_bkt")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
+    cand_ids = _element_pairs(groups, "_ids").select(
+        F.col("_a").alias("id_a"), F.col("_b").alias("id_b")
+    )
+    cand = cand_ids.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
+    ).join(
+        base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b"
     )
     # norms stay per PAIR here: tight LSH buckets make pairs ≪ rows, so
     # per-row staging would cost MORE folds (the topk ops make the
