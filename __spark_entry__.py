@@ -4689,6 +4689,103 @@ LIMIT 120
 """
 
 
+def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN (ε=1.0°, min_pts=4) over md5-scattered points (the
+    shared lattice fixture is degenerate for density clustering — points
+    stack on ~300 sites): core/border/noise roles + min-core-id cluster
+    labels. The oracle replays the ε-ball join with a floor(coord/ε)
+    grid prefilter and the components with the recursive min-label CTE;
+    every compare is integer or exact-IEEE (dist² ≤ ε², no sqrt). The
+    event_id < 20000 cap bounds density so fixed ε keeps components
+    small at every SF (exact DBSCAN at growing density inherently merges
+    everything — a fixture property, not an operator limit)."""
+    from ohsome_planet_spark.operators.dbscan import dbscan
+
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("event_id") < 20000) & (F.col("event_id") % 3 == 0))
+
+    def h(p):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(p), F.col("event_id").cast("string"))),
+                1, 15),
+            16, 10).cast("long")
+
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        (F.pmod(h("x"), F.lit(900000)) / F.lit(10000.0)).alias("lon"),
+        (F.pmod(h("y"), F.lit(900000)) / F.lit(10000.0)).alias("lat"),
+    )
+    return dbscan(pts, eps=1.0, min_pts=4)
+
+
+_DBSCAN_ORACLE_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT event_id AS pid,
+         (CAST(concat('0x', substr(md5('x' || CAST(event_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 900000) / 10000.0
+           AS lon,
+         (CAST(concat('0x', substr(md5('y' || CAST(event_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 900000) / 10000.0
+           AS lat
+  FROM events WHERE event_id < 20000 AND event_id % 3 = 0
+),
+g AS (
+  SELECT pid, lon, lat,
+         CAST(floor(lon) AS BIGINT) AS cx, CAST(floor(lat) AS BIGINT) AS cy
+  FROM pts
+),
+pairs AS (
+  SELECT a.pid AS ida, b.pid AS idb
+  FROM g a JOIN g b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.pid <> b.pid
+   AND (a.lon - b.lon) * (a.lon - b.lon)
+     + (a.lat - b.lat) * (a.lat - b.lat) <= 1.0
+),
+cnt AS (SELECT ida AS pid, count(*) AS n FROM pairs GROUP BY ida),
+flags AS (
+  SELECT p.pid, coalesce(c.n, 0) AS n_neighbors,
+         coalesce(c.n, 0) + 1 >= 4 AS is_core
+  FROM pts p LEFT JOIN cnt c ON c.pid = p.pid
+),
+core_edges AS (
+  SELECT p.ida AS src, p.idb AS dst
+  FROM pairs p
+  JOIN flags fa ON fa.pid = p.ida AND fa.is_core
+  JOIN flags fb ON fb.pid = p.idb AND fb.is_core
+),
+core_nodes AS (SELECT pid AS node FROM flags WHERE is_core),
+reach(node, label) AS (
+  SELECT node, node FROM core_nodes
+  UNION
+  SELECT e.src, r.label FROM core_edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, min(label) AS cl FROM reach GROUP BY node),
+core_cl AS (
+  SELECT f.pid, comp.cl FROM flags f JOIN comp ON comp.node = f.pid
+  WHERE f.is_core
+),
+border AS (
+  SELECT p.ida AS pid, min(cc.cl) AS cl
+  FROM pairs p
+  JOIN flags fa ON fa.pid = p.ida AND NOT fa.is_core
+  JOIN core_cl cc ON cc.pid = p.idb
+  GROUP BY p.ida
+)
+SELECT f.pid AS point_id,
+       f.n_neighbors::BIGINT AS n_neighbors,
+       CASE WHEN f.is_core THEN 'core'
+            WHEN b.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CASE WHEN f.is_core THEN cc.cl ELSE b.cl END AS cluster_id
+FROM flags f
+LEFT JOIN core_cl cc ON cc.pid = f.pid
+LEFT JOIN border b ON b.pid = f.pid
+"""
+
+
 def _q_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user activity window over events: one range
     frame (count + exact integer sum), inclusive on both boundary
@@ -5539,6 +5636,7 @@ _GATE_ORDER = [
     "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
     "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
+    "dbscan_clusters",
     # ---- gate cap boundary (never-gated + new entries above) ----
     # -- driver-gated in round 5, in their round-5 order --
     "pricing_summary", "changeset_join_default", "validity_window",
@@ -5632,6 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "dsir_resample": _q_dsir_resample,
         "ccnet_buckets": _q_ccnet_buckets,
+        "dbscan_clusters": _q_dbscan_clusters,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -5880,6 +5979,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE_SQL,
         "dsir_resample": _DSIR_ORACLE_SQL,
         "ccnet_buckets": _CCNET_BUCKETS_ORACLE_SQL,
+        "dbscan_clusters": _DBSCAN_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,

@@ -1,0 +1,185 @@
+"""Grid-partitioned DBSCAN over geocoded points.
+
+Density-based clustering (Ester et al. 1996) with the ε-neighborhood
+probe expressed as the engine's standard grid co-location join (the same
+cell + 3×3-ring shape as `operators/knn.py`, semantics bound mirroring
+the reference's grid-bounded spatial probes, `SpatialGridJoiner.java:48`):
+
+  points → home cell at zoom z  ──┐
+  points → 3×3 ring cells explode ┴ join on cell → dist² ≤ ε² pairs
+  neighbor counts per point → core flag (|N_ε(p)| + self ≥ min_pts)
+  core–core edges → connected components (`dedup.dedup_clusters` —
+      min-label propagation + pointer jumping, O(log d) rounds)
+  border points attach to the MIN cluster id among their core neighbors
+  everything else is noise
+
+The zoom is derived from ε alone — the largest z whose cell is still ≥ ε
+on both axes — so the 3×3 ring provably covers every ε-ball, cells are as
+small as correctness allows (minimum pair fan-out), and no eager
+statistics job runs at plan-build time. All decisions are integer-exact
+or exact-IEEE (dist² ≤ ε² — no sqrt, no libm), so results are identical
+across runs, engines, and cluster sizes.
+
+Determinism note: textbook DBSCAN assigns a border point reachable from
+several clusters to whichever core scanned it first (order-dependent).
+Here the border point joins the cluster with the SMALLEST cluster id
+among its core neighbors — a fixed, engine-replayable rule; core/noise
+status and the core partition of clusters are identical to the textbook
+algorithm (those are order-free).
+
+100 TB shape: one cell-keyed shuffle generates candidate pairs (each
+point replicates to ≤9 ring cells); neighbor counting is map-side
+combined; the component loop shuffles only the core-core edge list
+(dedup rates of the pair volume, with the driver fast path for the usual
+tiny case). Dense-cell skew is inherent to EXACT DBSCAN (a cell with m
+co-located points owns m² pairs regardless of plan shape); for heavy
+hotspots lower min_pts workloads should pre-aggregate exact-duplicate
+coordinates (count-weighted points), which this operator's contract
+permits since coincident points share every neighbor.
+
+Reference parity: ohsome-planet has no clustering operator; this extends
+the graft's geospatial family (SURVEY §2 addendum) alongside knn/radius/
+zonal.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_clusters
+from .knn import _neighbor_cells_col, planar_distance_sq
+from .tiling import zxy_cell_col
+
+
+def eps_zoom(eps: float, hi: int = 28) -> int:
+    """Largest zoom whose cell is ≥ eps degrees on BOTH axes (the lat
+    axis, 180/2^z, is the binding one), so a 3×3 ring covers every
+    ε-ball. Clamped to [1, hi]; hi=28 keeps the cell id packing of
+    `_neighbor_cells_col` valid."""
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    z = int(math.floor(math.log2(180.0 / eps))) if eps < 180.0 else 1
+    return max(1, min(hi, z))
+
+
+def eps_neighbor_pairs(
+    points: DataFrame,
+    eps: float,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """DIRECTED ε-neighbor pairs (id, nid) with dist² ≤ ε², id ≠ nid —
+    each unordered pair appears exactly twice (once per direction), which
+    is what per-point neighbor counting wants. One cell-keyed shuffle."""
+    z = eps_zoom(eps)
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    home = points.select(
+        F.col(id_col).alias("_id"), lon.alias("_lon"), lat.alias("_lat"),
+        zxy_cell_col(lon, lat, z).alias("_cell"),
+    )
+    ring = points.select(
+        F.col(id_col).alias("_nid"), lon.alias("_nlon"), lat.alias("_nlat"),
+        F.explode(_neighbor_cells_col(lon, lat, z)).alias("_cell"),
+    )
+    d2 = planar_distance_sq(
+        F.col("_lon"), F.col("_lat"), F.col("_nlon"), F.col("_nlat"))
+    return (
+        home.join(ring, "_cell")
+        .where(F.col("_id") != F.col("_nid"))
+        .where(d2 <= F.lit(float(eps * eps)))
+        .select("_id", "_nid")
+    )
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(id, n_neighbors, role, cluster_id) for every input point.
+
+    role ∈ {'core', 'border', 'noise'}; cluster_id is the component's
+    minimum CORE id (NULL for noise). A core with no core neighbor is a
+    singleton cluster of its own id. min_pts counts the point itself
+    (the textbook |N_ε(p)| ≥ minPts with p ∈ N_ε(p))."""
+    pairs = eps_neighbor_pairs(
+        points, eps, id_col=id_col, lon_col=lon_col, lat_col=lat_col)
+
+    counts = pairs.groupBy("_id").agg(F.count("*").alias("n_neighbors"))
+    flags = (
+        points.select(F.col(id_col).alias("_id"))
+        .join(counts, "_id", "left")
+        .select(
+            "_id",
+            F.coalesce("n_neighbors", F.lit(0)).cast("long")
+            .alias("n_neighbors"),
+        )
+        .withColumn("is_core",
+                    F.col("n_neighbors") + 1 >= F.lit(int(min_pts)))
+    )
+
+    core_flags = flags.select("_id", "is_core")
+    # pairs annotated with both endpoints' core flags (id-keyed joins —
+    # the core set can be corpus-sized, so no broadcast assumption)
+    ann = (
+        pairs.join(core_flags.withColumnRenamed("is_core", "_core_a"), "_id")
+        .join(
+            core_flags.select(F.col("_id").alias("_nid"),
+                              F.col("is_core").alias("_core_b")),
+            "_nid",
+        )
+    )
+    core_edges = (
+        ann.where(F.col("_core_a") & F.col("_core_b")
+                  & (F.col("_id") < F.col("_nid")))
+        .select(F.col("_id").alias("id_a"), F.col("_nid").alias("id_b"))
+    )
+    comp = dedup_clusters(core_edges)  # (node, cluster_id = min core id)
+
+    core_clusters = (
+        flags.where("is_core")
+        .join(comp.withColumnRenamed("node", "_id"), "_id", "left")
+        .select(
+            "_id", "n_neighbors",
+            F.coalesce("cluster_id", F.col("_id")).alias("cluster_id"),
+        )
+    )
+
+    # border: non-core with ≥1 core neighbor → that neighbor's cluster
+    # (min over neighbors — the fixed deterministic variant of the
+    # textbook's first-scanner-wins)
+    border_assign = (
+        ann.where(~F.col("_core_a") & F.col("_core_b"))
+        .join(
+            core_clusters.select(F.col("_id").alias("_nid"),
+                                 F.col("cluster_id").alias("_ncl")),
+            "_nid",
+        )
+        .groupBy("_id")
+        .agg(F.min("_ncl").alias("cluster_id"))
+    )
+
+    out = (
+        flags.join(
+            core_clusters.select("_id", F.col("cluster_id").alias("_ccl")),
+            "_id", "left")
+        .join(
+            border_assign.select("_id", F.col("cluster_id").alias("_bcl")),
+            "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_neighbors",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("_bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")).alias("role"),
+            F.coalesce("_ccl", "_bcl").alias("cluster_id"),
+        )
+    )
+    return out
