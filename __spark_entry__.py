@@ -4689,6 +4689,58 @@ LIMIT 120
 """
 
 
+def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom membership (m=4096 bits, k=3 KM double
+    hashing): filter built from the fixed member slice (even doc_id
+    < 400 — bounded so the fill ratio, hence the deterministic
+    false-positive set, is SF-stable), every document probed. No false
+    negatives by construction; the oracle replays the position math
+    (probe hits iff all k positions land in the member position set —
+    definitionally the bit array the engine packs into an in-plan
+    literal)."""
+    from ohsome_planet_spark.operators.bloom import bloom_probe_col
+    from ohsome_planet_spark.operators.bloom import bloom_build
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "key", F.concat(F.lit("k"), d.cast("string")))
+    members = docs.where((d % 2 == 0) & (d < 400))
+    words = bloom_build(members, "key", m_bits=4096, k=3)
+    return docs.select(
+        "doc_id",
+        ((d % 2 == 0) & (d < 400)).alias("is_member"),
+        bloom_probe_col(words, F.col("key"), 4096, 3).alias("bloom_hit"),
+    )
+
+
+_BLOOM_SEEN_ORACLE_SQL = """
+WITH probe AS (
+  SELECT doc_id, 'k' || CAST(doc_id AS VARCHAR) AS key FROM documents
+),
+hashed AS (
+  SELECT doc_id, key,
+         CAST(concat('0x', substr(md5('a:' || key), 1, 15)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5('b:' || key), 1, 15)) AS BIGINT) AS h2
+  FROM probe
+),
+js AS (SELECT unnest(generate_series(0, 2)) AS j),
+mpos AS (
+  SELECT DISTINCT (h1 + j * h2) % 4096 AS pos
+  FROM hashed, js WHERE doc_id % 2 = 0 AND doc_id < 400
+),
+ppos AS (SELECT doc_id, (h1 + j * h2) % 4096 AS pos FROM hashed, js),
+hits AS (
+  SELECT p.doc_id, bool_and(m.pos IS NOT NULL) AS bloom_hit
+  FROM ppos p LEFT JOIN mpos m ON m.pos = p.pos
+  GROUP BY p.doc_id
+)
+SELECT pr.doc_id,
+       (pr.doc_id % 2 = 0 AND pr.doc_id < 400) AS is_member,
+       h.bloom_hit
+FROM probe pr JOIN hits h USING (doc_id)
+"""
+
+
 def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid DBSCAN (ε=1.0°, min_pts=4) over md5-scattered points (the
     shared lattice fixture is degenerate for density clustering — points
@@ -5636,7 +5688,7 @@ _GATE_ORDER = [
     "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
     "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
-    "dbscan_clusters",
+    "dbscan_clusters", "bloom_seen",
     # ---- gate cap boundary (never-gated + new entries above) ----
     # -- driver-gated in round 5, in their round-5 order --
     "pricing_summary", "changeset_join_default", "validity_window",
@@ -5731,6 +5783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": _q_dsir_resample,
         "ccnet_buckets": _q_ccnet_buckets,
         "dbscan_clusters": _q_dbscan_clusters,
+        "bloom_seen": _q_bloom_seen,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -5980,6 +6033,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": _DSIR_ORACLE_SQL,
         "ccnet_buckets": _CCNET_BUCKETS_ORACLE_SQL,
         "dbscan_clusters": _DBSCAN_ORACLE_SQL,
+        "bloom_seen": _BLOOM_SEEN_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,
