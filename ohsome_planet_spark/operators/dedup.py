@@ -528,8 +528,9 @@ def dedup_clusters(
     shape) close in O(log d) rounds. Convergence is detected by the
     monotone sum of labels (one cheap aggregate — a new-vs-old self-join
     would silently compare an attribute with itself after truncation).
-    At adversarial scale (billion-node meshes) swap the loop body for
-    large-star/small-star (Kiveris et al.) — same join primitives.
+    At adversarial scale (billion-node meshes) use
+    `dedup_clusters_star` below — the alternating large-star/small-star
+    algorithm (Kiveris et al.), identical output, equality-tested.
 
     Small-graph fast path: near-dup pair sets are usually MINUSCULE next
     to the corpus (dedup rates are single-digit percents of docs, and
@@ -630,6 +631,90 @@ def dedup_clusters(
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _star_round(edges: DataFrame, op: str) -> DataFrame:
+    """One large-star or small-star pass (Kiveris et al. 2014) over a
+    directed pointer list (src, dst). Both ops compute, per node u over
+    the SYMMETRIC neighborhood, m = min(Γ(u) ∪ {u}) and re-point:
+    large-star re-points the heavy side (v > u) at m, small-star the
+    light side (v ≤ u, plus u itself). Every emitted edge points
+    DOWNWARD (dst = a min), so the list monotonically approaches a star
+    forest rooted at component minima."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        .select("src", F.least(F.col("_mn"), F.col("src")).alias("_m"))
+    )
+    j = sym.join(mins, "src")
+    if op == "large":
+        out = j.where(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    else:
+        out = j.where(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("src"), F.col("_m").alias("dst")
+        ).union(mins.select("src", F.col("_m").alias("dst")))
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 100,
+) -> DataFrame:
+    """Connected components via the ALTERNATING large-star/small-star
+    algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — the adversarial-scale engine `dedup_clusters`
+    documents as its swap point, now a real implementation.
+
+    Same contract as `dedup_clusters`: (node, cluster_id = component
+    min), identical output (equality-tested on chains, cliques, bridges,
+    and hash-random graphs). Where label propagation + pointer jumping
+    carries a full (node, label) table through every round, the star
+    ops rewrite the EDGE LIST itself, which provably SHRINKS toward one
+    pointer per non-root node — on billion-node meshes the per-round
+    state is the frontier, not the graph + labels, and convergence is
+    O(log² n) rounds regardless of component diameter or shape.
+
+    Each round is two groupBy+join passes on the same key (large, then
+    small), lineage-truncated via localCheckpoint; convergence is an
+    EXACT edge-set comparison (exceptAll probe, limit-1 early-out in
+    each direction — a fingerprint sum could collide and silently ship
+    unconverged labels)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if edges.rdd.isEmpty():
+        return pairs.sparkSession.createDataFrame(
+            [], "node long, cluster_id long")
+    for _ in range(max_iters):
+        nxt = _star_round(_star_round(edges, "large"), "small")
+        nxt = nxt.localCheckpoint()
+        changed = (
+            nxt.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(nxt).limit(1).count()
+        )
+        edges = nxt
+        if not changed:
+            break
+    # at the fixpoint the list is a star forest: every node's
+    # min(Γ(u) ∪ {u}) IS its component minimum
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("_mn"), F.col("src")).alias("cluster_id"),
+        )
+    )
 
 
 def contamination_flags(

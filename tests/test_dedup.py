@@ -46,3 +46,42 @@ def test_with_simhash_matches_column_twin(spark):
         got = with_simhash(allofit, hash_mode=mode)
         bad = got.join(ref, "_id").where(F.col("_sig") != F.col("_ref")).count()
         assert bad == 0, mode
+
+
+def test_star_components_match_label_propagation(spark):
+    """dedup_clusters_star == dedup_clusters on every graph shape the
+    label-propagation engine is tested on, plus a hash-random graph."""
+    import hashlib
+
+    from ohsome_planet_spark.operators.dedup import (
+        dedup_clusters, dedup_clusters_star)
+
+    def h(i):
+        return int(hashlib.md5(f"e{i}".encode()).hexdigest()[:8], 16)
+
+    shapes = {
+        "chain": [(i, i + 1) for i in range(30)],
+        "star": [(0, i) for i in range(1, 20)],
+        "two_cliques_bridge": (
+            [(a, b) for a in range(5) for b in range(a + 1, 5)]
+            + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+            + [(4, 10)]
+        ),
+        "random": [(h(i) % 50, (h(i) // 7) % 50) for i in range(120)
+                   if h(i) % 50 != (h(i) // 7) % 50],
+        "single_pair": [(99, 7)],
+    }
+    for name, edges in shapes.items():
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {(r["node"], r["cluster_id"])
+                for r in dedup_clusters(df, driver_threshold=0).collect()}
+        got = {(r["node"], r["cluster_id"])
+               for r in dedup_clusters_star(df).collect()}
+        assert got == want, f"shape {name}: {got ^ want}"
+
+
+def test_star_components_empty_input(spark):
+    from ohsome_planet_spark.operators.dedup import dedup_clusters_star
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters_star(df).count() == 0
