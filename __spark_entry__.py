@@ -4689,6 +4689,49 @@ LIMIT 120
 """
 
 
+def _q_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact tile-density smoothing: z=6 counts convolved with
+    the separable radius-2 binomial kernel [1,4,6,4,1]² as two
+    explode→aggregate passes (x wraps, y drops past the poles). No
+    floats anywhere — the oracle replays both passes and matches the
+    unnormalized integer surface bit for bit."""
+    from ohsome_planet_spark.operators.tiling import (
+        smooth_tile_counts, zxy_cell_col)
+
+    pts = _points(spark, sf_dir)
+    counts = (
+        pts.select(zxy_cell_col(F.col("lon"), F.col("lat"), 6).alias("cell"))
+        .groupBy("cell").agg(F.count("*").alias("n"))
+    )
+    return smooth_tile_counts(counts, z=6, radius=2)
+
+
+_TILE_SMOOTH_ORACLE_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+cnt AS (
+  SELECT greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64)
+                                AS BIGINT), 63)) AS x,
+         greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 64)
+                                AS BIGINT), 63)) AS y,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+k AS (SELECT * FROM (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1))
+      AS t(d, w)),
+px AS (
+  SELECT (x + d + 64) % 64 AS x, y, sum(n * w) AS n1
+  FROM cnt, k GROUP BY 1, 2
+),
+py AS (
+  SELECT x, y + d AS y, sum(n1 * w) AS smooth_n
+  FROM px, k WHERE y + d BETWEEN 0 AND 63 GROUP BY 1, 2
+)
+SELECT 6 * 288230376151711744 + x * 536870912 + y AS cell,
+       smooth_n::BIGINT AS smooth_n
+FROM py
+"""
+
+
 def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bloom membership (m=4096 bits, k=3 KM double
     hashing): filter built from the fixed member slice (even doc_id
@@ -5688,7 +5731,7 @@ _GATE_ORDER = [
     "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
     "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
-    "dbscan_clusters", "bloom_seen",
+    "dbscan_clusters", "bloom_seen", "tile_smooth",
     # ---- gate cap boundary (never-gated + new entries above) ----
     # -- driver-gated in round 5, in their round-5 order --
     "pricing_summary", "changeset_join_default", "validity_window",
@@ -5784,6 +5827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "dbscan_clusters": _q_dbscan_clusters,
         "bloom_seen": _q_bloom_seen,
+        "tile_smooth": _q_tile_smooth,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -6034,6 +6078,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _CCNET_BUCKETS_ORACLE_SQL,
         "dbscan_clusters": _DBSCAN_ORACLE_SQL,
         "bloom_seen": _BLOOM_SEEN_ORACLE_SQL,
+        "tile_smooth": _TILE_SMOOTH_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,

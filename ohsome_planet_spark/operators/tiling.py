@@ -232,6 +232,84 @@ def tile_pyramid(
     return out.select("z", "cell", "n", *measures.keys())
 
 
+def binomial_weights(radius: int) -> list[int]:
+    """C(2r, r+d) for d ∈ [-r, r] — the integer binomial kernel. Repeated
+    box-blur / discrete-Gaussian smoothing weights that stay EXACT: no
+    float normalization anywhere (divide by 4^r downstream if a density
+    is wanted; the unnormalized integer surface is the oracle-safe one)."""
+    from math import comb
+
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    return [comb(2 * radius, radius + d) for d in range(-radius, radius + 1)]
+
+
+def smooth_tile_counts(
+    counts: DataFrame,
+    z: int,
+    radius: int = 2,
+    cell_col: str = "cell",
+    n_col: str = "n",
+) -> DataFrame:
+    """(cell, smooth_n): per-tile counts convolved with the separable 2-D
+    binomial kernel w(dx)·w(dy) — the integer-exact heat-map / KDE stage
+    of a tile pipeline (what map renderers do before shading density).
+
+    Scale shape: SEPARABLE convolution as two explode→aggregate passes
+    (x then y), each shuffling O(cells · (2r+1)) rows with map-side
+    combine — never the (2r+1)² cross product, and never the points
+    (callers aggregate those once, e.g. via `tile_pyramid`). All weights
+    and sums are int64 (counts ≤ ~10¹² stay exact under the ≤ C(2r, r)
+    multiplier), so results are engine-replayable bit for bit.
+
+    Edge semantics: x wraps (longitude); y clamps by DROPPING kernel mass
+    past the poles (no reflection), matching how the y index itself is
+    clamped at assignment."""
+    w = binomial_weights(radius)
+    n_tiles = 1 << z
+    mask = (1 << 29) - 1
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(d).alias("d"), F.lit(w[d + radius]).alias("w"))
+            for d in range(-radius, radius + 1)
+        ])
+    ).alias("_o")
+
+    base = counts.select(
+        F.shiftright(cell_col, 29).bitwiseAND(F.lit(mask)).alias("_x"),
+        F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_y"),
+        F.col(n_col).cast("long").alias("_n"),
+    )
+    pass_x = (
+        base.select("_x", "_y", "_n", offs)
+        .select(
+            F.pmod(F.col("_x") + F.col("_o.d"), F.lit(n_tiles)).alias("_x"),
+            "_y",
+            (F.col("_n") * F.col("_o.w")).alias("_nw"),
+        )
+        .groupBy("_x", "_y")
+        .agg(F.sum("_nw").alias("_n1"))
+    )
+    pass_y = (
+        pass_x.select("_x", "_y", "_n1", offs)
+        .select(
+            "_x",
+            (F.col("_y") + F.col("_o.d")).alias("_y"),
+            (F.col("_n1") * F.col("_o.w")).alias("_nw"),
+        )
+        .where((F.col("_y") >= 0) & (F.col("_y") < n_tiles))
+        .groupBy("_x", "_y")
+        .agg(F.sum("_nw").alias("smooth_n"))
+    )
+    return pass_y.select(
+        (
+            F.lit(z).cast("long") * F.lit(1 << 58).cast("long")
+            + F.shiftleft(F.col("_x"), 29) + F.col("_y")
+        ).alias("cell"),
+        "smooth_n",
+    )
+
+
 def s2_parent_col(cell: Column, level: int) -> Column:
     """S2 parent id at `level` from any finer cell id — the library's
     `(id & -lsb(level)*2+...)` truncation as a JVM expression: clear the

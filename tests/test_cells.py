@@ -291,3 +291,41 @@ def test_s2_parent_col_matches_numpy_and_prefix(spark):
     assert all(r["parent"] == r["direct"] for r in out)
     np.testing.assert_array_equal(s2_cell_id(lat, lon, 9),
                                   np.array([r["direct"] for r in out]))
+
+
+def test_smooth_tile_counts_kernel_shape(spark):
+    """One count of 1 at a single tile smooths into the exact outer
+    product of [1,4,6,4,1] with itself (sum 256 = 16^2)."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.tiling import (
+        binomial_weights, smooth_tile_counts)
+
+    z, x, y = 6, 32, 20
+    cell = z * (1 << 58) + (x << 29) + y
+    df = spark.createDataFrame([(cell, 1)], "cell long, n long")
+    out = {r["cell"]: r["smooth_n"]
+           for r in smooth_tile_counts(df, z=z, radius=2).collect()}
+    w = binomial_weights(2)
+    assert sum(out.values()) == 256
+    for dx in range(-2, 3):
+        for dy in range(-2, 3):
+            c = z * (1 << 58) + ((x + dx) << 29) + (y + dy)
+            assert out[c] == w[dx + 2] * w[dy + 2]
+
+
+def test_smooth_tile_counts_wrap_and_clamp(spark):
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.tiling import smooth_tile_counts
+
+    z = 3  # 8x8 grid
+    mk = lambda x, y: z * (1 << 58) + (x << 29) + y
+    # at x=0 the kernel wraps to x=6,7; at y=0 mass above the pole drops
+    df = spark.createDataFrame([(mk(0, 0), 1)], "cell long, n long")
+    out = {r["cell"]: r["smooth_n"]
+           for r in smooth_tile_counts(df, z=z, radius=1).collect()}
+    # weights [1,2,1]: x wraps so all 3 x-columns exist; y=-1 dropped
+    assert out[mk(7, 0)] == 1 * 2 and out[mk(0, 0)] == 2 * 2
+    assert mk(7, 7) not in out            # nothing reflected to the far pole
+    assert sum(out.values()) == 4 * 3     # one y-row of mass lost (4 of 16)
