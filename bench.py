@@ -172,6 +172,11 @@ def main() -> None:
         "tile_pyramid",
         "bm25_search",
         "lm_bigram_score",
+        # r6 session-2 additions (new ops get a perf row from day one)
+        "dbscan_clusters",
+        "dsir_resample",
+        "ccnet_buckets",
+        "tile_smooth",
     ]
     qs = entrymod.queries()
     for name in headline:
