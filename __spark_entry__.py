@@ -5732,7 +5732,9 @@ _GATE_ORDER = [
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
     "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
     "dbscan_clusters", "bloom_seen", "tile_smooth",
-    # ---- gate cap boundary (never-gated + new entries above) ----
+    # ---- gate cap boundary: every never-gated + new-this-round entry is
+    # above this line and inside the first 50, so r5 ∪ r6 driver gates
+    # cover the whole registry ----
     # -- driver-gated in round 5, in their round-5 order --
     "pricing_summary", "changeset_join_default", "validity_window",
     "version_numbering", "contrib_type", "consecutive_dedup",
