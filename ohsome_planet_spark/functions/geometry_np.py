@@ -94,6 +94,47 @@ def centroid_polygon(rings: list[tuple[np.ndarray, np.ndarray]]) -> tuple[float,
     return float(cx / a_total), float(cy / a_total)
 
 
+def convex_hull(
+    lons: np.ndarray, lats: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Convex hull via Andrew's monotone chain — counter-clockwise ring,
+    starting at the lexicographically smallest vertex, WITHOUT repeating
+    the start point. Collinear boundary points are dropped (strict
+    turns), duplicates are deduplicated, so the result is the minimal
+    vertex set and a pure deterministic function of the input point SET
+    (input order never matters). Degenerate inputs: 1 point → itself;
+    all-collinear → the two extreme points.
+
+    Completes the shape-summary family next to `bbox` and the centroid
+    kernels; exact float comparisons only (cross products), no libm."""
+    pts = np.unique(np.column_stack([lons, lats]), axis=0)  # lex-sorted
+    n = pts.shape[0]
+    if n <= 2:
+        return pts[:, 0].copy(), pts[:, 1].copy()
+
+    def half(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                ox, oy = pts[out[-2]]
+                ax, ay = pts[out[-1]]
+                bx, by = pts[i]
+                if (ax - ox) * (by - oy) - (ay - oy) * (bx - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(range(n))
+    upper = half(range(n - 1, -1, -1))
+    ring = lower[:-1] + upper[:-1]
+    if len(ring) < 2:  # all collinear: keep the two extremes
+        ring = [0, n - 1]
+    idx = np.array(ring, dtype=np.int64)
+    return pts[idx, 0].copy(), pts[idx, 1].copy()
+
+
 # ---------------------------------------------------------------------------
 # Point-in-polygon: vectorized ray casting with boundary inclusion
 # ---------------------------------------------------------------------------

@@ -127,3 +127,55 @@ class TestGeodesy:
 
     def test_length_zero_for_single_point(self):
         assert gd.geodesic_length(np.array([1.0]), np.array([2.0])) == 0.0
+
+
+def test_convex_hull_square_with_interior():
+    from ohsome_planet_spark.functions.geometry_np import convex_hull
+    import numpy as np
+
+    x = np.array([0.0, 2.0, 2.0, 0.0, 1.0, 1.0, 0.5])
+    y = np.array([0.0, 0.0, 2.0, 2.0, 1.0, 0.5, 1.5])
+    hx, hy = convex_hull(x, y)
+    assert sorted(zip(hx, hy)) == [(0.0, 0.0), (0.0, 2.0), (2.0, 0.0),
+                                   (2.0, 2.0)]
+    # CCW ring starting at the lexicographic min
+    assert (hx[0], hy[0]) == (0.0, 0.0)
+    area2 = 0.0
+    for i in range(len(hx)):
+        j = (i + 1) % len(hx)
+        area2 += hx[i] * hy[j] - hx[j] * hy[i]
+    assert area2 == 8.0  # CCW -> positive signed area (2*4)
+
+
+def test_convex_hull_collinear_and_degenerate():
+    from ohsome_planet_spark.functions.geometry_np import convex_hull
+    import numpy as np
+
+    hx, hy = convex_hull(np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0, 2.0]))
+    assert list(zip(hx, hy)) == [(0.0, 0.0), (2.0, 2.0)]
+    hx, hy = convex_hull(np.array([5.0]), np.array([7.0]))
+    assert list(zip(hx, hy)) == [(5.0, 7.0)]
+    hx, hy = convex_hull(np.array([1.0, 1.0]), np.array([2.0, 2.0]))
+    assert list(zip(hx, hy)) == [(1.0, 2.0)]  # duplicates collapse
+
+
+def test_convex_hull_order_invariant_and_contains_all():
+    from ohsome_planet_spark.functions.geometry_np import (
+        convex_hull, points_in_polygon)
+    import hashlib
+    import numpy as np
+
+    def h(p, i):
+        return int(hashlib.md5(f"{p}{i}".encode()).hexdigest()[:8], 16)
+
+    x = np.array([h("x", i) % 100 / 10.0 for i in range(60)])
+    y = np.array([h("y", i) % 100 / 10.0 for i in range(60)])
+    hx1, hy1 = convex_hull(x, y)
+    perm = np.argsort([h("p", i) for i in range(60)])
+    hx2, hy2 = convex_hull(x[perm], y[perm])
+    assert list(zip(hx1, hy1)) == list(zip(hx2, hy2))
+    # every input point lies inside or on the hull ring
+    ring_x = np.append(hx1, hx1[0])
+    ring_y = np.append(hy1, hy1[0])
+    inside = points_in_polygon(x, y, [(ring_x, ring_y)])
+    assert inside.all()
