@@ -109,8 +109,17 @@ def dbscan(
     minimum CORE id (NULL for noise). A core with no core neighbor is a
     singleton cluster of its own id. min_pts counts the point itself
     (the textbook |N_ε(p)| ≥ minPts with p ∈ N_ε(p))."""
+    # pairs feeds neighbor counts, the core-core edge list, AND border
+    # assignment; flags feeds pair annotation and the final roles. Spark
+    # rebuilds an unpersisted subtree per consumer (no cross-consumer
+    # plan reuse — the same pathology the grouped-bucket pair generators
+    # in dedup.py fixed), which would run the grid join 3-4×. Persisting
+    # both (spillable MEMORY_AND_DISK) computes each once; lifetime is
+    # the operator's output plan, same contract as dedup_clusters'
+    # internal checkpoints.
     pairs = eps_neighbor_pairs(
-        points, eps, id_col=id_col, lon_col=lon_col, lat_col=lat_col)
+        points, eps, id_col=id_col, lon_col=lon_col, lat_col=lat_col
+    ).persist()
 
     counts = pairs.groupBy("_id").agg(F.count("*").alias("n_neighbors"))
     flags = (
@@ -123,7 +132,7 @@ def dbscan(
         )
         .withColumn("is_core",
                     F.col("n_neighbors") + 1 >= F.lit(int(min_pts)))
-    )
+    ).persist()
 
     core_flags = flags.select("_id", "is_core")
     # pairs annotated with both endpoints' core flags (id-keyed joins —
