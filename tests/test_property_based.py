@@ -149,3 +149,93 @@ def test_pii_redaction_complete_and_idempotent(s):
     for kind, pat in PII_PATTERNS.items():
         assert not re.search(pat, once), (kind, once)
     assert redact(once) == once
+
+
+# ---------------------------------------------------------------------------
+# round-6 session-2 kernels (pure python/numpy — no Spark per example)
+# ---------------------------------------------------------------------------
+
+_coords = st.lists(
+    st.tuples(
+        st.floats(min_value=-180, max_value=180, allow_nan=False,
+                  allow_infinity=False),
+        st.floats(min_value=-90, max_value=90, allow_nan=False,
+                  allow_infinity=False),
+    ),
+    min_size=2, max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_coords, st.floats(min_value=0.0, max_value=50.0,
+                          allow_nan=False, allow_infinity=False))
+def test_dp_mask_invariants(pts, tol):
+    """Endpoints always kept; simplifying a simplified line is a no-op;
+    kept vertices are a subsequence (mask semantics guarantee it)."""
+    import numpy as np
+
+    from ohsome_planet_spark.functions.simplify import douglas_peucker_mask
+
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    m = douglas_peucker_mask(x, y, tol)
+    assert m[0] and m[-1]
+    m2 = douglas_peucker_mask(x[m], y[m], tol)
+    assert m2.all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(_coords)
+def test_convex_hull_invariants(pts):
+    """Hull is order-invariant, minimal (every vertex is a strict turn),
+    and contains every input point (cross-product test, no libm)."""
+    import numpy as np
+
+    from ohsome_planet_spark.functions.geometry_np import convex_hull
+
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    hx, hy = convex_hull(x, y)
+    rx, ry = convex_hull(x[::-1], y[::-1])
+    assert list(zip(hx, hy)) == list(zip(rx, ry))
+    k = len(hx)
+    if k >= 3:
+        for px, py in zip(x, y):
+            for i in range(k):
+                j = (i + 1) % k
+                cross = ((hx[j] - hx[i]) * (py - hy[i])
+                         - (hy[j] - hy[i]) * (px - hx[i]))
+                assert cross >= 0  # CCW ring: inside or on every edge
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii"),
+                        min_size=1, max_size=20),
+                min_size=1, max_size=50),
+       st.integers(min_value=1, max_value=7))
+def test_bloom_python_replay_no_false_negatives(keys, k):
+    """The KM position math replayed in pure python: members always
+    probe positive against the union of member positions."""
+    import hashlib
+
+    m = 1 << 12
+
+    def positions(key):
+        h1 = int(hashlib.md5(b"a:" + key.encode()).hexdigest()[:15], 16)
+        h2 = int(hashlib.md5(b"b:" + key.encode()).hexdigest()[:15], 16)
+        return [(h1 + j * h2) % m for j in range(k)]
+
+    bits = {p for key in keys for p in positions(key)}
+    assert all(all(p in bits for p in positions(key)) for key in keys)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=8))
+def test_binomial_weights_symmetric_and_complete(r):
+    from ohsome_planet_spark.operators.tiling import binomial_weights
+
+    w = binomial_weights(r)
+    assert w == w[::-1]
+    assert sum(w) == 4 ** r // 2 ** r * 2 ** r // 1  # = 2^(2r)
+    assert sum(w) == 1 << (2 * r)
+    assert max(w) == w[r]
