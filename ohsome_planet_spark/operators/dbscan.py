@@ -54,6 +54,9 @@ from .knn import _neighbor_cells_col, planar_distance_sq
 from .tiling import zxy_cell_col
 
 
+M_PER_DEG = 6371008.8 * math.pi / 180.0  # IUGG mean radius, N-S meters/deg
+
+
 def eps_zoom(eps: float, hi: int = 28) -> int:
     """Largest zoom whose cell is ≥ eps degrees on BOTH axes (the lat
     axis, 180/2^z, is the binding one), so a 3×3 ring covers every
@@ -65,17 +68,50 @@ def eps_zoom(eps: float, hi: int = 28) -> int:
     return max(1, min(hi, z))
 
 
+def eps_zoom_meters(eps_m: float, max_abs_lat: float = 85.0,
+                    hi: int = 28) -> int:
+    """eps_zoom for a METERS radius: the binding axis is longitude at the
+    highest latitude the data reaches (degrees shrink by cos φ), so the
+    coverage guarantee holds for |lat| ≤ max_abs_lat; tighten or widen
+    that bound to your data (85° ≈ the web-mercator cutoff). The cos is
+    plan-build-time python — never inside a hashed expression."""
+    if eps_m <= 0:
+        raise ValueError("eps_m must be positive")
+    if not 0 < max_abs_lat < 90:
+        raise ValueError("max_abs_lat must be in (0, 90)")
+    lat_deg = eps_m / M_PER_DEG
+    lon_deg = eps_m / (M_PER_DEG * math.cos(math.radians(max_abs_lat)))
+    # lat cell is 180/2^z, lon cell 360/2^z: require both ≥ the radius
+    z_lat = eps_zoom(lat_deg, hi)
+    z_lon = (int(math.floor(math.log2(360.0 / lon_deg)))
+             if lon_deg < 360.0 else 1)
+    return max(1, min(z_lat, z_lon, hi))
+
+
 def eps_neighbor_pairs(
     points: DataFrame,
     eps: float,
     id_col: str = "point_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    metric: str = "planar",
+    max_abs_lat: float = 85.0,
 ) -> DataFrame:
-    """DIRECTED ε-neighbor pairs (id, nid) with dist² ≤ ε², id ≠ nid —
+    """DIRECTED ε-neighbor pairs (id, nid) with dist ≤ ε, id ≠ nid —
     each unordered pair appears exactly twice (once per direction), which
-    is what per-point neighbor counting wants. One cell-keyed shuffle."""
-    z = eps_zoom(eps)
+    is what per-point neighbor counting wants. One cell-keyed shuffle.
+
+    metric='planar': ε in degrees, compared as dist² ≤ ε² (exact IEEE —
+    the oracle-safe mode). metric='haversine': ε in METERS via the same
+    great-circle expression knn uses (libm — deterministic per engine but
+    not cross-engine hashable); coverage guaranteed for |lat| ≤
+    max_abs_lat, see eps_zoom_meters."""
+    if metric == "planar":
+        z = eps_zoom(eps)
+    elif metric == "haversine":
+        z = eps_zoom_meters(eps, max_abs_lat=max_abs_lat)
+    else:
+        raise ValueError("metric must be 'planar' or 'haversine'")
     lon, lat = F.col(lon_col), F.col(lat_col)
     home = points.select(
         F.col(id_col).alias("_id"), lon.alias("_lon"), lat.alias("_lat"),
@@ -85,12 +121,20 @@ def eps_neighbor_pairs(
         F.col(id_col).alias("_nid"), lon.alias("_nlon"), lat.alias("_nlat"),
         F.explode(_neighbor_cells_col(lon, lat, z)).alias("_cell"),
     )
-    d2 = planar_distance_sq(
-        F.col("_lon"), F.col("_lat"), F.col("_nlon"), F.col("_nlat"))
+    if metric == "planar":
+        d2 = planar_distance_sq(
+            F.col("_lon"), F.col("_lat"), F.col("_nlon"), F.col("_nlat"))
+        pred = d2 <= F.lit(float(eps * eps))
+    else:
+        from .knn import haversine_m
+
+        pred = haversine_m(
+            F.col("_lon"), F.col("_lat"), F.col("_nlon"), F.col("_nlat")
+        ) <= F.lit(float(eps))
     return (
         home.join(ring, "_cell")
         .where(F.col("_id") != F.col("_nid"))
-        .where(d2 <= F.lit(float(eps * eps)))
+        .where(pred)
         .select("_id", "_nid")
     )
 
@@ -102,13 +146,16 @@ def dbscan(
     id_col: str = "point_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    metric: str = "planar",
+    max_abs_lat: float = 85.0,
 ) -> DataFrame:
     """(id, n_neighbors, role, cluster_id) for every input point.
 
     role ∈ {'core', 'border', 'noise'}; cluster_id is the component's
     minimum CORE id (NULL for noise). A core with no core neighbor is a
     singleton cluster of its own id. min_pts counts the point itself
-    (the textbook |N_ε(p)| ≥ minPts with p ∈ N_ε(p))."""
+    (the textbook |N_ε(p)| ≥ minPts with p ∈ N_ε(p)). metric/max_abs_lat
+    as in eps_neighbor_pairs (ε degrees planar / meters haversine)."""
     # pairs feeds neighbor counts, the core-core edge list, AND border
     # assignment; flags feeds pair annotation and the final roles. Spark
     # rebuilds an unpersisted subtree per consumer (no cross-consumer
@@ -118,7 +165,8 @@ def dbscan(
     # the operator's output plan, same contract as dedup_clusters'
     # internal checkpoints.
     pairs = eps_neighbor_pairs(
-        points, eps, id_col=id_col, lon_col=lon_col, lat_col=lat_col
+        points, eps, id_col=id_col, lon_col=lon_col, lat_col=lat_col,
+        metric=metric, max_abs_lat=max_abs_lat,
     ).persist()
 
     counts = pairs.groupBy("_id").agg(F.count("*").alias("n_neighbors"))

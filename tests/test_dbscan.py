@@ -110,3 +110,36 @@ def test_matches_bruteforce_union_find(spark):
     out = {r["point_id"]: (r["role"], r["cluster_id"])
            for r in dbscan(_pts(spark, rows), eps=eps, min_pts=mp).collect()}
     assert out == expect
+
+
+def test_haversine_metric(spark):
+    # ~111 km between adjacent 1-degree latitude steps at lon=0: a
+    # 120 km eps connects the chain, a 60 km eps does not
+    rows = [(i, 0.0, float(i)) for i in range(4)] + [(9, 90.0, 0.0)]
+    df = _pts(spark, rows)
+    wide = {r["point_id"]: r for r in
+            dbscan(df, eps=120_000.0, min_pts=2,
+                   metric="haversine").collect()}
+    assert all(wide[i]["role"] == "core" and wide[i]["cluster_id"] == 0
+               for i in range(4))
+    assert wide[9]["role"] == "noise"
+    narrow = {r["point_id"]: r for r in
+              dbscan(df, eps=60_000.0, min_pts=2,
+                     metric="haversine").collect()}
+    assert all(narrow[i]["role"] == "noise" for i in range(4))
+
+
+def test_eps_zoom_meters_lat_aware():
+    from ohsome_planet_spark.operators.dbscan import (
+        M_PER_DEG, eps_zoom_meters)
+    import math
+
+    # higher latitude bound -> lon degrees shrink -> coarser grid needed
+    z_eq = eps_zoom_meters(10_000.0, max_abs_lat=10.0)
+    z_hi = eps_zoom_meters(10_000.0, max_abs_lat=85.0)
+    assert z_hi <= z_eq
+    # cell lon span at the returned zoom covers eps at the bound latitude
+    for lat in (10.0, 60.0, 85.0):
+        z = eps_zoom_meters(10_000.0, max_abs_lat=lat)
+        lon_deg_needed = 10_000.0 / (M_PER_DEG * math.cos(math.radians(lat)))
+        assert 360.0 / (1 << z) >= lon_deg_needed
