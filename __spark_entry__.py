@@ -4732,6 +4732,62 @@ FROM py
 """
 
 
+def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis–Ord Gi* hotspots at z=6 over the point fixture: integer-
+    exact neighborhood sums (s1, k) + global scalars, z-score as ONE
+    rounded closed form of those integers (two sqrts — the pmi/bm25
+    single-libm doctrine), NULL for degenerate denominators. The oracle
+    replays the block-donation aggregate and the identical expression
+    tree."""
+    from ohsome_planet_spark.operators.hotspot import getis_ord_gi
+    from ohsome_planet_spark.operators.tiling import zxy_cell_col
+
+    pts = _points(spark, sf_dir)
+    counts = (
+        pts.select(zxy_cell_col(F.col("lon"), F.col("lat"), 6).alias("cell"))
+        .groupBy("cell").agg(F.count("*").alias("n"))
+    )
+    return getis_ord_gi(counts, z=6, radius=1)
+
+
+_HOTSPOT_ORACLE_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+cnt AS (
+  SELECT greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64)
+                                AS BIGINT), 63)) AS x,
+         greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 64)
+                                AS BIGINT), 63)) AS y,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+o AS (SELECT dx, dy FROM (SELECT unnest(generate_series(-1, 1)) AS dx),
+                         (SELECT unnest(generate_series(-1, 1)) AS dy)),
+donated AS (
+  SELECT (x + dx + 64) % 64 AS cx, y + dy AS cy,
+         sum(n) AS s1, count(*) AS k
+  FROM cnt, o WHERE y + dy BETWEEN 0 AND 63
+  GROUP BY 1, 2
+),
+gstats AS (SELECT count(*) AS nn, sum(n) AS sx, sum(n * n) AS sxx FROM cnt)
+SELECT 6 * 288230376151711744 + x * 536870912 + y AS cell,
+       n AS x, k::BIGINT AS k, s1::BIGINT AS s1,
+       CASE WHEN k < nn AND sxx * nn <> sx * sx THEN
+         round(
+           (CAST(s1 AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(k AS DOUBLE))
+           / (sqrt(CAST(sxx AS DOUBLE) / CAST(nn AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)))
+              * sqrt((CAST(nn AS DOUBLE) * CAST(k AS DOUBLE)
+                      - CAST(k AS DOUBLE) * CAST(k AS DOUBLE))
+                     / (CAST(nn AS DOUBLE) - 1.0))), 9)
+       END AS gi_z
+FROM cnt
+JOIN donated ON donated.cx = cnt.x AND donated.cy = cnt.y
+CROSS JOIN gstats
+"""
+
+
 def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bloom membership (m=4096 bits, k=3 KM double
     hashing): filter built from the fixed member slice (even doc_id
@@ -5731,7 +5787,7 @@ _GATE_ORDER = [
     "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
     "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
-    "dbscan_clusters", "bloom_seen", "tile_smooth",
+    "dbscan_clusters", "bloom_seen", "tile_smooth", "hotspot_cells",
     # ---- gate cap boundary: every never-gated + new-this-round entry is
     # above this line and inside the first 50, so r5 ∪ r6 driver gates
     # cover the whole registry ----
@@ -5830,6 +5886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": _q_dbscan_clusters,
         "bloom_seen": _q_bloom_seen,
         "tile_smooth": _q_tile_smooth,
+        "hotspot_cells": _q_hotspot_cells,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -6081,6 +6138,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_clusters": _DBSCAN_ORACLE_SQL,
         "bloom_seen": _BLOOM_SEEN_ORACLE_SQL,
         "tile_smooth": _TILE_SMOOTH_ORACLE_SQL,
+        "hotspot_cells": _HOTSPOT_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,

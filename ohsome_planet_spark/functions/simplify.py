@@ -32,9 +32,16 @@ def douglas_peucker_mask(
     x: np.ndarray, y: np.ndarray, tolerance: float
 ) -> np.ndarray:
     """Boolean keep-mask: endpoints always kept; an interior point
-    survives iff its span's max point-to-line distance exceeds the
+    survives iff its span's max point-to-SEGMENT distance exceeds the
     tolerance (strictly — points AT the tolerance are dropped, the
-    common library convention)."""
+    common library convention).
+
+    SEGMENT-clamped, not infinite-line: a path that overshoots the span
+    endpoint and doubles back lies arbitrarily close to the infinite
+    line yet far from the segment — the line variant silently deletes
+    it (found by the round-6 hypothesis sweep). t = clamp(proj, 0, 1)
+    reduces to the line distance for interior projections and to
+    endpoint distance beyond them."""
     n = x.size
     keep = np.zeros(n, dtype=bool)
     if n == 0:
@@ -56,14 +63,27 @@ def douglas_peucker_mask(
         if l2 == 0.0:
             d2 = px * px + py * py
         else:
-            cross = px * dy - py * dx
-            d2 = (cross * cross) / l2
+            t = np.clip((px * dx + py * dy) / l2, 0.0, 1.0)
+            ex = px - t * dx
+            ey = py - t * dy
+            d2 = ex * ex + ey * ey
         k = int(np.argmax(d2))
         if d2[k] > t2:
             keep[i + 1 + k] = True
             stack.append((i, i + 1 + k))
             stack.append((i + 1 + k, j))
     return keep
+
+
+def douglas_peucker(
+    x: np.ndarray, y: np.ndarray, tolerance: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """The simplified coordinate arrays (the mask applied) — the
+    driver-side convenience twin of `douglas_peucker_mask`."""
+    xa = np.asarray(x, dtype=np.float64)
+    ya = np.asarray(y, dtype=np.float64)
+    m = douglas_peucker_mask(xa, ya, tolerance)
+    return xa[m], ya[m]
 
 
 def simplify_lines(
@@ -110,3 +130,23 @@ def simplify_lines(
             yield pdf
 
     return df.mapInPandas(fn, schema=out_schema)
+
+
+def simplify_for_zoom(
+    df: DataFrame,
+    zoom: int,
+    px: float = 1.0,
+    tile_px: int = 256,
+    lons_col: str = "lons",
+    lats_col: str = "lats",
+) -> DataFrame:
+    """`simplify_lines` with the per-zoom epsilon ladder: tolerance =
+    `px` screen pixels at `tile_px`-pixel z-`zoom` tiles (360·px /
+    (2^zoom·tile_px) degrees) — sub-pixel detail at the render zoom is
+    invisible, so dropping it is lossless on screen. The standard way a
+    tile pipeline calls DP: once per published zoom level."""
+    if not 0 <= zoom <= 28:
+        raise ValueError("zoom must be in [0, 28]")
+    tol = 360.0 * px / ((1 << zoom) * tile_px)
+    return simplify_lines(df, tolerance=tol,
+                          lons_col=lons_col, lats_col=lats_col)

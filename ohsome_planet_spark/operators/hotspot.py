@@ -1,0 +1,122 @@
+"""Getis–Ord Gi* hotspot detection over grid cells.
+
+The standard local spatial-autocorrelation statistic behind "hotspot
+maps" (Getis & Ord 1992/1995): for each cell, compare the sum of its
+3×3-neighborhood values against the global mean and variance; large
+positive z → hot cluster, large negative → cold. Here over the engine's
+packed zxy cells with binary contiguity weights on the OCCUPIED-cell
+universe (w_ij = 1 for occupied j in i's (2r+1)² block, including i —
+the Gi* convention; empty cells are outside the study set, the standard
+"observed units" framing).
+
+Engine-exact discipline: every aggregate is an int64 sum (neighborhood
+sum S1, neighborhood size k, global N / Σx / Σx²), and the z-score is
+ONE closed-form expression of those integers with two sqrts, rounded to
+9 dp — the pmi/bm25 single-libm-call doctrine, so the float column IS
+cross-engine hashable.
+
+Scale shape: one explode of each occupied cell to its (2r+1)² block +
+a map-side-combined aggregate (the `smooth_tile_counts` pattern), one
+inner join back to the occupied universe, and a 1-row broadcast of the
+global scalars. Nothing quadratic, nothing driver-side.
+
+Reference parity: ohsome-planet aggregates per cell but has no spatial
+statistics; this extends the graft's tile family (SURVEY §2 addendum)
+beside zonal_stats / tile_entropy / smooth_tile_counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def getis_ord_gi(
+    counts: DataFrame,
+    z: int,
+    radius: int = 1,
+    cell_col: str = "cell",
+    n_col: str = "n",
+) -> DataFrame:
+    """(cell, x, k, s1, gi_z) per OCCUPIED cell.
+
+    x = the cell's own value, k = occupied cells in its (2r+1)² block
+    (self included), s1 = their value sum, gi_z = the Gi* z-score
+
+        gi_z = (S1 − X̄·k) / (S·sqrt((N·k − k²)/(N−1)))
+
+    with X̄ = Σx/N, S = sqrt(Σx²/N − X̄²) over the N occupied cells —
+    one rounded (9 dp) expression of exact integer aggregates. Cells
+    whose denominator degenerates (k = N: the whole universe is one
+    block, or S = 0: constant surface) get NULL. x wraps in longitude,
+    block rows past the poles are simply absent (same edge semantics as
+    `smooth_tile_counts`)."""
+    n_tiles = 1 << z
+    mask = (1 << 29) - 1
+    base = counts.select(
+        F.shiftright(cell_col, 29).bitwiseAND(F.lit(mask)).alias("_x"),
+        F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_y"),
+        F.col(n_col).cast("long").alias("_n"),
+    )
+
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+        ])
+    ).alias("_o")
+    # each occupied cell j donates its value to every block CENTER i it
+    # belongs to; aggregating by the shifted center gives (s1, k) with
+    # map-side combine, and the inner join keeps only occupied centers
+    donated = (
+        base.select("_x", "_y", F.col("_n").alias("_dn"), offs)
+        .select(
+            F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n_tiles)).alias("_cx"),
+            (F.col("_y") + F.col("_o.dy")).alias("_cy"),
+            "_dn",
+        )
+        .where((F.col("_cy") >= 0) & (F.col("_cy") < n_tiles))
+        .groupBy("_cx", "_cy")
+        .agg(F.sum("_dn").alias("s1"), F.count("*").alias("k"))
+    )
+    glob = base.agg(
+        F.count("*").alias("_N"),
+        F.sum("_n").alias("_sx"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_sxx"),
+    )
+
+    # unique names on the center side: base and donated share lineage (a
+    # frame joined with its own aggregate), and unqualified references
+    # into that self-join are ambiguous after Spark's attribute dedup
+    center = base.select(
+        F.col("_x").alias("_ix"), F.col("_y").alias("_iy"),
+        F.col("_n").alias("_xval"),
+    )
+    j = (
+        center.join(
+            donated,
+            (F.col("_ix") == F.col("_cx")) & (F.col("_iy") == F.col("_cy")),
+        )
+        .crossJoin(F.broadcast(glob))
+    )
+    d = lambda c: F.col(c).cast("double")
+    xbar = d("_sx") / d("_N")
+    s = F.sqrt(d("_sxx") / d("_N") - xbar * xbar)
+    denom = s * F.sqrt(
+        (d("_N") * d("k") - d("k") * d("k")) / (d("_N") - F.lit(1.0)))
+    gi = F.when(
+        (F.col("k") < F.col("_N")) & (F.col("_sxx") * F.col("_N")
+                                      != F.col("_sx") * F.col("_sx")),
+        F.round((d("s1") - xbar * d("k")) / denom, 9),
+    )
+    return j.select(
+        (
+            F.lit(z).cast("long") * F.lit(1 << 58).cast("long")
+            + F.shiftleft(F.col("_ix"), 29) + F.col("_iy")
+        ).alias("cell"),
+        F.col("_xval").alias("x"),
+        F.col("k").cast("long").alias("k"),
+        F.col("s1").cast("long").alias("s1"),
+        gi.alias("gi_z"),
+    )

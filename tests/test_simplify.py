@@ -10,14 +10,16 @@ from ohsome_planet_spark.functions.simplify import (
 
 
 def _ref_dp(x, y, tol):
-    """Plain recursive reference implementation."""
+    """Plain recursive reference implementation (segment-clamped)."""
     def d2_line(i, j, k):
         dx, dy = x[j] - x[i], y[j] - y[i]
         l2 = dx * dx + dy * dy
         if l2 == 0.0:
             return (x[k] - x[i]) ** 2 + (y[k] - y[i]) ** 2
-        c = (x[k] - x[i]) * dy - (y[k] - y[i]) * dx
-        return c * c / l2
+        t = min(1.0, max(0.0, ((x[k] - x[i]) * dx + (y[k] - y[i]) * dy) / l2))
+        ex = x[k] - x[i] - t * dx
+        ey = y[k] - y[i] - t * dy
+        return ex * ex + ey * ey
 
     keep = set()
 
@@ -66,6 +68,33 @@ def test_matches_recursive_reference():
             got = list(np.flatnonzero(
                 douglas_peucker_mask(x, y, tol)))
             assert got == _ref_dp(x, y, tol), (trial, tol)
+
+
+def test_overshoot_double_back_survives():
+    # the segment-vs-line distinction: a path overshooting the endpoint
+    # and doubling back hugs the infinite LINE (line distance 0) but is
+    # far from the SEGMENT — it must survive simplification
+    x = np.array([0.0, 10.0, 5.0])
+    y = np.array([0.0, 0.001, 0.0])
+    m = douglas_peucker_mask(x, y, 1.0)
+    assert m.all()
+
+
+def test_for_zoom_ladder(spark):
+    from ohsome_planet_spark.functions.simplify import simplify_for_zoom
+
+    # wiggles of ~0.01 deg: invisible at z=2 (pixel 0.35 deg), visible
+    # at z=12 (pixel 0.00034 deg)
+    lons = [float(i) for i in range(8)]
+    lats = [0.0, 0.01, 0.0, -0.01, 0.0, 0.01, 0.0, -0.01]
+    df = spark.createDataFrame(
+        [(1, lons, lats)], "way_id long, lons array<double>, lats array<double>")
+    coarse = simplify_for_zoom(df, zoom=2).first()
+    fine = simplify_for_zoom(df, zoom=12).first()
+    assert coarse["n_after"] == 2
+    # the ±0.01 peaks all survive at z=12 (the exact zero-crossing
+    # points lie ON the peak-to-peak segments and drop legitimately)
+    assert fine["n_after"] == 5
 
 
 def test_idempotent():
