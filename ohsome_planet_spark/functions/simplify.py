@@ -1,47 +1,120 @@
-"""Douglas–Peucker polyline simplification — NumPy kernel + Arrow batch op.
+"""Polyline simplification (Douglas–Peucker) for tile rendering.
 
-The classic cartographic generalization step for way geometries before
-tile rendering / export at coarse zooms (pairs with
-`operators/tiling.smooth_tile_counts` on the raster side). Reference
-parity: ohsome-planet exports full-resolution WKB and leaves
-generalization to consumers; this operator closes that step for tile
-pipelines built on this engine.
+A tiling engine that serves vector tiles simplifies geometries per zoom
+level — a way's full vertex list is wasted bytes at z8. Implemented from
+the published Ramer–Douglas–Peucker algorithm (1972/1973 papers); no code
+taken. The kernel is an ITERATIVE stack walk (a 100k-vertex coastline
+would blow Python's recursion limit) over NumPy arrays; per-segment
+perpendicular distances are computed vectorized for the whole span at
+once, so the cost is O(n) NumPy work per retained split, not per vertex.
 
-Kernel: iterative-stack DP over coordinate arrays (recursion depth on a
-100k-vertex coastline would overflow Python's stack), with the per-span
-point-to-line distances fully vectorized. Distances compare as SQUARED
-values against tol² — no sqrt, no libm — and the kept set is a pure
-function of the inputs, so results are identical across runs, engines,
-and cluster sizes. Degenerate spans (coincident endpoints — closed
-rings) fall back to point distance.
-
-Spark shape: one `mapInPandas` pass (the documented Arrow-batch
-exception — DP's data-dependent recursion tree has no DataFrame-op
-composition), preserving the input's partitioning; per-row cost is
-O(n log n) expected on the vertex count, memory O(n). Rows shorter than
-3 vertices pass through untouched.
+Guarantees (property-tested): endpoints always retained; the output is a
+subsequence of the input vertices; every dropped vertex lies within
+`epsilon` of the simplified line; idempotent (simplifying the output
+changes nothing).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves the hint strings
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _perp_dist(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distance from each point to the SEGMENT ab (projection clamped to
+    [0,1]) — NOT the infinite line: a path that overshoots an endpoint and
+    doubles back is collinear with the line yet far from the segment, and
+    the infinite-line variant would happily delete it (found by the
+    hypothesis sweep). Degenerate a==b falls back to point distance."""
+    d = b - a
+    L2 = float(d @ d)
+    if L2 == 0.0:
+        return np.hypot(*(pts - a).T)
+    t = np.clip(((pts - a) @ d) / L2, 0.0, 1.0)
+    proj = a + t[:, None] * d
+    return np.hypot(*(pts - proj).T)
+
+
+def douglas_peucker(coords: np.ndarray, epsilon: float) -> np.ndarray:
+    """Simplified polyline (subset of input rows, order preserved)."""
+    pts = np.asarray(coords, np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts.copy()
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        seg = pts[i + 1:j]
+        dist = _perp_dist(seg, pts[i], pts[j])
+        m = int(np.argmax(dist))
+        if dist[m] > epsilon:
+            k = i + 1 + m
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return pts[keep]
+
+
+def simplify_lines(
+    df: DataFrame,
+    epsilon: float,
+    wkb_col: str = "geometry",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply DP to every LineString WKB in `wkb_col` (other geometry
+    types pass through untouched) — one Arrow-batched kernel, vertex
+    arrays never leave NumPy."""
+    from .wkb import wkb_dumps, wkb_loads
+
+    out_col = out_col or wkb_col
+
+    @F.pandas_udf("binary")
+    def simp(col: pd.Series) -> pd.Series:
+        res = []
+        for blob in col:
+            if blob is None:
+                res.append(None)
+                continue
+            typ, data = wkb_loads(bytes(blob))
+            if typ != "LineString":
+                res.append(bytes(blob))
+                continue
+            res.append(wkb_dumps((typ, douglas_peucker(data, epsilon))))
+        return pd.Series(res)
+
+    return df.withColumn(out_col, simp(F.col(wkb_col)))
+
+
+def epsilon_for_zoom(zoom: int, px_tolerance: float = 1.0) -> float:
+    """Simplification tolerance (degrees) for a web-mercator-style zxy
+    zoom: one tile spans 360/2^z degrees over 256 px, so `px_tolerance`
+    pixels ≈ px · 360 / (2^z · 256). The standard per-zoom ladder for a
+    vector-tile pipeline: simplify once per published zoom with this
+    epsilon and cache via io/snapshots."""
+    return px_tolerance * 360.0 / ((1 << zoom) * 256.0)
+
+
+def simplify_for_zoom(df: DataFrame, zoom: int, px_tolerance: float = 1.0,
+                      wkb_col: str = "geometry",
+                      out_col: str | None = None) -> DataFrame:
+    """simplify_lines at the tolerance a z-level tile can resolve."""
+    return simplify_lines(df, epsilon_for_zoom(zoom, px_tolerance),
+                          wkb_col=wkb_col, out_col=out_col)
 
 
 def douglas_peucker_mask(
     x: np.ndarray, y: np.ndarray, tolerance: float
 ) -> np.ndarray:
-    """Boolean keep-mask: endpoints always kept; an interior point
-    survives iff its span's max point-to-SEGMENT distance exceeds the
-    tolerance (strictly — points AT the tolerance are dropped, the
-    common library convention).
-
-    SEGMENT-clamped, not infinite-line: a path that overshoots the span
-    endpoint and doubles back lies arbitrarily close to the infinite
-    line yet far from the segment — the line variant silently deletes
-    it (found by the round-6 hypothesis sweep). t = clamp(proj, 0, 1)
-    reduces to the line distance for interior projections and to
-    endpoint distance beyond them."""
+    """Boolean keep-mask twin of `douglas_peucker` for callers holding
+    separate lon/lat arrays (the way-pipeline layout): same iterative
+    stack, same SEGMENT-clamped distances (compared squared — no
+    hypot/sqrt in the loop)."""
     n = x.size
     keep = np.zeros(n, dtype=bool)
     if n == 0:
@@ -75,28 +148,16 @@ def douglas_peucker_mask(
     return keep
 
 
-def douglas_peucker(
-    x: np.ndarray, y: np.ndarray, tolerance: float
-) -> tuple[np.ndarray, np.ndarray]:
-    """The simplified coordinate arrays (the mask applied) — the
-    driver-side convenience twin of `douglas_peucker_mask`."""
-    xa = np.asarray(x, dtype=np.float64)
-    ya = np.asarray(y, dtype=np.float64)
-    m = douglas_peucker_mask(xa, ya, tolerance)
-    return xa[m], ya[m]
-
-
-def simplify_lines(
+def simplify_coord_arrays(
     df: DataFrame,
     tolerance: float,
     lons_col: str = "lons",
     lats_col: str = "lats",
 ) -> DataFrame:
-    """Replaces the coordinate-array columns with their DP-simplified
-    versions and appends `n_before`/`n_after` vertex counts. Schema
-    otherwise passes through unchanged."""
-    import pandas as pd
-
+    """DP over rows carrying lon/lat COORDINATE-ARRAY columns (the
+    pre-WKB way layout) — the array-column sibling of `simplify_lines`:
+    one mapInPandas pass preserving partitioning, replacing the arrays
+    in place and appending n_before/n_after vertex counts."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     # StructType.add mutates in place — build the output schema from a
@@ -130,23 +191,3 @@ def simplify_lines(
             yield pdf
 
     return df.mapInPandas(fn, schema=out_schema)
-
-
-def simplify_for_zoom(
-    df: DataFrame,
-    zoom: int,
-    px: float = 1.0,
-    tile_px: int = 256,
-    lons_col: str = "lons",
-    lats_col: str = "lats",
-) -> DataFrame:
-    """`simplify_lines` with the per-zoom epsilon ladder: tolerance =
-    `px` screen pixels at `tile_px`-pixel z-`zoom` tiles (360·px /
-    (2^zoom·tile_px) degrees) — sub-pixel detail at the render zoom is
-    invisible, so dropping it is lossless on screen. The standard way a
-    tile pipeline calls DP: once per published zoom level."""
-    if not 0 <= zoom <= 28:
-        raise ValueError("zoom must be in [0, 28]")
-    tol = 360.0 * px / ((1 << zoom) * tile_px)
-    return simplify_lines(df, tolerance=tol,
-                          lons_col=lons_col, lats_col=lats_col)
