@@ -4788,6 +4788,73 @@ CROSS JOIN gstats
 """
 
 
+def _q_morans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (Anselin 1995) at z=6 over the point fixture —
+    Gi*'s sibling with the NEIGHBORS-ONLY lag and the scatterplot
+    quadrant labels (HH/LL/HL/LH/NS). Same doctrine as hotspot_cells:
+    integer-exact block sums, one rounded closed form, sign-exact
+    quadrants (comparisons of exact doubles)."""
+    from ohsome_planet_spark.operators.hotspot import local_morans_i
+    from ohsome_planet_spark.operators.tiling import zxy_cell_col
+
+    pts = _points(spark, sf_dir)
+    counts = (
+        pts.select(zxy_cell_col(F.col("lon"), F.col("lat"), 6).alias("cell"))
+        .groupBy("cell").agg(F.count("*").alias("n"))
+    )
+    return local_morans_i(counts, z=6, radius=1)
+
+
+_MORANS_ORACLE_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+cnt AS (
+  SELECT greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64)
+                                AS BIGINT), 63)) AS x,
+         greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 64)
+                                AS BIGINT), 63)) AS y,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+o AS (SELECT dx, dy FROM (SELECT unnest(generate_series(-1, 1)) AS dx),
+                         (SELECT unnest(generate_series(-1, 1)) AS dy)),
+donated AS (
+  SELECT (x + dx + 64) % 64 AS cx, y + dy AS cy,
+         sum(n) AS s1, count(*) AS k
+  FROM cnt, o WHERE y + dy BETWEEN 0 AND 63
+  GROUP BY 1, 2
+),
+gstats AS (SELECT count(*) AS nn, sum(n) AS sx, sum(n * n) AS sxx FROM cnt),
+j AS (
+  SELECT x, y, n, k, s1,
+         CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE) AS xbar,
+         CAST(sxx AS DOUBLE) / CAST(nn AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))
+             * (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)) AS m2,
+         sxx * nn <> sx * sx AS nondeg
+  FROM cnt
+  JOIN donated ON donated.cx = cnt.x AND donated.cy = cnt.y
+  CROSS JOIN gstats
+),
+e AS (
+  SELECT x, y, n, k, s1, m2, nondeg,
+         CAST(n AS DOUBLE) - xbar AS zv,
+         (CAST(s1 AS DOUBLE) - CAST(n AS DOUBLE))
+           - (CAST(k AS DOUBLE) - 1.0) * xbar AS lag
+  FROM j
+)
+SELECT 6 * 288230376151711744 + x * 536870912 + y AS cell,
+       n AS x, k::BIGINT AS k, s1::BIGINT AS s1,
+       CASE WHEN k > 1 AND nondeg THEN round(zv / m2 * lag, 9) END
+         AS moran_i,
+       CASE WHEN k <= 1 OR zv = 0 OR lag = 0 THEN 'NS'
+            WHEN zv > 0 AND lag > 0 THEN 'HH'
+            WHEN zv < 0 AND lag < 0 THEN 'LL'
+            WHEN zv > 0 AND lag < 0 THEN 'HL'
+            ELSE 'LH' END AS quadrant
+FROM e
+"""
+
+
 def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bloom membership (m=4096 bits, k=3 KM double
     hashing): filter built from the fixed member slice (even doc_id
@@ -5788,6 +5855,7 @@ _GATE_ORDER = [
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
     "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
     "dbscan_clusters", "bloom_seen", "tile_smooth", "hotspot_cells",
+    "morans_cells",
     # ---- gate cap boundary: every never-gated + new-this-round entry is
     # above this line and inside the first 50, so r5 ∪ r6 driver gates
     # cover the whole registry ----
@@ -5887,6 +5955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": _q_bloom_seen,
         "tile_smooth": _q_tile_smooth,
         "hotspot_cells": _q_hotspot_cells,
+        "morans_cells": _q_morans_cells,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -6139,6 +6208,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_seen": _BLOOM_SEEN_ORACLE_SQL,
         "tile_smooth": _TILE_SMOOTH_ORACLE_SQL,
         "hotspot_cells": _HOTSPOT_ORACLE_SQL,
+        "morans_cells": _MORANS_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,

@@ -31,6 +31,106 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _block_sums(counts, z, radius, cell_col, n_col):
+    """Shared (center, x, k, s1) + 1-row globals builder for the local
+    spatial statistics: k/s1 are the (2r+1)²-block occupied-cell count
+    and value sum INCLUDING the center (callers subtract the center for
+    neighbors-only statistics)."""
+    n_tiles = 1 << z
+    mask = (1 << 29) - 1
+    base = counts.select(
+        F.shiftright(cell_col, 29).bitwiseAND(F.lit(mask)).alias("_x"),
+        F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_y"),
+        F.col(n_col).cast("long").alias("_n"),
+    )
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+        ])
+    ).alias("_o")
+    donated = (
+        base.select("_x", "_y", F.col("_n").alias("_dn"), offs)
+        .select(
+            F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n_tiles)).alias("_cx"),
+            (F.col("_y") + F.col("_o.dy")).alias("_cy"),
+            "_dn",
+        )
+        .where((F.col("_cy") >= 0) & (F.col("_cy") < n_tiles))
+        .groupBy("_cx", "_cy")
+        .agg(F.sum("_dn").alias("s1"), F.count("*").alias("k"))
+    )
+    glob = base.agg(
+        F.count("*").alias("_N"),
+        F.sum("_n").alias("_sx"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_sxx"),
+    )
+    center = base.select(
+        F.col("_x").alias("_ix"), F.col("_y").alias("_iy"),
+        F.col("_n").alias("_xval"),
+    )
+    return (
+        center.join(
+            donated,
+            (F.col("_ix") == F.col("_cx")) & (F.col("_iy") == F.col("_cy")),
+        )
+        .crossJoin(F.broadcast(glob))
+    )
+
+
+def local_morans_i(
+    counts: DataFrame,
+    z: int,
+    radius: int = 1,
+    cell_col: str = "cell",
+    n_col: str = "n",
+) -> DataFrame:
+    """(cell, x, k, s1, moran_i, quadrant) — Local Moran's I (Anselin
+    1995), Gi*'s sibling: I_i = (x_i − X̄)/m₂ · Σ_{j∈nbr} (x_j − X̄)
+    with binary contiguity weights over the occupied-cell universe and
+    the NEIGHBORS-ONLY lag (the center is excluded, per the statistic's
+    definition — unlike Gi*). `quadrant` labels the cluster type the
+    Moran scatterplot reads off the two signs: HH/LL (hot/cold cluster
+    core), HL/LH (spatial outliers), NS when either factor is exactly 0
+    or the cell has no neighbors.
+
+    Same engine-exact shape as `getis_ord_gi` (one block-donation
+    aggregate + 1-row globals; I_i is one rounded closed form of exact
+    integers, NULL when m₂ degenerates) — and both statistics reuse the
+    identical `_block_sums` plan."""
+    j = _block_sums(counts, z, radius, cell_col, n_col)
+    d = lambda c: F.col(c).cast("double")
+    xbar = d("_sx") / d("_N")
+    m2 = d("_sxx") / d("_N") - xbar * xbar
+    zval = d("_xval") - xbar
+    # neighbors-only lag from the center-inclusive block sums
+    lag = (d("s1") - d("_xval")) - (d("k") - F.lit(1.0)) * xbar
+    has_nbr = F.col("k") > 1
+    moran = F.when(
+        has_nbr & (F.col("_sxx") * F.col("_N") != F.col("_sx") * F.col("_sx")),
+        F.round(zval / m2 * lag, 9),
+    )
+    quad = (
+        F.when(~has_nbr | (zval == 0) | (lag == 0), F.lit("NS"))
+        .when((zval > 0) & (lag > 0), F.lit("HH"))
+        .when((zval < 0) & (lag < 0), F.lit("LL"))
+        .when((zval > 0) & (lag < 0), F.lit("HL"))
+        .otherwise(F.lit("LH"))
+    )
+    return j.select(
+        (
+            F.lit(z).cast("long") * F.lit(1 << 58).cast("long")
+            + F.shiftleft(F.col("_ix"), 29) + F.col("_iy")
+        ).alias("cell"),
+        F.col("_xval").alias("x"),
+        F.col("k").cast("long").alias("k"),
+        F.col("s1").cast("long").alias("s1"),
+        moran.alias("moran_i"),
+        quad.alias("quadrant"),
+    )
+
+
 def getis_ord_gi(
     counts: DataFrame,
     z: int,
@@ -51,55 +151,7 @@ def getis_ord_gi(
     block, or S = 0: constant surface) get NULL. x wraps in longitude,
     block rows past the poles are simply absent (same edge semantics as
     `smooth_tile_counts`)."""
-    n_tiles = 1 << z
-    mask = (1 << 29) - 1
-    base = counts.select(
-        F.shiftright(cell_col, 29).bitwiseAND(F.lit(mask)).alias("_x"),
-        F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_y"),
-        F.col(n_col).cast("long").alias("_n"),
-    )
-
-    offs = F.explode(
-        F.array(*[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in range(-radius, radius + 1)
-            for dy in range(-radius, radius + 1)
-        ])
-    ).alias("_o")
-    # each occupied cell j donates its value to every block CENTER i it
-    # belongs to; aggregating by the shifted center gives (s1, k) with
-    # map-side combine, and the inner join keeps only occupied centers
-    donated = (
-        base.select("_x", "_y", F.col("_n").alias("_dn"), offs)
-        .select(
-            F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n_tiles)).alias("_cx"),
-            (F.col("_y") + F.col("_o.dy")).alias("_cy"),
-            "_dn",
-        )
-        .where((F.col("_cy") >= 0) & (F.col("_cy") < n_tiles))
-        .groupBy("_cx", "_cy")
-        .agg(F.sum("_dn").alias("s1"), F.count("*").alias("k"))
-    )
-    glob = base.agg(
-        F.count("*").alias("_N"),
-        F.sum("_n").alias("_sx"),
-        F.sum(F.col("_n") * F.col("_n")).alias("_sxx"),
-    )
-
-    # unique names on the center side: base and donated share lineage (a
-    # frame joined with its own aggregate), and unqualified references
-    # into that self-join are ambiguous after Spark's attribute dedup
-    center = base.select(
-        F.col("_x").alias("_ix"), F.col("_y").alias("_iy"),
-        F.col("_n").alias("_xval"),
-    )
-    j = (
-        center.join(
-            donated,
-            (F.col("_ix") == F.col("_cx")) & (F.col("_iy") == F.col("_cy")),
-        )
-        .crossJoin(F.broadcast(glob))
-    )
+    j = _block_sums(counts, z, radius, cell_col, n_col)
     d = lambda c: F.col(c).cast("double")
     xbar = d("_sx") / d("_N")
     s = F.sqrt(d("_sxx") / d("_N") - xbar * xbar)

@@ -61,3 +61,51 @@ def test_gi_star_wraps_longitude(spark):
     assert out[10]["k"] == 2 and out[10]["s1"] == 30
     assert out[20]["k"] == 2 and out[20]["s1"] == 30
     assert out[1]["k"] == 1
+
+
+def test_local_morans_closed_form(spark):
+    from ohsome_planet_spark.operators.hotspot import local_morans_i
+
+    z = 6
+    rows = [(10, 10, 100), (10, 11, 90), (30, 30, 1), (40, 5, 2),
+            (50, 50, 3)]
+    df = _cells(spark, z, rows)
+    out = {r["cell"]: r for r in local_morans_i(df, z=z).collect()}
+    mk = lambda x, y: z * (1 << 58) + (x << 29) + y
+
+    xs = [n for _, _, n in rows]
+    N, sx, sxx = len(xs), sum(xs), sum(v * v for v in xs)
+    xbar = sx / N
+    m2 = sxx / N - xbar * xbar
+
+    def moran(x, s1, k):
+        lag = (s1 - x) - (k - 1) * xbar
+        return round((x - xbar) / m2 * lag, 9)
+
+    hot = out[mk(10, 10)]
+    assert hot["moran_i"] == pytest.approx(moran(100, 190, 2), abs=1e-9)
+    assert hot["quadrant"] == "HH"      # high value, high neighbor
+    iso = out[mk(30, 30)]
+    assert iso["moran_i"] is None and iso["quadrant"] == "NS"  # no nbrs
+
+
+def test_local_morans_outlier_quadrants(spark):
+    from ohsome_planet_spark.operators.hotspot import local_morans_i
+
+    z = 6
+    # a low cell surrounded by a high one (and vice versa) + two far
+    # middling cells to anchor the mean between them
+    rows = [(10, 10, 100), (10, 11, 1), (40, 40, 25), (50, 50, 26)]
+    df = _cells(spark, z, rows)
+    out = {r["x"]: r for r in local_morans_i(df, z=z).collect()}
+    assert out[100]["quadrant"] == "HL"  # high among low
+    assert out[1]["quadrant"] == "LH"    # low among high
+
+
+def test_local_morans_degenerate_null(spark):
+    from ohsome_planet_spark.operators.hotspot import local_morans_i
+
+    z = 4
+    df = _cells(spark, z, [(1, 1, 5), (1, 2, 5), (8, 8, 5)])
+    out = local_morans_i(df, z=z).collect()
+    assert all(r["moran_i"] is None for r in out)  # constant surface
