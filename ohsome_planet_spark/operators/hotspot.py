@@ -38,11 +38,15 @@ def _block_sums(counts, z, radius, cell_col, n_col):
     neighbors-only statistics)."""
     n_tiles = 1 << z
     mask = (1 << 29) - 1
+    # base feeds THREE consumers (donations, globals, centers); without a
+    # persist Spark recomputes the upstream counts aggregate — typically a
+    # full shuffle over the raw points — once per consumer (the dbscan
+    # lesson). The cached frame is O(occupied cells), tiny next to points.
     base = counts.select(
         F.shiftright(cell_col, 29).bitwiseAND(F.lit(mask)).alias("_x"),
         F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_y"),
         F.col(n_col).cast("long").alias("_n"),
-    )
+    ).persist()
     offs = F.explode(
         F.array(*[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
