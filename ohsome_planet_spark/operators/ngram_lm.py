@@ -186,7 +186,11 @@ def with_lm_logprob_exact(
     Scale shape: model + contexts broadcast (pruned top-K); the only
     shuffle carries (doc, position, term) aggregate rows; per-doc
     collect_list is bounded by document length (the same bound every
-    text operator here lives under)."""
+    text operator here lives under). The model frame is persisted here
+    (bounded: top-K rows) because it feeds three consumers (vocab count,
+    bigram join, context counts) — unpersisted, a freshly-trained model
+    would re-run its full corpus aggregation per consumer."""
+    model = model.persist()
     if vocab_size is None:
         vocab_size = model.select("w2").distinct().count() + 1
 
