@@ -4855,6 +4855,112 @@ FROM e
 """
 
 
+def _q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot analysis (space-time cube): per-5-day-bin Gi*
+    at z=6 over the point fixture, then a per-cell Mann–Kendall trend
+    on the bin-ordered z-series and the new/intensifying/diminishing/
+    persistent/historical/none taxonomy. Everything integer or
+    exact-IEEE except the shared rounded Gi* form; MK S and the
+    category CASE replay sign-exactly in DuckDB."""
+    from ohsome_planet_spark.operators.hotspot import emerging_hotspots
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "ts",
+        ((F.col("event_id") * 7919 % 900) / 20.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 900) / 20.0).alias("lat"),
+    )
+    return emerging_hotspots(
+        pts, z=6, bin_seconds=432000, origin="2020-01-01 00:00:00")
+
+
+_EMERGING_ORACLE_SQL = """
+WITH pts AS (
+  SELECT CAST(floor(CAST(date_diff('microsecond',
+                                   TIMESTAMP '2020-01-01 00:00:00', ts)
+                         AS DOUBLE) / CAST(432000000000 AS DOUBLE))
+              AS BIGINT) AS bin,
+         (event_id * 7919 % 900) / 20.0 AS lon,
+         (event_id * 104729 % 900) / 20.0 AS lat
+  FROM events
+),
+cnt AS (
+  SELECT bin,
+         greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64)
+                                AS BIGINT), 63)) AS x,
+         greatest(0, least(CAST(floor((90.0 - lat) / 180.0 * 64)
+                                AS BIGINT), 63)) AS y,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2, 3
+),
+o AS (SELECT dx, dy FROM (SELECT unnest(generate_series(-1, 1)) AS dx),
+                         (SELECT unnest(generate_series(-1, 1)) AS dy)),
+donated AS (
+  SELECT bin, (x + dx + 64) % 64 AS cx, y + dy AS cy,
+         sum(n) AS s1, count(*) AS k
+  FROM cnt, o WHERE y + dy BETWEEN 0 AND 63
+  GROUP BY 1, 2, 3
+),
+gstats AS (
+  SELECT bin, count(*) AS nn, sum(n) AS sx, sum(n * n) AS sxx
+  FROM cnt GROUP BY bin
+),
+per AS (
+  SELECT * FROM (
+    SELECT c.bin, c.x, c.y,
+           CASE WHEN k < nn AND sxx * nn <> sx * sx THEN
+             round(
+               (CAST(s1 AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * CAST(k AS DOUBLE))
+               / (sqrt(CAST(sxx AS DOUBLE) / CAST(nn AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)))
+                  * sqrt((CAST(nn AS DOUBLE) * CAST(k AS DOUBLE)
+                          - CAST(k AS DOUBLE) * CAST(k AS DOUBLE))
+                         / (CAST(nn AS DOUBLE) - 1.0))), 9)
+           END AS gi
+    FROM cnt c
+    JOIN donated d ON d.bin = c.bin AND d.cx = c.x AND d.cy = c.y
+    JOIN gstats g ON g.bin = c.bin
+  ) WHERE gi IS NOT NULL
+),
+latest AS (SELECT max(bin) AS bmax FROM per),
+ser AS (
+  SELECT x, y,
+         count(*) AS n_bins,
+         sum(CASE WHEN gi > 1.96 THEN 1 ELSE 0 END) AS n_hot,
+         max(CASE WHEN gi > 1.96 AND bin = bmax THEN 1 ELSE 0 END)
+           AS last_i,
+         list(gi ORDER BY bin) AS arr
+  FROM per CROSS JOIN latest
+  GROUP BY x, y
+),
+mk AS (
+  SELECT *,
+         coalesce(list_sum(flatten(list_transform(
+           generate_series(2, len(arr)),
+           j -> list_transform(generate_series(1, j - 1),
+                               i -> CASE WHEN arr[j] > arr[i] THEN 1
+                                         WHEN arr[j] < arr[i] THEN -1
+                                         ELSE 0 END)))), 0) AS mk_s
+  FROM ser
+)
+SELECT 6 * 288230376151711744 + x * 536870912 + y AS cell,
+       n_bins::BIGINT AS n_bins,
+       n_hot::BIGINT AS n_hot,
+       mk_s::BIGINT AS mk_s,
+       last_i = 1 AS last_hot,
+       CASE WHEN n_hot = 0 THEN 'none'
+            WHEN last_i = 1 AND n_hot = 1 THEN 'new'
+            WHEN last_i = 1 AND mk_s > 0 THEN 'intensifying'
+            WHEN last_i = 1 AND mk_s < 0 THEN 'diminishing'
+            WHEN last_i = 1 THEN 'persistent'
+            ELSE 'historical' END AS category
+FROM mk
+"""
+
+
 def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bloom membership (m=4096 bits, k=3 KM double
     hashing): filter built from the fixed member slice (even doc_id
@@ -5855,7 +5961,7 @@ _GATE_ORDER = [
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
     "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
     "dbscan_clusters", "bloom_seen", "tile_smooth", "hotspot_cells",
-    "morans_cells",
+    "morans_cells", "emerging_hotspots",
     # ---- gate cap boundary: every never-gated + new-this-round entry is
     # above this line and inside the first 50, so r5 ∪ r6 driver gates
     # cover the whole registry ----
@@ -5956,6 +6062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_smooth": _q_tile_smooth,
         "hotspot_cells": _q_hotspot_cells,
         "morans_cells": _q_morans_cells,
+        "emerging_hotspots": _q_emerging_hotspots,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -6209,6 +6316,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_smooth": _TILE_SMOOTH_ORACLE_SQL,
         "hotspot_cells": _HOTSPOT_ORACLE_SQL,
         "morans_cells": _MORANS_ORACLE_SQL,
+        "emerging_hotspots": _EMERGING_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,

@@ -30,19 +30,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .tiling import zxy_cell_col
 
-def _block_sums(counts, z, radius, cell_col, n_col):
-    """Shared (center, x, k, s1) + 1-row globals builder for the local
-    spatial statistics: k/s1 are the (2r+1)²-block occupied-cell count
-    and value sum INCLUDING the center (callers subtract the center for
-    neighbors-only statistics)."""
+
+def _block_sums(counts, z, radius, cell_col, n_col, by=None):
+    """Shared (center, x, k, s1) + globals builder for the local spatial
+    statistics: k/s1 are the (2r+1)²-block occupied-cell count and value
+    sum INCLUDING the center (callers subtract the center for
+    neighbors-only statistics). `by` (optional column name in `counts`)
+    partitions everything — donations, globals, the center join — per
+    group: the per-time-bin mode `emerging_hotspots` runs in (globals
+    then broadcast-join on the group key instead of a cross join)."""
     n_tiles = 1 << z
     mask = (1 << 29) - 1
+    keys = [by] if by else []
     # base feeds THREE consumers (donations, globals, centers); without a
     # persist Spark recomputes the upstream counts aggregate — typically a
     # full shuffle over the raw points — once per consumer (the dbscan
     # lesson). The cached frame is O(occupied cells), tiny next to points.
     base = counts.select(
+        *keys,
         F.shiftright(cell_col, 29).bitwiseAND(F.lit(mask)).alias("_x"),
         F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_y"),
         F.col(n_col).cast("long").alias("_n"),
@@ -55,31 +62,162 @@ def _block_sums(counts, z, radius, cell_col, n_col):
         ])
     ).alias("_o")
     donated = (
-        base.select("_x", "_y", F.col("_n").alias("_dn"), offs)
+        base.select(*keys, "_x", "_y", F.col("_n").alias("_dn"), offs)
         .select(
+            *keys,
             F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n_tiles)).alias("_cx"),
             (F.col("_y") + F.col("_o.dy")).alias("_cy"),
             "_dn",
         )
         .where((F.col("_cy") >= 0) & (F.col("_cy") < n_tiles))
-        .groupBy("_cx", "_cy")
+        .groupBy(*keys, "_cx", "_cy")
         .agg(F.sum("_dn").alias("s1"), F.count("*").alias("k"))
     )
-    glob = base.agg(
+    glob = base.groupBy(*keys).agg(
         F.count("*").alias("_N"),
         F.sum("_n").alias("_sx"),
         F.sum(F.col("_n") * F.col("_n")).alias("_sxx"),
     )
     center = base.select(
+        *keys,
         F.col("_x").alias("_ix"), F.col("_y").alias("_iy"),
         F.col("_n").alias("_xval"),
     )
-    return (
-        center.join(
-            donated,
-            (F.col("_ix") == F.col("_cx")) & (F.col("_iy") == F.col("_cy")),
+    cond = (F.col("_ix") == F.col("_cx")) & (F.col("_iy") == F.col("_cy"))
+    if by:
+        return (
+            center.join(
+                donated.withColumnRenamed(by, "_gd"),
+                (F.col(by) == F.col("_gd")) & cond,
+            )
+            .join(
+                F.broadcast(glob.withColumnRenamed(by, "_gg")),
+                F.col(by) == F.col("_gg"),
+            )
+            .drop("_gd", "_gg")
         )
-        .crossJoin(F.broadcast(glob))
+    return center.join(donated, cond).crossJoin(F.broadcast(glob))
+
+
+def _repack_cell(z):
+    return (
+        F.lit(z).cast("long") * F.lit(1 << 58).cast("long")
+        + F.shiftleft(F.col("_ix"), 29) + F.col("_iy")
+    ).alias("cell")
+
+
+def _gi_z_expr():
+    """The Gi* z-score closed form over a `_block_sums` row — shared by
+    the static and the per-time-bin (emerging) statistics."""
+    d = lambda c: F.col(c).cast("double")
+    xbar = d("_sx") / d("_N")
+    s = F.sqrt(d("_sxx") / d("_N") - xbar * xbar)
+    denom = s * F.sqrt(
+        (d("_N") * d("k") - d("k") * d("k")) / (d("_N") - F.lit(1.0)))
+    return F.when(
+        (F.col("k") < F.col("_N")) & (F.col("_sxx") * F.col("_N")
+                                      != F.col("_sx") * F.col("_sx")),
+        F.round((d("s1") - xbar * d("k")) / denom, 9),
+    )
+
+
+def emerging_hotspots(
+    points: DataFrame,
+    z: int,
+    bin_seconds: int,
+    origin: str = "2020-01-01 00:00:00",
+    radius: int = 1,
+    hot_z: float = 1.96,
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Emerging-hotspot analysis (the space-time-cube workflow): Gi* per
+    (time bin, cell) with the per-bin occupied-cell universe, then a
+    per-cell Mann–Kendall trend over the bin-ordered z-series and a
+    category inspired by the ArcGIS taxonomy:
+
+      none          never hot (|gi| series has no bin > hot_z)
+      new           hot in the latest bin, never before
+      intensifying  hot in the latest bin, MK S > 0 (rising trend)
+      diminishing   hot in the latest bin, MK S < 0
+      persistent    hot in the latest bin, MK S = 0
+      historical    hot in some earlier bin only
+
+    Engine-exact throughout: bins are integer microsecond arithmetic
+    from a fixed origin (no session-timezone epoch), the per-bin Gi* is
+    the shared rounded closed form, and MK S = Σ_{i<j} sign(g_j − g_i)
+    is an integer computed by exact double comparisons over the sorted
+    series (NULL-gi bins excluded; cells absent from a bin contribute no
+    slot — the occupied-cube convention, documented engine choice vs
+    ArcGIS's dense cube). `last_hot` keys off the GLOBAL latest bin.
+
+    Output: (cell, n_bins, n_hot, mk_s, last_hot, category).
+
+    Scale: one (bin, cell) aggregate over the points, the `_block_sums`
+    per-bin donation join, one per-cell series aggregate whose arrays
+    are bounded by the bin count. Nothing quadratic in cells or points;
+    the MK pair loop is O(bins²) per cell with bins ≤ dozens."""
+    bin_c = F.floor(
+        F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP'{origin}', {ts_col})")
+        / F.lit(int(bin_seconds) * 1_000_000)
+    ).cast("long").alias("bin")
+    counts = (
+        points.select(
+            bin_c,
+            zxy_cell_col(F.col(lon_col), F.col(lat_col), z).alias("cell"),
+        )
+        .groupBy("bin", "cell").agg(F.count("*").alias("n"))
+    )
+    j = _block_sums(counts, z, radius, "cell", "n", by="bin")
+    per = j.select(
+        F.col("bin"), _repack_cell(z), _gi_z_expr().alias("gi_z")
+    ).where(F.col("gi_z").isNotNull()).persist()
+
+    latest = per.agg(F.max("bin").alias("_bin_max"))
+    hot = F.col("gi_z") > F.lit(float(hot_z))
+    ser = (
+        per.crossJoin(F.broadcast(latest))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum(hot.cast("long")).alias("n_hot"),
+            F.max((hot & (F.col("bin") == F.col("_bin_max"))).cast("int"))
+            .alias("_last_hot_i"),
+            F.array_sort(F.collect_list(F.struct("bin", "gi_z")))
+            .alias("_arr"),
+        )
+    )
+    # MK S: Σ over ordered pairs of sign(later − earlier); Spark's
+    # sequence(1, 0) DESCENDS, so the <2-slot case is guarded explicitly
+    mk = F.expr(
+        "CASE WHEN size(_arr) < 2 THEN 0L ELSE aggregate(flatten("
+        "  transform(sequence(1, size(_arr) - 1), j ->"
+        "    transform(sequence(0, j - 1), i ->"
+        "      CASE WHEN _arr[j].gi_z > _arr[i].gi_z THEN 1L"
+        "           WHEN _arr[j].gi_z < _arr[i].gi_z THEN -1L"
+        "           ELSE 0L END))),"
+        "  0L, (acc, x) -> acc + x) END"
+    )
+    last_hot = F.col("_last_hot_i") == 1
+    cat = (
+        F.when(F.col("n_hot") == 0, F.lit("none"))
+        .when(last_hot & (F.col("n_hot") == 1), F.lit("new"))
+        .when(last_hot & (F.col("mk_s") > 0), F.lit("intensifying"))
+        .when(last_hot & (F.col("mk_s") < 0), F.lit("diminishing"))
+        .when(last_hot, F.lit("persistent"))
+        .otherwise(F.lit("historical"))
+    )
+    return (
+        ser.withColumn("mk_s", mk)
+        .select(
+            "cell",
+            F.col("n_bins").cast("long").alias("n_bins"),
+            F.col("n_hot").cast("long").alias("n_hot"),
+            "mk_s",
+            last_hot.alias("last_hot"),
+            cat.alias("category"),
+        )
     )
 
 
@@ -156,23 +294,10 @@ def getis_ord_gi(
     block rows past the poles are simply absent (same edge semantics as
     `smooth_tile_counts`)."""
     j = _block_sums(counts, z, radius, cell_col, n_col)
-    d = lambda c: F.col(c).cast("double")
-    xbar = d("_sx") / d("_N")
-    s = F.sqrt(d("_sxx") / d("_N") - xbar * xbar)
-    denom = s * F.sqrt(
-        (d("_N") * d("k") - d("k") * d("k")) / (d("_N") - F.lit(1.0)))
-    gi = F.when(
-        (F.col("k") < F.col("_N")) & (F.col("_sxx") * F.col("_N")
-                                      != F.col("_sx") * F.col("_sx")),
-        F.round((d("s1") - xbar * d("k")) / denom, 9),
-    )
     return j.select(
-        (
-            F.lit(z).cast("long") * F.lit(1 << 58).cast("long")
-            + F.shiftleft(F.col("_ix"), 29) + F.col("_iy")
-        ).alias("cell"),
+        _repack_cell(z),
         F.col("_xval").alias("x"),
         F.col("k").cast("long").alias("k"),
         F.col("s1").cast("long").alias("s1"),
-        gi.alias("gi_z"),
+        _gi_z_expr().alias("gi_z"),
     )

@@ -109,3 +109,81 @@ def test_local_morans_degenerate_null(spark):
     df = _cells(spark, z, [(1, 1, 5), (1, 2, 5), (8, 8, 5)])
     out = local_morans_i(df, z=z).collect()
     assert all(r["moran_i"] is None for r in out)  # constant surface
+
+
+def test_emerging_hotspots_categories(spark):
+    from datetime import datetime, timedelta
+
+    from ohsome_planet_spark.operators.hotspot import emerging_hotspots
+
+    z = 6
+    # three spatial sites; activity over 3 daily bins:
+    #  A (10,10): grows hot only in the last bin            -> new
+    #  B (30,30): hot in every bin                          -> persistent/intensifying
+    #  C (50,50): background singles (never hot)            -> none
+    t0 = datetime(2020, 1, 1)
+    rows = []
+    pid = 0
+
+    def burst(x, y, day, n):
+        nonlocal pid
+        lon = x * 360.0 / 64 - 180.0 + 0.01
+        lat = 90.0 - y * 180.0 / 64 - 0.01
+        for _ in range(n):
+            rows.append((pid, t0 + timedelta(days=day, seconds=pid % 600),
+                         lon, lat))
+            pid += 1
+
+    # 16 heterogeneous background sites (single-spike z is bounded by
+    # sqrt(N-1), and simultaneous spikes suppress each other — the
+    # universe must be big enough for two hot cells at once)
+    bg_sites = [(4 + 3 * i, 60 - 3 * i) for i in range(16)]
+    for day in (0, 1, 2):
+        burst(30, 30, day, 40)            # B: always hot
+        burst(50, 50, day, 1)             # C: background
+        for i, (bx, by) in enumerate(bg_sites):
+            burst(bx, by, day, 1 + i % 4)
+    burst(10, 10, 2, 35)                  # A: bursts only on the last day
+
+    df = spark.createDataFrame(
+        rows, "pid long, ts timestamp_ntz, lon double, lat double")
+    out = {r["cell"]: r for r in emerging_hotspots(
+        df, z=z, bin_seconds=86400, origin="2020-01-01 00:00:00").collect()}
+    mk = lambda x, y: z * (1 << 58) + (x << 29) + y
+    a, b, c = out[mk(10, 10)], out[mk(30, 30)], out[mk(50, 50)]
+    assert a["category"] == "new" and a["n_hot"] == 1 and a["last_hot"]
+    assert b["category"] in ("persistent", "intensifying", "diminishing")
+    assert b["n_hot"] == b["n_bins"] == 3
+    assert c["category"] == "none" and not c["last_hot"]
+
+
+def test_emerging_mk_trend_sign(spark):
+    from datetime import datetime, timedelta
+
+    from ohsome_planet_spark.operators.hotspot import emerging_hotspots
+
+    z, t0 = 6, datetime(2020, 1, 1)
+    rows = []
+    pid = 0
+
+    def at(x, y, day, n):
+        nonlocal pid
+        lon = x * 360.0 / 64 - 180.0 + 0.01
+        lat = 90.0 - y * 180.0 / 64 - 0.01
+        for _ in range(n):
+            rows.append((pid, t0 + timedelta(days=day, seconds=pid % 600),
+                         lon, lat))
+            pid += 1
+
+    # site ramps 20 -> 40 -> 80 against a fixed heterogeneous background:
+    # its standardized spike (hence gi_z) rises monotonically
+    for day, n in ((0, 20), (1, 40), (2, 80)):
+        at(20, 20, day, n)
+        for i in range(8):
+            at(4 + 3 * i, 60 - 3 * i, day, 1 + i % 4)
+    df = spark.createDataFrame(
+        rows, "pid long, ts timestamp_ntz, lon double, lat double")
+    out = {r["cell"]: r for r in emerging_hotspots(
+        df, z=z, bin_seconds=86400, origin="2020-01-01 00:00:00").collect()}
+    site = out[z * (1 << 58) + (20 << 29) + 20]
+    assert site["mk_s"] > 0 and site["category"] == "intensifying"
