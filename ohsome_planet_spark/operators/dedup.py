@@ -109,31 +109,22 @@ def minhash_signature_col(
     return F.array(*sigs)
 
 
-def minhash_lsh_pairs(
+def _staged_signatures(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.7,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Near-duplicate pairs via shingle→minhash→band→bucket-join→verify.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b and exact n-gram Jaccard
-    ≥ threshold (verification recomputes the true Jaccard on shingle sets —
-    LSH only proposes candidates, so results are exact w.r.t. the pairs it
-    surfaces).
-    """
-    rows_per_band = num_hashes // bands
-    # STAGED signature build: the one-expression minhash_signature_col
-    # embeds the shingle+base-hash subtree inside EVERY one of the
-    # num_hashes array_min branches (Catalyst does not CSE across them),
-    # recomputing shingling 32×. Materializing _sh → base → pmod as
-    # projection steps computes each stage once per row — CollapseProject
-    # keeps non-cheap aliases used more than once as real projections.
-    # Values are bit-identical (same (a·h+b) mod p arithmetic).
-    sig = (
+    """(_id, _sh, _sig): STAGED signature build — the one-expression
+    minhash_signature_col embeds the shingle+base-hash subtree inside
+    EVERY one of the num_hashes array_min branches (Catalyst does not
+    CSE across them), recomputing shingling 32×. Materializing _sh →
+    base → pmod as projection steps computes each stage once per row —
+    CollapseProject keeps non-cheap aliases used more than once as real
+    projections. Values are bit-identical (same (a·h+b) mod p
+    arithmetic)."""
+    return (
         df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
@@ -152,10 +143,57 @@ def minhash_lsh_pairs(
             ]).alias("_sig"),
         )
     )
-    band_cols = [
+
+
+def _band_cols(num_hashes: int, bands: int):
+    rows_per_band = num_hashes // bands
+    return [
         F.hash(F.slice("_sig", i * rows_per_band + 1, rows_per_band), F.lit(i)).alias("_b")
         for i in range(bands)
     ]
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(_id, _band_idx, _bucket) — the corpus's STORABLE LSH index
+    (ids + band buckets only, bands × one long per doc). Persist this
+    via `io/snapshots` after each crawl generation and feed it to
+    `minhash_lsh_pairs_incremental` so the next generation dedups
+    against history WITHOUT re-shingling or re-hashing the old corpus.
+    Parameters must match between generations (they define the
+    signature space)."""
+    sig = _staged_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return sig.select(
+        "_id",
+        F.posexplode(F.array(*_band_cols(num_hashes, bands)))
+        .alias("_band_idx", "_bucket"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via shingle→minhash→band→bucket-join→verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and exact n-gram Jaccard
+    ≥ threshold (verification recomputes the true Jaccard on shingle sets —
+    LSH only proposes candidates, so results are exact w.r.t. the pairs it
+    surfaces).
+    """
+    sig = _staged_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = _band_cols(num_hashes, bands)
     # ids ONLY ride through the band stage (r1 finding 5: carrying the
     # shingle arrays multiplied the heaviest column by bands × fan-out);
     # the shingle table is re-joined on the deduplicated candidate pairs.
@@ -183,6 +221,76 @@ def minhash_lsh_pairs(
         sh_tbl.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
     ).join(
         sh_tbl.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    old_bands: DataFrame,
+    old_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental crawl dedup: near-dup pairs INVOLVING AT LEAST ONE NEW
+    document — new×new plus new×old — probing a stored LSH index
+    (`banded_signatures` of every prior generation, via `io/snapshots`)
+    instead of re-banding history. old×old pairs were resolved when the
+    old generations landed and are deliberately not re-emitted.
+
+    The old corpus costs: zero shingling/hashing (its bands are read
+    back), and its TEXT is touched only for the candidate ids the band
+    buckets surface (an id-keyed join against `old_docs` — at crawl
+    scale that is a sliver of history). Id spaces must be disjoint
+    across generations (the crawl-generation contract; ids also decide
+    pair orientation). Same verification semantics as
+    `minhash_lsh_pairs`: exact shingle Jaccard ≥ threshold."""
+    new_bands = banded_signatures(
+        new_docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+    tagged = new_bands.withColumn("_new", F.lit(True)).unionByName(
+        old_bands.select("_id", "_band_idx", "_bucket")
+        .withColumn("_new", F.lit(False))
+    )
+    buckets = (
+        tagged.groupBy("_band_idx", "_bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_new")))
+             .alias("_ms"))
+        .where(F.size("_ms") >= 2)
+    )
+    cand_ids = (
+        _element_pairs(buckets, "_ms")
+        .where(F.col("_a._new") | F.col("_b._new"))
+        .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # shingles: new docs re-project theirs; old docs fetched by id only
+    sh_new = new_docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    sh_old = old_docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    sh_tbl = sh_new.unionByName(sh_old)
+    cand = cand_ids.join(
+        sh_tbl.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh_tbl.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

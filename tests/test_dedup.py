@@ -85,3 +85,49 @@ def test_star_components_empty_input(spark):
 
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_clusters_star(df).count() == 0
+
+
+def test_incremental_minhash_matches_batch(spark, sf_dir):
+    """incremental(new=B, old=A-index) must equal: pairs(A∪B) minus the
+    pure old×old pairs — and with an empty old side, equal the plain
+    batch operator exactly."""
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.dedup import (
+        banded_signatures, minhash_lsh_pairs, minhash_lsh_pairs_incremental)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").where(F.col("doc_id") < 120)
+    )
+    # plant cross-generation dups: generation B = 40 fresh docs + copies
+    # of 10 generation-A docs under new ids
+    old = docs.where("doc_id < 60")
+    fresh = docs.where("doc_id >= 60 AND doc_id < 100").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")
+    copies = docs.where("doc_id < 10").select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text")
+    new = fresh.unionByName(copies)
+
+    both = old.unionByName(new)
+    want_all = {(r["id_a"], r["id_b"], r["jaccard"])
+                for r in minhash_lsh_pairs(both).collect()}
+    want_old_only = {(r["id_a"], r["id_b"], r["jaccard"])
+                     for r in minhash_lsh_pairs(old).collect()}
+
+    old_bands = banded_signatures(old)
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in minhash_lsh_pairs_incremental(
+               new, old_bands, old).collect()}
+    assert got == want_all - want_old_only
+    # the planted copies all pair with their generation-A originals
+    assert all((i, i + 2000) in {(a, b) for a, b, _ in got}
+               for i in range(10))
+
+    empty = old.where("doc_id < 0")
+    got_empty_old = {(r["id_a"], r["id_b"], r["jaccard"])
+                     for r in minhash_lsh_pairs_incremental(
+                         new, banded_signatures(empty), empty).collect()}
+    want_new_only = {(r["id_a"], r["id_b"], r["jaccard"])
+                     for r in minhash_lsh_pairs(new).collect()}
+    assert got_empty_old == want_new_only
