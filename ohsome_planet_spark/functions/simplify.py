@@ -176,6 +176,14 @@ def simplify_coord_arrays(
             new_lons = []
             new_lats = []
             for lons, lats in zip(pdf[lons_col], pdf[lats_col]):
+                if lons is None or lats is None:
+                    # null geometry passes through (the WKB sibling's
+                    # None-blob contract)
+                    n_before.append(0)
+                    n_after.append(0)
+                    new_lons.append(lons)
+                    new_lats.append(lats)
+                    continue
                 xa = np.asarray(lons, dtype=np.float64)
                 ya = np.asarray(lats, dtype=np.float64)
                 m = douglas_peucker_mask(xa, ya, tol)

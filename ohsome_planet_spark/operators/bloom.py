@@ -105,7 +105,10 @@ def bloom_probe_col(
     _check_params(m_bits, k)
     if len(words) != m_bits // 64:
         raise ValueError("words length must be m_bits/64")
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    # ONE array literal — F.array of m/64 individual F.lit Columns would
+    # push every element through py4j and build a CreateArray with that
+    # many children (minutes of plan construction at m=2^27)
+    arr = F.lit([int(w) for w in words])
     h1, h2 = _h60("a:", key_c), _h60("b:", key_c)
     cond = None
     for j in range(k):

@@ -161,9 +161,12 @@ def dbscan(
     # rebuilds an unpersisted subtree per consumer (no cross-consumer
     # plan reuse — the same pathology the grouped-bucket pair generators
     # in dedup.py fixed), which would run the grid join 3-4×. Persisting
-    # both (spillable MEMORY_AND_DISK) computes each once; lifetime is
-    # the operator's output plan, same contract as dedup_clusters'
-    # internal checkpoints.
+    # both (spillable MEMORY_AND_DISK) computes each once. Honest
+    # caveat: persist lifetime is the SparkSession, not the returned
+    # plan — blocks stay cached (LRU-evictable) until
+    # spark.catalog.clearCache(); callers running parameter sweeps
+    # should clear between runs. Same trade as dedup_clusters'
+    # localCheckpoints.
     pairs = eps_neighbor_pairs(
         points, eps, id_col=id_col, lon_col=lon_col, lat_col=lat_col,
         metric=metric, max_abs_lat=max_abs_lat,

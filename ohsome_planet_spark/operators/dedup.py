@@ -275,14 +275,29 @@ def minhash_lsh_pairs_incremental(
         .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # shingles: new docs re-project theirs; old docs fetched by id only
+    # shingles: new docs re-project theirs; old docs are SEMI-JOINED to
+    # the candidate ids BEFORE shingling — an inner join after the
+    # projection would still compute shingle arrays for all of history
+    # (Catalyst can't defer the expensive projection past the join),
+    # which is exactly the cost the stored band index exists to avoid
+    cand_ids = cand_ids.persist()
+    need = (
+        cand_ids.select(F.col("id_a").alias("_id"))
+        .union(cand_ids.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
     sh_new = new_docs.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
     )
-    sh_old = old_docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
+    sh_old = (
+        old_docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .join(need, "_id", "left_semi")
+        .select(
+            "_id",
+            F.array_distinct(shingles_col(F.col(text_col), shingle_n))
+            .alias("_sh"),
+        )
     )
     sh_tbl = sh_new.unionByName(sh_old)
     cand = cand_ids.join(
@@ -792,6 +807,15 @@ def dedup_clusters_star(
     EXACT edge-set comparison (exceptAll probe, limit-1 early-out in
     each direction — a fingerprint sum could collide and silently ship
     unconverged labels)."""
+    # the node universe comes from the RAW pairs (self-pairs included):
+    # a node whose only edge is (x, x) is a singleton cluster in
+    # dedup_clusters' union-find and must not vanish here either
+    universe = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -799,8 +823,7 @@ def dedup_clusters_star(
         .localCheckpoint()
     )
     if edges.rdd.isEmpty():
-        return pairs.sparkSession.createDataFrame(
-            [], "node long, cluster_id long")
+        return universe.select("node", F.col("node").alias("cluster_id"))
     for _ in range(max_iters):
         nxt = _star_round(_star_round(edges, "large"), "small")
         nxt = nxt.localCheckpoint()
@@ -812,16 +835,21 @@ def dedup_clusters_star(
         if not changed:
             break
     # at the fixpoint the list is a star forest: every node's
-    # min(Γ(u) ∪ {u}) IS its component minimum
+    # min(Γ(u) ∪ {u}) IS its component minimum; self-pair-only nodes
+    # (absent from the edge list) come back as singletons via the
+    # universe left join
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return (
+    labels = (
         sym.groupBy("src").agg(F.min("dst").alias("_mn"))
         .select(
             F.col("src").alias("node"),
-            F.least(F.col("_mn"), F.col("src")).alias("cluster_id"),
+            F.least(F.col("_mn"), F.col("src")).alias("_cl"),
         )
+    )
+    return universe.join(labels, "node", "left").select(
+        "node", F.coalesce("_cl", F.col("node")).alias("cluster_id")
     )
 
 

@@ -39,17 +39,12 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .ngram_lm import _tokens_col  # the ONE tokenizer every
+# engine-exact text hash depends on — a private copy here could drift
 from .quality_model import token_bucket_col
 from .sampling import BUCKETS, hash_bucket_col
 
 DEFAULT_BUCKETS = 2048
-
-
-def _tokens_col(text_c: Column) -> Column:
-    """Lowercased whitespace tokens, empties dropped (array<string>)."""
-    return F.filter(
-        F.split(F.lower(F.trim(text_c)), r"\s+"), lambda w: w != ""
-    )
 
 
 def features_col(text_c: Column) -> Column:

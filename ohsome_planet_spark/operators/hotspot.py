@@ -42,6 +42,10 @@ def _block_sums(counts, z, radius, cell_col, n_col, by=None):
     group: the per-time-bin mode `emerging_hotspots` runs in (globals
     then broadcast-join on the group key instead of a cross join)."""
     n_tiles = 1 << z
+    if 2 * radius + 1 > n_tiles:
+        # a block wider than the grid wraps two offsets onto the same x
+        # cell, double-counting that neighbor in k and s1
+        raise ValueError("block span 2*radius+1 must be <= 2^z tiles")
     mask = (1 << 29) - 1
     keys = [by] if by else []
     # base feeds THREE consumers (donations, globals, centers); without a
@@ -77,6 +81,13 @@ def _block_sums(counts, z, radius, cell_col, n_col, by=None):
         F.count("*").alias("_N"),
         F.sum("_n").alias("_sx"),
         F.sum(F.col("_n") * F.col("_n")).alias("_sxx"),
+        # min/max carry the variance-degeneracy test: S == 0 iff all
+        # values are equal iff min == max — exact AND overflow-free,
+        # unlike comparing Σx²·N with (Σx)² (whose longs wrap once
+        # Σx > ~3e9 — ARITHMETIC_OVERFLOW under ANSI, silent corruption
+        # without)
+        F.min("_n").alias("_mnv"),
+        F.max("_n").alias("_mxv"),
     )
     center = base.select(
         *keys,
@@ -115,8 +126,7 @@ def _gi_z_expr():
     denom = s * F.sqrt(
         (d("_N") * d("k") - d("k") * d("k")) / (d("_N") - F.lit(1.0)))
     return F.when(
-        (F.col("k") < F.col("_N")) & (F.col("_sxx") * F.col("_N")
-                                      != F.col("_sx") * F.col("_sx")),
+        (F.col("k") < F.col("_N")) & (F.col("_mnv") != F.col("_mxv")),
         F.round((d("s1") - xbar * d("k")) / denom, 9),
     )
 
@@ -250,7 +260,7 @@ def local_morans_i(
     lag = (d("s1") - d("_xval")) - (d("k") - F.lit(1.0)) * xbar
     has_nbr = F.col("k") > 1
     moran = F.when(
-        has_nbr & (F.col("_sxx") * F.col("_N") != F.col("_sx") * F.col("_sx")),
+        has_nbr & (F.col("_mnv") != F.col("_mxv")),
         F.round(zval / m2 * lag, 9),
     )
     quad = (

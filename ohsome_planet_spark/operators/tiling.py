@@ -267,6 +267,10 @@ def smooth_tile_counts(
     clamped at assignment."""
     w = binomial_weights(radius)
     n_tiles = 1 << z
+    if 2 * radius + 1 > n_tiles:
+        # a kernel wider than the grid would wrap two offsets onto the
+        # same x cell and double-count its donation
+        raise ValueError("kernel span 2*radius+1 must be <= 2^z tiles")
     mask = (1 << 29) - 1
     offs = F.explode(
         F.array(*[

@@ -329,3 +329,13 @@ def test_smooth_tile_counts_wrap_and_clamp(spark):
     assert out[mk(7, 0)] == 1 * 2 and out[mk(0, 0)] == 2 * 2
     assert mk(7, 7) not in out            # nothing reflected to the far pole
     assert sum(out.values()) == 4 * 3     # one y-row of mass lost (4 of 16)
+
+
+def test_smooth_tile_counts_rejects_overwide_kernel(spark):
+    import pytest as _pytest
+
+    from ohsome_planet_spark.operators.tiling import smooth_tile_counts
+
+    df = spark.createDataFrame([(1 * (1 << 58), 1)], "cell long, n long")
+    with _pytest.raises(ValueError):
+        smooth_tile_counts(df, z=1, radius=1)  # 3-wide kernel, 2-wide grid

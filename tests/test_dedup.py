@@ -131,3 +131,19 @@ def test_incremental_minhash_matches_batch(spark, sf_dir):
     want_new_only = {(r["id_a"], r["id_b"], r["jaccard"])
                      for r in minhash_lsh_pairs(new).collect()}
     assert got_empty_old == want_new_only
+
+
+def test_star_components_self_pairs_survive(spark):
+    from ohsome_planet_spark.operators.dedup import (
+        dedup_clusters, dedup_clusters_star)
+
+    df = spark.createDataFrame(
+        [(5, 5), (7, 8)], "id_a long, id_b long")
+    want = {(r["node"], r["cluster_id"])
+            for r in dedup_clusters(df, driver_threshold=0).collect()}
+    got = {(r["node"], r["cluster_id"])
+           for r in dedup_clusters_star(df).collect()}
+    # dedup_clusters' iterative path also derives nodes from non-self
+    # edges only; the CONTRACT both engines share is the union-find one:
+    # every id mentioned in pairs gets a row
+    assert (5, 5) in got and (7, 7) in got and (8, 7) in got

@@ -137,3 +137,40 @@ def test_simplify_coord_arrays(spark):
     assert out[1]["n_after"] == 2 and out[1]["lons"] == [0.0, 3.0]
     assert out[2]["n_after"] == 3
     assert out[3]["n_after"] == 1 and out[3]["n_before"] == 1
+
+
+def test_epsilon_for_zoom_ladder():
+    from ohsome_planet_spark.functions.simplify import epsilon_for_zoom
+
+    # one pixel at z over 256-px tiles; halves per zoom step
+    assert epsilon_for_zoom(0) == 360.0 / 256.0
+    assert epsilon_for_zoom(8) == 360.0 / (256 * 256.0)
+    assert epsilon_for_zoom(9) == epsilon_for_zoom(8) / 2
+    assert epsilon_for_zoom(8, px_tolerance=2.0) == 2 * epsilon_for_zoom(8)
+
+
+def test_simplify_for_zoom_wkb(spark):
+    from ohsome_planet_spark.functions.simplify import simplify_for_zoom
+    from ohsome_planet_spark.functions.wkb import wkb_dumps, wkb_loads
+
+    # ±0.01° wiggles: dropped at z=2 (pixel 0.35°), kept at z=12
+    zig = np.array([[float(i), 0.01 * (-1) ** i] for i in range(8)])
+    df = spark.createDataFrame(
+        [(1, bytearray(wkb_dumps(("LineString", zig))))],
+        "id long, geometry binary")
+    coarse = wkb_loads(bytes(simplify_for_zoom(df, 2).first()["geometry"]))
+    fine = wkb_loads(bytes(simplify_for_zoom(df, 12).first()["geometry"]))
+    assert len(coarse[1]) == 2
+    assert len(fine[1]) > 2
+
+
+def test_coord_arrays_null_geometry(spark):
+    from ohsome_planet_spark.functions.simplify import simplify_coord_arrays
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0], [0.0, 5.0, 0.0]), (2, None, None)],
+        "way_id long, lons array<double>, lats array<double>")
+    out = {r["way_id"]: r for r in
+           simplify_coord_arrays(df, tolerance=0.5).collect()}
+    assert out[2]["lons"] is None and out[2]["n_before"] == 0
+    assert out[1]["n_after"] == 3
