@@ -69,6 +69,9 @@ def curate_corpus(
     min_quality_score: float = 0.0,
     group_budget: int | None = None,
     group_budget_col: str = "source",
+    dsir_target: DataFrame | None = None,
+    dsir_k: int = 10_000,
+    dsir_buckets: int = 2048,
     with_manifest: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (clean_docs, stage_counts).
@@ -251,6 +254,31 @@ def curate_corpus(
         ).drop("_cap_n")
         docs = capped
         docs = stage(docs, "after_group_cap")
+
+    # 4e. optional DSIR data selection (Xie et al. 2023) — after every
+    #     cleaning stage (the model should fit the distribution training
+    #     will see) and before mixing (mixture shares describe the
+    #     SELECTED corpus). The target slice is the caller's
+    #     high-quality reference set; selection is deterministic
+    #     Gumbel-top-k, so reruns pick identical documents.
+    if dsir_target is not None:
+        from ..operators.dsir import dsir_log_ratios, dsir_resample
+
+        if with_manifest:
+            # the model fit is two eager aggregates over `docs`; under a
+            # manifest the frame is already persisted by the last stage()
+            lr = dsir_log_ratios(dsir_target, docs,
+                                 num_buckets=dsir_buckets,
+                                 text_col=text_col)
+        else:
+            docs = docs.persist()
+            lr = dsir_log_ratios(dsir_target, docs,
+                                 num_buckets=dsir_buckets,
+                                 text_col=text_col)
+        docs = dsir_resample(docs, lr, k=dsir_k,
+                             id_col=id_col, text_col=text_col) \
+            .drop("n_features", "weight", "gkey")
+        docs = stage(docs, "after_dsir")
 
     # 5. mixture-weighted deterministic sample
     if mixture_weights is not None:

@@ -358,3 +358,37 @@ def test_curate_corpus_quality_model_and_group_cap_stages(spark):
     for r in tok.groupBy("source").agg(
             F.sum("n").alias("s"), F.max("n").alias("mx")).collect():
         assert r["s"] - r["mx"] < 80
+
+
+def test_curate_corpus_dsir_stage(spark):
+    """DSIR selection stage: runs after cleaning, keeps exactly k docs,
+    prefers target-like documents, and is deterministic across calls
+    (both manifest modes)."""
+    from ohsome_planet_spark.plans.corpus import curate_corpus
+
+    on_topic = "the solar telescope measured the quasar redshift survey"
+    spam = "buy cheap watches now best price free shipping offer"
+    docs = spark.createDataFrame(
+        [(i, (on_topic + f" n{i}") if i % 2 == 0 else (spam + f" n{i}"),
+          "s")
+         for i in range(200)],
+        "doc_id long, text string, source string")
+    target = spark.createDataFrame(
+        [(9000 + j, f"astronomers survey quasar redshift telescope {j}")
+         for j in range(5)],
+        "doc_id long, text string")
+
+    runs = []
+    for with_manifest in (True, False):
+        clean, counts = curate_corpus(
+            docs, min_tokens=1, dsir_target=target, dsir_k=40,
+            with_manifest=with_manifest,
+        )
+        ids = sorted(r["doc_id"] for r in clean.collect())
+        runs.append(ids)
+        assert len(ids) == 40
+        if with_manifest:
+            assert counts["after_dsir"] == 40
+    assert runs[0] == runs[1]  # manifest mode must not change selection
+    even = sum(1 for i in runs[0] if i % 2 == 0)
+    assert even > 30  # target-like (on-topic) docs dominate the pick
