@@ -77,6 +77,24 @@ _EXPORTS = {
     "douglas_peucker": "ohsome_planet_spark.functions.simplify",
     "simplify_lines": "ohsome_planet_spark.functions.simplify",
     "simplify_for_zoom": "ohsome_planet_spark.functions.simplify",
+    "simplify_coord_arrays": "ohsome_planet_spark.functions.simplify",
+    "convex_hull": "ohsome_planet_spark.functions.geometry_np",
+    # clustering + spatial statistics (round 6 session 2)
+    "dbscan": "ohsome_planet_spark.operators.dbscan",
+    "dedup_clusters_star": "ohsome_planet_spark.operators.dedup",
+    "getis_ord_gi": "ohsome_planet_spark.operators.hotspot",
+    "local_morans_i": "ohsome_planet_spark.operators.hotspot",
+    "emerging_hotspots": "ohsome_planet_spark.operators.hotspot",
+    "smooth_tile_counts": "ohsome_planet_spark.operators.tiling",
+    # data selection + membership (round 6 session 2)
+    "dsir_log_ratios": "ohsome_planet_spark.operators.dsir",
+    "dsir_resample": "ohsome_planet_spark.operators.dsir",
+    "perplexity_buckets": "ohsome_planet_spark.operators.ngram_lm",
+    "bloom_build": "ohsome_planet_spark.operators.bloom",
+    "bloom_probe_col": "ohsome_planet_spark.operators.bloom",
+    "bloom_filter_seen": "ohsome_planet_spark.operators.bloom",
+    "banded_signatures": "ohsome_planet_spark.operators.dedup",
+    "minhash_lsh_pairs_incremental": "ohsome_planet_spark.operators.dedup",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
