@@ -4768,10 +4768,11 @@ donated AS (
   FROM cnt, o WHERE y + dy BETWEEN 0 AND 63
   GROUP BY 1, 2
 ),
-gstats AS (SELECT count(*) AS nn, sum(n) AS sx, sum(n * n) AS sxx FROM cnt)
+gstats AS (SELECT count(*) AS nn, sum(n) AS sx, sum(n * n) AS sxx,
+                   min(n) AS mnv, max(n) AS mxv FROM cnt)
 SELECT 6 * 288230376151711744 + x * 536870912 + y AS cell,
        n AS x, k::BIGINT AS k, s1::BIGINT AS s1,
-       CASE WHEN k < nn AND sxx * nn <> sx * sx THEN
+       CASE WHEN k < nn AND mnv <> mxv THEN
          round(
            (CAST(s1 AS DOUBLE)
             - (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(k AS DOUBLE))
@@ -4823,14 +4824,15 @@ donated AS (
   FROM cnt, o WHERE y + dy BETWEEN 0 AND 63
   GROUP BY 1, 2
 ),
-gstats AS (SELECT count(*) AS nn, sum(n) AS sx, sum(n * n) AS sxx FROM cnt),
+gstats AS (SELECT count(*) AS nn, sum(n) AS sx, sum(n * n) AS sxx,
+                   min(n) AS mnv, max(n) AS mxv FROM cnt),
 j AS (
   SELECT x, y, n, k, s1,
          CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE) AS xbar,
          CAST(sxx AS DOUBLE) / CAST(nn AS DOUBLE)
            - (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))
              * (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)) AS m2,
-         sxx * nn <> sx * sx AS nondeg
+         mnv <> mxv AS nondeg
   FROM cnt
   JOIN donated ON donated.cx = cnt.x AND donated.cy = cnt.y
   CROSS JOIN gstats
@@ -4902,13 +4904,14 @@ donated AS (
   GROUP BY 1, 2, 3
 ),
 gstats AS (
-  SELECT bin, count(*) AS nn, sum(n) AS sx, sum(n * n) AS sxx
+  SELECT bin, count(*) AS nn, sum(n) AS sx, sum(n * n) AS sxx,
+         min(n) AS mnv, max(n) AS mxv
   FROM cnt GROUP BY bin
 ),
 per AS (
   SELECT * FROM (
     SELECT c.bin, c.x, c.y,
-           CASE WHEN k < nn AND sxx * nn <> sx * sx THEN
+           CASE WHEN k < nn AND mnv <> mxv THEN
              round(
                (CAST(s1 AS DOUBLE)
                 - (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))
@@ -4959,6 +4962,90 @@ SELECT 6 * 288230376151711744 + x * 536870912 + y AS cell,
             ELSE 'historical' END AS category
 FROM mk
 """
+
+
+_PQ_BOOKS = None
+
+
+def _pq_books():
+    global _PQ_BOOKS
+    if _PQ_BOOKS is None:
+        import numpy as np
+
+        _PQ_BOOKS = np.random.default_rng(23).standard_normal(
+            (4, 8, 16)).round(3)
+    return _PQ_BOOKS
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with a FROZEN
+    4×8×16 codebook (seeded-rng literals — the ivf_topk fixed-quantizer
+    doctrine): encode every embedding to 4 codes (first-min argmin of
+    9-dp subspace distances), then ADC top-5 per query (vec_id % 100
+    = 0) from the codes alone. The oracle replays encode, the per-pair
+    table lookups, and the ranking with the identical literals."""
+    from ohsome_planet_spark.operators.pq import pq_encode, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _pq_books()
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    codes = pq_encode(
+        emb.select(F.col("vec_id").alias("cand_id"), "embedding"), books)
+    return pq_topk(q, codes.select("cand_id", "codes"), books, k=5)
+
+
+def _pq_oracle_sql() -> str:
+    books = _pq_books()
+    mm, kk, sub = books.shape
+
+    def lst(arr):
+        return "[" + ", ".join(f"{x}::DOUBLE" for x in arr) + "]"
+
+    def subdist(vec_expr, cen_expr):
+        return (
+            "round(list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip({vec_expr}, {cen_expr}), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2]))), (x, y) -> x + y), 9)"
+        )
+
+    code_cols = []
+    for i in range(mm):
+        a, b = i * sub + 1, (i + 1) * sub
+        dists = "[" + ", ".join(
+            subdist(f"v[{a}:{b}]", lst(books[i][j])) for j in range(kk)
+        ) + "]"
+        code_cols.append(
+            f"list_position({dists}, list_min({dists})) AS c{i}")
+
+    terms = []
+    for i in range(mm):
+        a, b = i * sub + 1, (i + 1) * sub
+        book_i = "[" + ", ".join(lst(books[i][j]) for j in range(kk)) + "]"
+        terms.append(subdist(f"q.v[{a}:{b}]", f"({book_i})[c.c{i}]"))
+    adc = "round(" + " + ".join(terms) + ", 9)"
+
+    return f"""
+WITH ve AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cand AS (SELECT vec_id AS cand_id, v, {", ".join(code_cols)} FROM ve),
+q AS (SELECT vec_id AS query_id, v FROM ve WHERE vec_id % 100 = 0),
+pairs AS (
+  SELECT q.query_id, c.cand_id, {adc} AS adc_dist
+  FROM q, cand c WHERE q.query_id <> c.cand_id
+)
+SELECT query_id, cand_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, cand_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+_PQ_ORACLE_SQL = _pq_oracle_sql()
 
 
 def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5961,7 +6048,7 @@ _GATE_ORDER = [
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
     "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
     "dbscan_clusters", "bloom_seen", "tile_smooth", "hotspot_cells",
-    "morans_cells", "emerging_hotspots",
+    "morans_cells", "emerging_hotspots", "pq_topk",
     # ---- gate cap boundary: every never-gated + new-this-round entry is
     # above this line and inside the first 50, so r5 ∪ r6 driver gates
     # cover the whole registry ----
@@ -6063,6 +6150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_cells": _q_hotspot_cells,
         "morans_cells": _q_morans_cells,
         "emerging_hotspots": _q_emerging_hotspots,
+        "pq_topk": _q_pq_topk,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -6317,6 +6405,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_cells": _HOTSPOT_ORACLE_SQL,
         "morans_cells": _MORANS_ORACLE_SQL,
         "emerging_hotspots": _EMERGING_ORACLE_SQL,
+        "pq_topk": _PQ_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,

@@ -94,6 +94,9 @@ _EXPORTS = {
     "bloom_probe_col": "ohsome_planet_spark.operators.bloom",
     "bloom_filter_seen": "ohsome_planet_spark.operators.bloom",
     "banded_signatures": "ohsome_planet_spark.operators.dedup",
+    "pq_train_kmeans": "ohsome_planet_spark.operators.pq",
+    "pq_encode": "ohsome_planet_spark.operators.pq",
+    "pq_topk": "ohsome_planet_spark.operators.pq",
     "minhash_lsh_pairs_incremental": "ohsome_planet_spark.operators.dedup",
 }
 
