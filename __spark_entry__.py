@@ -1164,6 +1164,23 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _q_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALTERNATING large-star/small-star connected-components engine
+    (Kiveris et al. 2014 — dedup_clusters' adversarial-scale sibling)
+    run against the SAME chain fixture and the SAME recursive-CTE
+    oracle as `dedup_clusters`: both engines must land on the identical
+    (node, min-id) map cross-engine, not just cross-implementation."""
+    from ohsome_planet_spark.operators.dedup import dedup_clusters_star
+
+    pairs = _t(spark, sf_dir, "events").where(
+        (F.col("event_id") < 4000) & (F.col("event_id") % 20 != 19)
+    ).select(
+        F.col("event_id").alias("id_a"),
+        (F.col("event_id") + 1).alias("id_b"),
+    )
+    return dedup_clusters_star(pairs)
+
+
 _DEDUP_CLUSTERS_ORACLE_SQL = """
 WITH RECURSIVE pairs AS (
   SELECT event_id AS a, event_id + 1 AS b
@@ -6048,7 +6065,7 @@ _GATE_ORDER = [
     "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
     "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
     "dbscan_clusters", "bloom_seen", "tile_smooth", "hotspot_cells",
-    "morans_cells", "emerging_hotspots", "pq_topk",
+    "morans_cells", "emerging_hotspots", "pq_topk", "star_components",
     # ---- gate cap boundary: every never-gated + new-this-round entry is
     # above this line and inside the first 50, so r5 ∪ r6 driver gates
     # cover the whole registry ----
@@ -6151,6 +6168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_cells": _q_morans_cells,
         "emerging_hotspots": _q_emerging_hotspots,
         "pq_topk": _q_pq_topk,
+        "star_components": _q_star_components,
         "rolling_counts": _q_rolling_counts,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup": _q_semdedup,
@@ -6406,6 +6424,7 @@ def oracle_sql() -> dict[str, str]:
         "morans_cells": _MORANS_ORACLE_SQL,
         "emerging_hotspots": _EMERGING_ORACLE_SQL,
         "pq_topk": _PQ_ORACLE_SQL,
+        "star_components": _DEDUP_CLUSTERS_ORACLE_SQL,
         "rolling_counts": _ROLLING_ORACLE_SQL,
         "kmeans_embeddings": _KMEANS_ORACLE_SQL,
         "semdedup": _SEMDEDUP_ORACLE_SQL,
