@@ -3602,6 +3602,10 @@ def _q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source"))
     )
     bench = base.where(d % 37 == 0).select("text")
+    # the corpus union feeds both dedup_clusters' eager pair probe and
+    # the final plan — unpersisted, the scan+union+exact-dedup subtree
+    # evaluates once per consumer (the multi-consumer law)
+    corpus = corpus.persist()
     clean, _counts = curate_corpus(
         corpus, benchmark=bench, contamination_n=3, with_manifest=False
     )
