@@ -100,6 +100,14 @@ def curate_corpus(
     docs = stage(docs, "after_exact_dedup")
 
     # 2. near-dup clusters: drop every doc that is not its cluster's min id
+    if not with_manifest:
+        # the post-exact-dedup corpus feeds BOTH the near-dup pair
+        # stream (whose dedup_clusters probe evaluates eagerly) and the
+        # rest of the chain; unpersisted, the scan+dedup subtree runs
+        # once per consumer (with_manifest=True already persists every
+        # stage). persist() is lazy, so the "no actions" contract of
+        # this mode holds; blocks are spillable and session-scoped.
+        docs = docs.persist()
     pairs = minhash_lsh_pairs(
         docs, id_col=id_col, text_col=text_col, jaccard_threshold=jaccard_threshold
     )
