@@ -33,8 +33,33 @@ from ohsome_planet_spark.operators.tiling import xz2_point_udf, zxy_cell_col
 from ohsome_planet_spark.sources.countries import fixture_features
 
 
+def _scan_shape(sf_dir: str, name: str) -> tuple[float, int]:
+    """(on-disk MB, splittable unit count) of a fixture table.
+
+    The splittable units are parquet ROW GROUPS (summed over files):
+    Spark assigns each row group to the byte-range split holding its
+    midpoint, so a 1-row-group file scans as ONE task no matter how many
+    byte splits the planner cuts — `df.rdd.getNumPartitions()` counts
+    splits and over-reports real scan parallelism for such files."""
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        files = (
+            [os.path.join(p, f) for f in os.listdir(p)
+             if f.endswith(".parquet")]
+            if os.path.isdir(p) else [p]
+        )
+        mb = sum(os.path.getsize(f) for f in files) / 1e6
+        import pyarrow.parquet as pq
+
+        units = sum(pq.ParquetFile(f).metadata.num_row_groups
+                    for f in files)
+        return mb, max(units, 1)
+    except Exception:
+        return 0.0, 1
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str,
-       floor: bool = False) -> DataFrame:
+       floor: bool = False, cache: bool = False) -> DataFrame:
     """Table loader. floor=True adds an input-parallelism floor: the
     small-SF parquet files are single row groups, so the scan is 1
     partition and a scan-adjacent compute-heavy stage (shingling, regex
@@ -47,20 +72,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
     measured floor-on/floor-off A/B at sf0.1 showed a win (tools/
     floor_ab.py). At real scale (scans ≥ cores partitions, see
     tools/make_sf.py row-group sizing) the condition never fires.
-    SPARK_GRAFT_T_FLOOR=always|never overrides for A/B measurement."""
+    SPARK_GRAFT_T_FLOOR=always|never overrides for A/B measurement.
+
+    cache=True (r7) additionally persists the (floored) frame through a
+    slot-bounded registry (cache_util.swap_persist): a query whose plan
+    scans the table 3-5 times (LM training + scoring passes, gram
+    extraction on both join sides) pays the floor exchange ONCE instead
+    of per consumer. Each call builds a FRESH lineage and unpersists the
+    previous call's frame, so every bench/oracle invocation still
+    materializes from the parquet input inside the timed region — this
+    is a within-query persist, not a cross-run memo. At real scale the
+    same call sites would simply re-scan parquet (floor never fires);
+    the persist is bounded by the fixture-table size either way."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     mode = os.environ.get("SPARK_GRAFT_T_FLOOR", "")
     if mode == "always":
         floor = True
     elif mode == "never":
         floor = False
-    if not floor:
-        return df
-    from ohsome_planet_spark.session import kernel_partitions
+    if floor:
+        from ohsome_planet_spark.session import kernel_partitions
 
-    target = kernel_partitions(spark)
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+        target = kernel_partitions(spark)
+        # r7: size-adaptive — the exchange + 32-task dispatch overhead
+        # (~0.3-0.6 s/read locally) only amortizes when each starved scan
+        # partition carries real bytes. Below the threshold the query is
+        # overhead-dominated and the floor is a measured net loss
+        # (ccnet/lm +2 s at sf0.1); above it the single-task scan stage
+        # is the bottleneck (dsir 8.6→2.0 s at sf1). Threshold is bytes
+        # per MISSING unit of parallelism, not a fixture-tuned constant.
+        min_mb = float(os.environ.get("SPARK_GRAFT_FLOOR_MIN_MB", "4"))
+        mb, units = _scan_shape(sf_dir, name)
+        starved = units < target
+        big_enough = mode == "always" or mb / units >= min_mb
+        if starved and big_enough:
+            df = df.repartition(target)
+    if cache and os.environ.get("SPARK_GRAFT_T_CACHE", "") != "never":
+        from ohsome_planet_spark.operators.cache_util import swap_persist
+
+        df = swap_persist(f"_t:{name}", df)
     return df
 
 
@@ -69,8 +119,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
 # ---------------------------------------------------------------------------
 
 
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+def _points(spark: SparkSession, sf_dir: str,
+            floor: bool = False) -> DataFrame:
+    ev = _t(spark, sf_dir, "events", floor=floor)
     return ev.select(
         "event_id",
         ((F.col("event_id") * 7919 % 900) / 20.0).alias("lon"),
@@ -405,8 +456,9 @@ def _q_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" #x"),
     )
     tags = hashtags_col(text, F.lit(None).cast("string"))
+    # floor=True (r7): the two extraction regexes ride the scan
     return (
-        _t(spark, sf_dir, "events")
+        _t(spark, sf_dir, "events", floor=True)
         .select("event_id", F.explode(tags).alias("tag"))
     )
 
@@ -2963,7 +3015,8 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join shape — the corpus never shuffles."""
     from ohsome_planet_spark.operators.dedup import contamination_flags
 
-    docs = _t(spark, sf_dir, "documents")
+    # floor=True (r7): 3-gram shingling rides the scan on both sides
+    docs = _t(spark, sf_dir, "documents", floor=True, cache=True)
     bench = docs.where(F.col("doc_id") % 97 == 0)
     return contamination_flags(docs, bench, n=3).select(
         "doc_id", F.col("n_contaminated_grams").cast("long").alias("n_contaminated_grams")
@@ -3869,7 +3922,10 @@ def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_lm_stats,
     )
 
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # floor=True (r7): tokenize+explode rides the scan on both the
+    # training and scoring passes
+    base = _t(spark, sf_dir, "documents", floor=True, cache=True).select(
+        "doc_id", "text")
     d = F.col("doc_id")
     gib = base.where(d % 13 == 0).select(
         (d + 900000).alias("doc_id"),
@@ -3966,7 +4022,9 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ohsome_planet_spark.operators.ngram_lm import (
         bigram_model, perplexity_buckets)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # floor=True (r7): tokenize+explode rides the scan on both passes
+    docs = _t(spark, sf_dir, "documents", floor=True, cache=True).select(
+        "doc_id", "lang", "text")
     model = bigram_model(docs, top_k=500)
     return perplexity_buckets(docs, model, n_buckets=3, lang_col="lang")
 
@@ -4104,7 +4162,9 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     would depend on row order, which neither engine pins)."""
     from ohsome_planet_spark.operators.bm25 import bm25_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # floor=True (r7): the fused BM25 is one tokenize pass on this scan
+    docs = _t(spark, sf_dir, "documents", floor=True).select(
+        "doc_id", "text")
     return bm25_scores(docs, _BM25_TERMS)
 
 
@@ -4642,13 +4702,18 @@ def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (512 buckets — the codebook doctrine, like ivf_topk); the
     DuckDB oracle refits both bucket models and replays the fold, the
     hash-derived Gumbel noise, and the top-k bit for bit."""
-    from ohsome_planet_spark.operators.dsir import (
-        dsir_log_ratios, dsir_resample)
+    from ohsome_planet_spark.operators.dsir import dsir_select
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    target = docs.where(F.col("doc_id") % 7 == 0)
-    lr = dsir_log_ratios(target, docs, num_buckets=512)
-    sel = dsir_resample(docs, lr, k=120)
+    # r7: fused path — one tokenize+md5 pass (persisted bucket proxy)
+    # instead of three, target counted via a flag in the same aggregate;
+    # pytest-pinned row-identical to the dsir_log_ratios/dsir_resample
+    # composition. floor=True: the md5 pass is the engine's single most
+    # compute-heavy scan-adjacent projection (single-row-group fixtures
+    # otherwise run it on one task).
+    docs = _t(spark, sf_dir, "documents", floor=True).select(
+        "doc_id", "text")
+    sel = dsir_select(docs, F.col("doc_id") % 7 == 0, k=120,
+                      num_buckets=512)
     return sel.select("doc_id", "n_features", "weight", "gkey")
 
 
@@ -6055,25 +6120,9 @@ FROM terms GROUP BY cell, n
 # Keys absent from this list (defensive) retain their literal order after
 # the listed ones.
 _GATE_ORDER = [
-    # -- never driver-gated through round 5 (33) + new this round (1) --
-    "cell_counts_salted", "embedding_topk", "line_quality", "oov_fraction",
-    "cross_doc_dup", "unicode_normalize", "gopher_repetition",
-    "tfidf_keywords", "length_profile", "pmi_collocations",
-    "pagerank_domains", "anchor_terms", "weighted_sample", "rolling_counts",
-    "kmeans_embeddings", "semdedup", "paragraph_dedup", "substring_dedup",
-    "tile_top_entities", "s2_rollup",
-    "decayed_popularity", "robots_filter", "country_lang_mix",
-    "entity_cooccurrence", "travel_distance", "entity_footprints",
-    "bpe_training", "geohash_rollup", "quality_profile",
-    "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
-    "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
-    "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
-    "dbscan_clusters", "bloom_seen", "tile_smooth", "hotspot_cells",
-    "morans_cells", "emerging_hotspots", "pq_topk", "star_components",
-    # ---- gate cap boundary: every never-gated + new-this-round entry is
-    # above this line and inside the first 50, so r5 ∪ r6 driver gates
-    # cover the whole registry ----
-    # -- driver-gated in round 5, in their round-5 order --
+    # -- round-7 rotation (r6 verdict item 5): the 50 entries whose last
+    # driver gate ran against ROUND-5 code go first, so CORRECTNESS_r07
+    # re-verifies them at current code; r6 ∪ r7 again covers all 100 --
     "pricing_summary", "changeset_join_default", "validity_window",
     "version_numbering", "contrib_type", "consecutive_dedup",
     "deleted_geom_carry_forward", "pip_countries", "cell_assign_multi",
@@ -6089,6 +6138,22 @@ _GATE_ORDER = [
     "doc_quality", "gopher_lexical", "c4_line_filter", "lm_bigram_score",
     "doc_tokens_bpe", "lang_id", "doc_fingerprint", "pii_redaction",
     "bm25_search", "hash_sample", "corpus_curation_e2e",
+    # ---- gate cap boundary (observed cap: 50 rows) ----
+    # -- driver-gated in round 6 (CORRECTNESS_r06), in their r6 order --
+    "cell_counts_salted", "embedding_topk", "line_quality", "oov_fraction",
+    "cross_doc_dup", "unicode_normalize", "gopher_repetition",
+    "tfidf_keywords", "length_profile", "pmi_collocations",
+    "pagerank_domains", "anchor_terms", "weighted_sample", "rolling_counts",
+    "kmeans_embeddings", "semdedup", "paragraph_dedup", "substring_dedup",
+    "tile_top_entities", "s2_rollup",
+    "decayed_popularity", "robots_filter", "country_lang_mix",
+    "entity_cooccurrence", "travel_distance", "entity_footprints",
+    "bpe_training", "geohash_rollup", "quality_profile",
+    "tile_entropy", "revenue_by_nation", "tag_filter", "rollup_agg",
+    "semi_join", "anti_join", "sessionize", "ivf_topk", "pack_sequences",
+    "domain_cap", "quality_model_score", "dsir_resample", "ccnet_buckets",
+    "dbscan_clusters", "bloom_seen", "tile_smooth", "hotspot_cells",
+    "morans_cells", "emerging_hotspots", "pq_topk", "star_components",
 ]
 
 

@@ -48,6 +48,97 @@ def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Below this many distinct query terms, per-doc tf counting via array
+# expressions (O(terms × tokens) per doc, ZERO explode/shuffle) beats the
+# explode + two-shuffle inverted shape. Interactive queries are a handful
+# of terms; bulk scoring of large term sets keeps the explode path.
+FUSED_TERMS_MAX = 16
+
+
+def _bm25_scores_fused(
+    df: DataFrame,
+    terms: list[str],
+    k1: float,
+    b: float,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Fused small-query BM25 (r7): tokenize ONCE per doc; per-term tf via
+    array filters in the same projection; (N, Σdl, df_t...) as ONE 1-row
+    broadcast aggregate; score as an unrolled fold in sorted term order.
+
+    Row- and bit-identical to the explode path: tf/df/dl/N are the same
+    integers, each term contribution is the same `round(idf·tfc, 9)`
+    double, the fold adds contributions in the same sorted-term order
+    (terms with tf = 0 contribute +0.0 — exact identity on doubles), and
+    docs matching no term are dropped by the same ≥1-match rule. The
+    explode path's shuffles (doc,term)-matches + doc_id fold are replaced
+    by one scan + a 1-row broadcast; the corpus text never shuffles."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    def _eq(term: str):
+        return lambda w: w == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("_toks"), _eq(t)))
+        .cast("long").alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks")
+    ).select(
+        "_id", F.size("_toks").cast("long").alias("dl"), *tf_cols
+    )
+
+    stats = per_doc.agg(
+        # the explode path derives (N, Σdl) from docs with ≥1 token only
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+            .alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    j = per_doc.crossJoin(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+
+    def contrib(i: int):
+        dfc = F.col(f"_df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+        tfd = F.col(f"_tf_{i}").cast("double")
+        tfc = (tfd * F.lit(k1 + 1.0)) / (
+            tfd + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+        return F.round(idf * tfc, 9)
+
+    score = F.lit(0.0)
+    for i in range(len(terms)):  # sorted term order == array_sort fold
+        score = score + contrib(i)
+    matched = sum(
+        (F.col(f"_tf_{i}") > 0).cast("long") for i in range(len(terms))
+    ) if terms else F.lit(0).cast("long")
+    sum_tf = sum(
+        F.col(f"_tf_{i}") for i in range(len(terms))
+    ) if terms else F.lit(0).cast("long")
+
+    return (
+        j.select(
+            F.col("_id").alias(id_col),
+            matched.alias("matched_terms"),
+            sum_tf.cast("long").alias("sum_tf"),
+            F.col("dl").cast("long").alias("doc_len"),
+            F.round(score, 6).alias("score"),
+        )
+        .where(F.col("matched_terms") > 0)
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -60,6 +151,8 @@ def bm25_scores(
     matching ≥1 query term. Terms are lowercased; duplicates collapse
     (BM25 is defined over the query's term SET)."""
     terms = sorted({t.lower() for t in query_terms if t})
+    if len(terms) <= FUSED_TERMS_MAX:
+        return _bm25_scores_fused(df, terms, k1, b, id_col, text_col)
     words = _doc_words(df, id_col, text_col)
 
     dl = words.groupBy("_id").agg(F.count("*").alias("dl"))

@@ -167,10 +167,12 @@ def dbscan(
     # spark.catalog.clearCache(); callers running parameter sweeps
     # should clear between runs. Same trade as dedup_clusters'
     # localCheckpoints.
-    pairs = eps_neighbor_pairs(
+    from .cache_util import swap_persist
+
+    pairs = swap_persist("dbscan_pairs", eps_neighbor_pairs(
         points, eps, id_col=id_col, lon_col=lon_col, lat_col=lat_col,
         metric=metric, max_abs_lat=max_abs_lat,
-    ).persist()
+    ))
 
     counts = pairs.groupBy("_id").agg(F.count("*").alias("n_neighbors"))
     flags = (
@@ -183,7 +185,8 @@ def dbscan(
         )
         .withColumn("is_core",
                     F.col("n_neighbors") + 1 >= F.lit(int(min_pts)))
-    ).persist()
+    )
+    flags = swap_persist("dbscan_flags", flags)
 
     core_flags = flags.select("_id", "is_core")
     # pairs annotated with both endpoints' core flags (id-keyed joins —

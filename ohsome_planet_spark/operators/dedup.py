@@ -20,6 +20,7 @@ Scale notes:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1131,6 +1132,19 @@ def exact_substring_dedup(
         "_id", "_s",
         F.md5(F.array_join(F.slice("_w", F.col("_s"), L), " ")).alias("_h"),
     )
+    return _substring_dedup_from_spans(words, spans, L, min_count, id_col)
+
+
+def _substring_dedup_from_spans(
+    words: DataFrame,
+    spans: DataFrame,
+    L: int,
+    min_count: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared second half of the substring-dedup family: given (_id, _w)
+    and the span table (_id, _s, _h), flag hot hashes, merge covered
+    intervals per doc and re-join the surviving words in order."""
     hot = (
         spans.groupBy("_h").agg(F.count("*").alias("_n"))
         .where(F.col("_n") >= min_count)
@@ -1162,3 +1176,85 @@ def exact_substring_dedup(
         F.size("_w").alias("n_words"),
         (F.size("_w") - F.size(kept)).alias("n_dropped_words"),
     )
+
+
+def exact_substring_dedup_rk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """The PRODUCTION variant of ``exact_substring_dedup`` (r6 verdict
+    item 3): identical semantics and plan shape, but span hashes come
+    from a Rabin-Karp rolling polynomial over per-word hashes — O(words)
+    hashed bytes per doc instead of the md5 path's O(words × window)
+    (a 50× hashing amplification at the default window).
+
+    Per doc, with word hashes wh[i] (crc32) and an odd base B (hence
+    invertible mod 2^64):
+
+        h_s = Σ_{i<L} wh[s+i]·B^{L-1-i}  (mod 2^64)
+            = B^{s+L-1} · (P[s+L] − P[s]),  P[j] = Σ_{m<j} wh[m]·B^{−m}
+
+    so every span hash is two prefix-array lookups — the whole doc is
+    hashed once, vectorized in NumPy uint64 (natural mod-2^64 wrap)
+    inside one Arrow-batched kernel. Downstream (hot-hash groupBy,
+    interval merge, re-join) is byte-identical shared code.
+
+    Trade vs the md5 twin: equal flagged spans except for rolling-hash
+    collisions (probability ~spans²/2^64 — negligible at any real
+    corpus); the md5 path stays as the DuckDB-replayable oracle twin."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    L = window
+    B = 0x100000001B3  # odd (FNV prime), invertible mod 2^64
+    M = 1 << 64
+    inv_b = pow(B, -1, M)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def rk_hashes(word_arrays: pd.Series) -> pd.Series:
+        import numpy as np
+        from zlib import crc32
+
+        out = []
+        for ws in word_arrays:
+            n = len(ws)
+            if n < L:
+                out.append([])
+                continue
+            wh = np.fromiter(
+                (crc32(w.encode("utf-8", "surrogatepass")) for w in ws),
+                dtype=np.uint64, count=n,
+            )
+            with np.errstate(over="ignore"):
+                inv_pow = np.cumprod(
+                    np.concatenate((
+                        np.ones(1, dtype=np.uint64),
+                        np.full(n, inv_b, dtype=np.uint64),
+                    ))
+                )  # invB^j, j=0..n (wraps mod 2^64)
+                pow_b = np.cumprod(
+                    np.concatenate((
+                        np.full(1, pow(B, L - 1, M), dtype=np.uint64),
+                        np.full(n - L, B, dtype=np.uint64),
+                    ))
+                )  # B^(s+L-1), s=0..n-L
+                pref = np.concatenate((
+                    np.zeros(1, dtype=np.uint64),
+                    np.cumsum(wh * inv_pow[:n]),
+                ))
+                h = (pref[L:] - pref[:-L]) * pow_b
+            out.append(h.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    spans = (
+        words.select("_id", rk_hashes("_w").alias("_hs"))
+        .select("_id", F.posexplode("_hs").alias("_s0", "_h"))
+        .select("_id", (F.col("_s0") + 1).alias("_s"), "_h")
+    )
+    return _substring_dedup_from_spans(words, spans, L, min_count, id_col)

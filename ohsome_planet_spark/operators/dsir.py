@@ -101,6 +101,15 @@ def dsir_log_ratios(
         r["bucket"]: r["n"]
         for r in feature_bucket_counts(raw, num_buckets, text_col).collect()
     }
+    return _log_ratios_from_counts(t_counts, q_counts, num_buckets, alpha)
+
+
+def _log_ratios_from_counts(
+    t_counts: dict[int, int],
+    q_counts: dict[int, int],
+    num_buckets: int,
+    alpha: float,
+) -> list[float]:
     t_total = sum(t_counts.values()) + alpha * num_buckets
     q_total = sum(q_counts.values()) + alpha * num_buckets
     return [
@@ -166,6 +175,86 @@ def dsir_resample(
     deterministic ties broken by id. Compiles to TakeOrderedAndProject."""
     return (
         dsir_weights(docs, log_ratios, id_col=id_col, text_col=text_col)
+        .orderBy(F.desc("gkey"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def dsir_bucketized(
+    docs: DataFrame,
+    num_buckets: int = DEFAULT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra: tuple[Column, ...] = (),
+) -> DataFrame:
+    """(id, *extra, _buckets: array<int>) — tokenize + md5-bucket every
+    feature ONCE. The lightweight proxy frame of the fused DSIR shape
+    (optimization-guide §8: decide with small rows): per-feature md5 is
+    the dominant cost of DSIR, and the naive shape pays it 2-3× (target
+    counts, raw counts, weight fold) plus ~8 re-derivations of the
+    tokenizer inside one interpreted HOF projection. Bucket ids are
+    identical to ``token_bucket_col`` by construction."""
+    b = F.transform(
+        features_col(F.col(text_col)),
+        lambda t: token_bucket_col(t, num_buckets).cast("int"),
+    )
+    return docs.select(F.col(id_col), *extra, b.alias("_buckets"))
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int,
+    num_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused DSIR select: bit-identical to
+    ``dsir_resample(docs, dsir_log_ratios(docs.where(target_pred), docs,
+    num_buckets), k)`` but with ONE tokenize+hash pass instead of three.
+
+    The bucketized proxy frame is persisted (bounded per-slot — see
+    cache_util) and feeds both the combined target/raw bucket-count
+    aggregate (one scan: target rows flagged by ``target_pred``, never a
+    second pass) and the weight fold, which becomes an O(1)
+    element_at over ints instead of re-hashing every feature. The fold
+    element order (document order) and every rounded value are unchanged,
+    so the output is row-identical (pytest-pinned vs the unfused path)."""
+    from .cache_util import swap_persist
+
+    bk = dsir_bucketized(
+        docs, num_buckets, id_col=id_col, text_col=text_col,
+        extra=(target_pred.alias("_is_t"),),
+    )
+    bk = swap_persist("dsir_select", bk)
+
+    counts = (
+        bk.select("_is_t", F.explode("_buckets").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("qn"),
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("tn"),
+        )
+        .collect()
+    )
+    t_counts = {r["bucket"]: r["tn"] for r in counts if r["tn"]}
+    q_counts = {r["bucket"]: r["qn"] for r in counts}
+    ratios = _log_ratios_from_counts(t_counts, q_counts, num_buckets, alpha)
+
+    lr = F.array(*[F.lit(float(x)) for x in ratios])
+    per = F.transform(
+        F.col("_buckets"), lambda bkt: F.element_at(lr, bkt + F.lit(1))
+    )
+    return (
+        bk.select(
+            F.col(id_col),
+            F.size("_buckets").cast("long").alias("n_features"),
+            F.round(
+                F.aggregate(per, F.lit(0.0), lambda acc, x: acc + x), 6
+            ).alias("weight"),
+        )
+        .withColumn("gkey", gumbel_key_col(F.col(id_col), F.col("weight")))
         .orderBy(F.desc("gkey"), F.asc(id_col))
         .limit(k)
     )

@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from .tiling import zxy_cell_col
 
 
-def _block_sums(counts, z, radius, cell_col, n_col, by=None):
+def _block_sums(counts, z, radius, cell_col, n_col, by=None,
+                cache_slot="hotspot_base"):
     """Shared (center, x, k, s1) + globals builder for the local spatial
     statistics: k/s1 are the (2r+1)²-block occupied-cell count and value
     sum INCLUDING the center (callers subtract the center for
@@ -52,12 +53,20 @@ def _block_sums(counts, z, radius, cell_col, n_col, by=None):
     # persist Spark recomputes the upstream counts aggregate — typically a
     # full shuffle over the raw points — once per consumer (the dbscan
     # lesson). The cached frame is O(occupied cells), tiny next to points.
+    # The persist is slot-bounded (r7, cache_util) so repeated calls keep
+    # ONE live cache entry; callers whose input is already a computed
+    # tiny frame (the streaming per-window loop) pass cache_slot=None to
+    # skip caching entirely rather than thrash the slot.
     base = counts.select(
         *keys,
         F.shiftright(cell_col, 29).bitwiseAND(F.lit(mask)).alias("_x"),
         F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_y"),
         F.col(n_col).cast("long").alias("_n"),
-    ).persist()
+    )
+    if cache_slot:
+        from .cache_util import swap_persist
+
+        base = swap_persist(cache_slot, base)
     offs = F.explode(
         F.array(*[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -180,9 +189,11 @@ def emerging_hotspots(
         .groupBy("bin", "cell").agg(F.count("*").alias("n"))
     )
     j = _block_sums(counts, z, radius, "cell", "n", by="bin")
-    per = j.select(
+    from .cache_util import swap_persist
+
+    per = swap_persist("hotspot_per_bin", j.select(
         F.col("bin"), _repack_cell(z), _gi_z_expr().alias("gi_z")
-    ).where(F.col("gi_z").isNotNull()).persist()
+    ).where(F.col("gi_z").isNotNull()))
 
     latest = per.agg(F.max("bin").alias("_bin_max"))
     hot = F.col("gi_z") > F.lit(float(hot_z))
@@ -289,6 +300,7 @@ def getis_ord_gi(
     radius: int = 1,
     cell_col: str = "cell",
     n_col: str = "n",
+    cache_slot: str | None = "hotspot_base",
 ) -> DataFrame:
     """(cell, x, k, s1, gi_z) per OCCUPIED cell.
 
@@ -303,7 +315,8 @@ def getis_ord_gi(
     block, or S = 0: constant surface) get NULL. x wraps in longitude,
     block rows past the poles are simply absent (same edge semantics as
     `smooth_tile_counts`)."""
-    j = _block_sums(counts, z, radius, cell_col, n_col)
+    j = _block_sums(counts, z, radius, cell_col, n_col,
+                    cache_slot=cache_slot)
     return j.select(
         _repack_cell(z),
         F.col("_xval").alias("x"),

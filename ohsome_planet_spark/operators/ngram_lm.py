@@ -189,8 +189,12 @@ def with_lm_logprob_exact(
     text operator here lives under). The model frame is persisted here
     (bounded: top-K rows) because it feeds three consumers (vocab count,
     bigram join, context counts) — unpersisted, a freshly-trained model
-    would re-run its full corpus aggregation per consumer."""
-    model = model.persist()
+    would re-run its full corpus aggregation per consumer. r7: the
+    persist is slot-bounded (cache_util) so repeated calls don't pile
+    session-lifetime cache entries (r6 advice, low #4)."""
+    from .cache_util import swap_persist
+
+    model = swap_persist("lm_model_exact", model)
     if vocab_size is None:
         vocab_size = model.select("w2").distinct().count() + 1
 
@@ -319,7 +323,15 @@ def with_lm_stats(
       logprob_per_token — logprob / n_bigrams (0.0 for docs with <2 tokens).
 
     V defaults to the number of distinct w2 in the model + 1 (the +1 is
-    the unseen-word bucket)."""
+    the unseen-word bucket).
+
+    r7: the model frame is persisted (slot-bounded, see cache_util)
+    BEFORE the vocab-size count — previously a freshly-trained model
+    re-ran its full corpus training aggregation three times (vocab
+    count action, bigram-join broadcast, context-count broadcast)."""
+    from .cache_util import swap_persist
+
+    model = swap_persist("lm_model_stats", model)
     if vocab_size is None:
         # single tiny scalar: the model is already bounded by top_k
         vocab_size = model.select("w2").distinct().count() + 1

@@ -60,9 +60,12 @@ def hotspots_per_window(counts: DataFrame, zoom: int = 6,
             for r in counts.select("window_start").distinct().collect()]
     out = None
     for w in sorted(wins):
+        # cache_slot=None (r7): the input is an already-computed tiny
+        # windowed-counts frame; per-window persists would otherwise
+        # accumulate every micro-batch (r6 advice, low #4)
         gi = getis_ord_gi(
             counts.where(F.col("window_start") == w).select("cell", "n"),
-            z=zoom, radius=radius,
+            z=zoom, radius=radius, cache_slot=None,
         ).withColumn("window_start", F.lit(w))
         out = gi if out is None else out.unionByName(gi)
     if out is None:

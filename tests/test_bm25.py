@@ -151,3 +151,24 @@ def test_bm25_differential_vs_python(spark):
         assert r["score"] == pytest.approx(round(s, 6), abs=2e-6)
         assert r["matched_terms"] == len(contribs)
         assert r["doc_len"] == dl[i]
+
+
+def test_fused_path_equals_explode_path(spark, monkeypatch):
+    # r7 optimization: small queries use the no-shuffle fused path; it
+    # must be row- and bit-identical (score included) to the explode +
+    # inverted shape it replaced.
+    import numpy as np
+
+    import ohsome_planet_spark.operators.bm25 as bm25mod
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [(i, " ".join(rng.choice(vocab, rng.integers(0, 30))))
+            for i in range(60)] + [(999, ""), (1000, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["w1", "w5", "w24", "w9"]
+
+    fused = sorted(bm25mod.bm25_scores(df, terms).collect())
+    monkeypatch.setattr(bm25mod, "FUSED_TERMS_MAX", -1)
+    explode = sorted(bm25mod.bm25_scores(df, terms).collect())
+    assert fused == explode

@@ -105,3 +105,28 @@ def test_resample_deterministic_topk(frames, ratios):
 
 def test_default_bucket_count_sane():
     assert DEFAULT_BUCKETS >= 1024
+
+
+def test_fused_select_matches_unfused(spark):
+    # r7 optimization: dsir_select fuses the target/raw count passes and
+    # the weight fold over ONE persisted bucket proxy — it must be
+    # row-identical (ids, n_features, weight, gkey) to the unfused
+    # dsir_log_ratios + dsir_resample composition it replaced.
+    from ohsome_planet_spark.operators.dsir import dsir_select
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(TARGET + RAW)]
+        + [(99, "telescope telescope quasar")],
+        ["doc_id", "text"],
+    )
+    pred = F.col("doc_id") % 3 == 0
+    fused = sorted(
+        dsir_select(docs, pred, k=5, num_buckets=512).collect()
+    )
+    lr = dsir_log_ratios(docs.where(pred), docs, num_buckets=512)
+    unfused = sorted(
+        dsir_resample(docs, lr, 5)
+        .select("doc_id", "n_features", "weight", "gkey")
+        .collect()
+    )
+    assert fused == unfused
