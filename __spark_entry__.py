@@ -85,33 +85,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
     same call sites would simply re-scan parquet (floor never fires);
     the persist is bounded by the fixture-table size either way."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    mode = os.environ.get("SPARK_GRAFT_T_FLOOR", "")
-    if mode == "always":
-        floor = True
-    elif mode == "never":
-        floor = False
-    if floor:
+    if _floor_fires(spark, sf_dir, name, floor):
         from ohsome_planet_spark.session import kernel_partitions
 
-        target = kernel_partitions(spark)
-        # r7: size-adaptive — the exchange + 32-task dispatch overhead
-        # (~0.3-0.6 s/read locally) only amortizes when each starved scan
-        # partition carries real bytes. Below the threshold the query is
-        # overhead-dominated and the floor is a measured net loss
-        # (ccnet/lm +2 s at sf0.1); above it the single-task scan stage
-        # is the bottleneck (dsir 8.6→2.0 s at sf1). Threshold is bytes
-        # per MISSING unit of parallelism, not a fixture-tuned constant.
-        min_mb = float(os.environ.get("SPARK_GRAFT_FLOOR_MIN_MB", "4"))
-        mb, units = _scan_shape(sf_dir, name)
-        starved = units < target
-        big_enough = mode == "always" or mb / units >= min_mb
-        if starved and big_enough:
-            df = df.repartition(target)
+        df = df.repartition(kernel_partitions(spark))
     if cache and os.environ.get("SPARK_GRAFT_T_CACHE", "") != "never":
         from ohsome_planet_spark.operators.cache_util import swap_persist
 
         df = swap_persist(f"_t:{name}", df)
     return df
+
+
+def _floor_fires(spark: SparkSession, sf_dir: str, name: str,
+                 floor: bool) -> bool:
+    """Whether the parallelism floor should apply to this scan.
+
+    r7: size-adaptive — the exchange + 32-task dispatch overhead
+    (~0.3-0.6 s/read locally) only amortizes when each starved scan
+    partition carries real bytes. Below the threshold the query is
+    overhead-dominated and the floor is a measured net loss (ccnet/lm
+    +2 s at sf0.1); above it the single-task scan stage is the
+    bottleneck (dsir 8.6→2.0 s at sf1). Threshold is bytes per MISSING
+    unit of parallelism, not a fixture-tuned constant."""
+    mode = os.environ.get("SPARK_GRAFT_T_FLOOR", "")
+    if mode == "never" or (not floor and mode != "always"):
+        return False
+    from ohsome_planet_spark.session import kernel_partitions
+
+    target = kernel_partitions(spark)
+    min_mb = float(os.environ.get("SPARK_GRAFT_FLOOR_MIN_MB", "4"))
+    mb, units = _scan_shape(sf_dir, name)
+    starved = units < target
+    return starved and (mode == "always" or mb / units >= min_mb)
 
 
 # ---------------------------------------------------------------------------
@@ -121,8 +126,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
 
 def _points(spark: SparkSession, sf_dir: str,
             floor: bool = False) -> DataFrame:
-    ev = _t(spark, sf_dir, "events", floor=floor)
-    return ev.select(
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_id")
+    if _floor_fires(spark, sf_dir, "events", floor):
+        # narrow floor (r7, guide §2.3): everything derives from
+        # event_id, so the exchange moves 8 bytes/row, not the full
+        # events row (full-row exchange measured 1.6 s vs 1.0 s at sf1)
+        from ohsome_planet_spark.session import kernel_partitions
+
+        base = base.repartition(kernel_partitions(spark))
+    return base.select(
         "event_id",
         ((F.col("event_id") * 7919 % 900) / 20.0).alias("lon"),
         ((F.col("event_id") * 104729 % 900) / 20.0).alias("lat"),
@@ -308,7 +321,10 @@ def _q_pip_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4/J5: broadcast PIP country join over the fixture polygons (hole,
     multipolygon part, overlap, non-convex, boundary inclusion). One row per
     (point, country) hit."""
-    pts = _points(spark, sf_dir)
+    # floor=True (r7): the PIP Arrow kernel is scan-adjacent; on the
+    # single-row-group fixtures it otherwise runs on one task (narrow
+    # event_id-only exchange — see _points)
+    pts = _points(spark, sf_dir, floor=True)
     idx = build_index(fixture_features(), grid_zoom=8)
     joined = with_countries(pts, idx)
     return joined.select("event_id", F.explode("countries").alias("country"))

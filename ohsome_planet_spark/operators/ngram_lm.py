@@ -173,6 +173,7 @@ def with_lm_logprob_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_model: bool = True,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc (id, n_bigrams, logprob) with an ENGINE-EXACT logprob.
 
@@ -204,8 +205,27 @@ def with_lm_logprob_exact(
     if broadcast_model:
         m, c = F.broadcast(m), F.broadcast(c)
 
-    pairs = doc_bigrams_indexed(df, id_col, text_col)
-    joined = pairs.join(m, ["w1", "w2"], "left").join(c, ["w1"], "left")
+    # r7: posexplode_OUTER keeps docs with <2 tokens as one NULL-pair row,
+    # so the former second corpus scan + doc_id join that resurrected
+    # them is gone — ONE pass over the corpus, one doc-keyed aggregate.
+    # keep_cols ride the explode (constant per doc, F.max in the agg),
+    # saving callers (perplexity_buckets) a third scan + join.
+    toks = _tokens_col(F.col(text_col))
+    pairs_arr = F.expr(
+        "zip_with(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        "slice(_toks, 2, greatest(size(_toks) - 1, 0)), "
+        "(a, b) -> struct(a AS w1, b AS w2))"
+    )
+    rows = (
+        df.select(F.col(id_col).alias("_id"),
+                  *[F.col(kc) for kc in keep_cols],
+                  toks.alias("_toks"))
+        .select("_id", *keep_cols, F.posexplode_outer(pairs_arr)
+                .alias("_i0", "_p"))
+        .select("_id", *keep_cols, (F.col("_i0") + 1).alias("i"),
+                F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    joined = rows.join(m, ["w1", "w2"], "left").join(c, ["w1"], "left")
     term = F.round(
         F.log(
             (F.coalesce(F.col("_bn"), F.lit(0)).cast("double")
@@ -216,12 +236,15 @@ def with_lm_logprob_exact(
         9,
     )
     per_doc = (
-        joined.select("_id", "i", term.alias("_term"))
+        joined.select("_id", *keep_cols, "i",
+                      F.when(F.col("i").isNotNull(), term).alias("_term"))
         .groupBy("_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            *[F.max(kc).alias(kc) for kc in keep_cols],
+            F.count("i").alias("n_bigrams"),
             F.aggregate(
                 F.transform(
+                    # collect_list skips the NULL struct of pair-less docs
                     F.array_sort(F.collect_list(F.struct("i", "_term"))),
                     lambda s: s["_term"],
                 ),
@@ -230,15 +253,11 @@ def with_lm_logprob_exact(
             ).alias("logprob"),
         )
     )
-    ids = df.select(F.col(id_col).alias("_id"))
-    z = F.lit(0)
-    return (
-        ids.join(per_doc, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("n_bigrams", z).cast("long").alias("n_bigrams"),
-            F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
-        )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        *keep_cols,
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
     )
 
 
@@ -268,6 +287,11 @@ def perplexity_buckets(
     one pass) at the cost of exact tile boundaries."""
     from pyspark.sql.window import Window
 
+    # NOTE (r7 A/B): carrying lang through the explode (keep_cols) was
+    # measured SLOWER than this select+join at both sf0.1 (+0.25 s) and
+    # sf1 (+0.3 s) — the id-keyed join of two doc-sized frames beats
+    # widening every exploded bigram row by a string. keep_cols remains
+    # for callers whose input frame cannot be re-scanned cheaply.
     keep = [id_col] + ([lang_col] if lang_col else [])
     stats = with_lm_logprob_exact(
         docs, model, k=k, vocab_size=vocab_size,
@@ -342,45 +366,53 @@ def with_lm_stats(
     if broadcast_model:
         m, c = F.broadcast(m), F.broadcast(c)
 
-    pairs = doc_bigrams(df, id_col, text_col)
-    joined = pairs.join(m, ["w1", "w2"], "left").join(c, ["w1"], "left")
+    # r7: explode_OUTER keeps docs with <2 tokens as one NULL-pair row and
+    # n_tokens rides the explode (constant per doc), so the former second
+    # corpus scan + doc_id resurrect-join is gone — ONE pass, one
+    # doc-keyed aggregate. All oracle-surface columns are the same exact
+    # integers; logprob's float SUM order was always row-arbitrary.
+    toks = _tokens_col(F.col(text_col))
+    pairs_arr = F.expr(
+        "zip_with(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        "slice(_toks, 2, greatest(size(_toks) - 1, 0)), "
+        "(a, b) -> struct(a AS w1, b AS w2))"
+    )
+    rows = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select("_id", F.size("_toks").alias("n_tokens"),
+                F.explode_outer(pairs_arr).alias("_p"))
+        .select("_id", "n_tokens",
+                F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    joined = rows.join(m, ["w1", "w2"], "left").join(c, ["w1"], "left")
 
+    has_pair = F.col("w1").isNotNull()
     bn = F.coalesce(F.col("_bn"), F.lit(0))
     cn = F.coalesce(F.col("_cn"), F.lit(0))
     term = F.log((bn.cast("double") + F.lit(float(k)))
                  / (cn.cast("double") + F.lit(float(k * vocab_size))))
     per_doc = joined.groupBy("_id").agg(
-        F.count("*").alias("n_bigrams"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.when(has_pair, 1)).alias("n_bigrams"),
         F.sum(F.when(F.col("_bn").isNotNull(), 1).otherwise(0))
         .alias("matched_bigrams"),
         F.sum(F.when(F.col("_cn").isNotNull(), 1).otherwise(0))
         .alias("matched_contexts"),
-        F.sum(bn).alias("sum_bigram_n"),
-        F.sum(cn).alias("sum_context_n"),
-        F.sum(term).alias("logprob"),
+        F.sum(F.when(has_pair, bn).otherwise(0)).alias("sum_bigram_n"),
+        F.sum(F.when(has_pair, cn).otherwise(0)).alias("sum_context_n"),
+        F.sum(F.when(has_pair, term)).alias("logprob"),
     )
-
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(_tokens_col(F.col(text_col))).alias("n_tokens"),
-    )
-    z = F.lit(0)
-    return (
-        toks.join(per_doc, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.coalesce("n_bigrams", z).cast("long").alias("n_bigrams"),
-            F.coalesce("matched_bigrams", z).cast("long")
-            .alias("matched_bigrams"),
-            F.coalesce("matched_contexts", z).cast("long")
-            .alias("matched_contexts"),
-            F.coalesce("sum_bigram_n", z).cast("long").alias("sum_bigram_n"),
-            F.coalesce("sum_context_n", z).cast("long").alias("sum_context_n"),
-            F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
-            F.when(
-                F.coalesce("n_bigrams", z) > 0,
-                F.coalesce("logprob", F.lit(0.0)) / F.col("n_bigrams"),
-            ).otherwise(F.lit(0.0)).alias("logprob_per_token"),
-        )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("matched_bigrams").cast("long").alias("matched_bigrams"),
+        F.col("matched_contexts").cast("long").alias("matched_contexts"),
+        F.col("sum_bigram_n").cast("long").alias("sum_bigram_n"),
+        F.col("sum_context_n").cast("long").alias("sum_context_n"),
+        F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.coalesce("logprob", F.lit(0.0)) / F.col("n_bigrams"),
+        ).otherwise(F.lit(0.0)).alias("logprob_per_token"),
     )

@@ -61,7 +61,14 @@ def countries_udf(spark, index: PolygonIndex, use_grid: bool = True):
                 result[pos] = hits[inv]
         return pd.Series(result)
 
-    return pip_countries
+    # asNondeterministic (r7, optimization-guide §4.4): a filter derived
+    # from the UDF's output (e.g. the size(countries) > 0 an explode
+    # generates) otherwise gets pushed below the projection WITH A COPY
+    # of the UDF — the executed r6 pip_countries plan ran this kernel
+    # twice per row, once below the pushed filter and once above it.
+    # The kernel is pure; the flag only forbids the optimizer to
+    # duplicate/reorder it, it does not change any result.
+    return pip_countries.asNondeterministic()
 
 
 def with_countries(
