@@ -40,8 +40,16 @@ def geocode_mentions(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
 
     Left join: unmatched entities keep null coords (analog of the reference's
     EmptyContributions for missing members, `contrib/Contributions.java:17-23`).
+
+    r7: a gazetteer that already carries per-entity enrichment columns
+    (countries / cell codes / WKB precomputed on the tiny frame — guide
+    §8: decide on the small side, attach via the broadcast you already
+    pay for) keeps ALL of them through the join.
     """
-    g = F.broadcast(gazetteer.select("entity", "lat", "lon"))
+    cols = ["entity", "lat", "lon"] + [
+        c for c in gazetteer.columns if c not in ("entity", "lat", "lon")
+    ]
+    g = F.broadcast(gazetteer.select(*cols))
     joined = mentions.join(g, "entity", "left")
     coord_valid = (
         F.col("lon").isNotNull()

@@ -58,6 +58,31 @@ def point_wkb_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     return pd.Series([mem[i * 21 : i * 21 + 21] for i in range(n)])
 
 
+def _empty_point_wkb() -> bytes:
+    """The exact 21 bytes point_wkb_udf emits for invalid/missing coords
+    (big-endian Point with the masked-NaN ordinates), built with the same
+    numpy ops so the coalesce fallback is bit-identical."""
+    import numpy as np
+
+    buf = np.empty(21, dtype=np.uint8)
+    buf[0:5] = np.array([0, 0, 0, 0, 1], dtype=np.uint8)
+    nan = np.array([np.nan], dtype=np.float64).astype(">f8").view(np.uint8)
+    buf[5:13] = nan
+    buf[13:21] = nan
+    return buf.tobytes()
+
+
+_EMPTY_POINT_WKB = _empty_point_wkb()
+
+
+# zxy_cell_col evaluated on NULL lon/lat: Spark's greatest/least SKIP
+# null operands, so greatest(0, least(null, n-1)) = n-1 for both axes —
+# the per-mention JVM expression emitted this concrete cell for
+# unmatched mentions, and the join-carried plan must coalesce to the
+# identical value (z=12 → ix=iy=4095).
+_ZXY_NULL_CELL = 12 * 288230376151711744 + 4095 * 536870912 + 4095
+
+
 def enrich_pages(
     spark: SparkSession,
     pages: DataFrame,
@@ -71,12 +96,47 @@ def enrich_pages(
     gazetteer = gazetteer if gazetteer is not None else gazetteer_df(spark)
 
     mentions = extract_mentions(pages)
-    geocoded = geocode_mentions(mentions, gazetteer)
     index = build_index(features)
-    enriched = with_countries(geocoded, index)
-    enriched = with_cells(enriched, hex_resolutions=hex_resolutions)
+    # r7 (guide §8: decide with small rows): every mention's coordinates
+    # come FROM the gazetteer, so the country set is a function of the
+    # entity row — run the PIP kernel once over the (tiny) gazetteer and
+    # let the geocode broadcast join carry `countries`, instead of
+    # probing the index per mention (the per-mention Arrow PIP stage was
+    # ~1.4 s of the 10M-page pipeline). Unmatched mentions get the same
+    # empty array the per-mention kernel produced for invalid coords.
+    gaz_cty = with_cells(
+        with_countries(gazetteer, index), hex_resolutions=hex_resolutions
+    )
     if with_geometry:
-        enriched = enriched.withColumn("geometry", point_wkb_udf(F.col("lon"), F.col("lat")))
+        gaz_cty = gaz_cty.withColumn(
+            "geometry", point_wkb_udf(F.col("lon"), F.col("lat"))
+        )
+    geocoded = geocode_mentions(mentions, gaz_cty)
+
+    # Unmatched mentions carry NULL enrichment columns from the left
+    # join. Matching the per-mention plan exactly: the Arrow cell
+    # kernels (_series_udf) emitted NULL for null coords — the join's
+    # NULLs already agree — while countries ([]), the JVM zxy
+    # expression (a concrete clamp cell, see _ZXY_NULL_CELL) and the
+    # WKB kernel (NaN empty point) emitted non-null values that the
+    # coalesces below reproduce bit-for-bit.
+    base = [c for c in geocoded.columns
+            if not (c.startswith("hex_r") or c in (
+                "countries", "s2_cell", "zxy_cell", "xz2_code",
+                "geometry"))]
+    enriched = geocoded.select(
+        *base,
+        F.coalesce(
+            F.col("countries"), F.array().cast("array<string>")
+        ).alias("countries"),
+        *[F.col(f"hex_r{r}") for r in hex_resolutions],
+        F.col("s2_cell"),
+        F.coalesce(F.col("zxy_cell"), F.lit(_ZXY_NULL_CELL))
+        .alias("zxy_cell"),
+        F.col("xz2_code"),
+        *([F.coalesce(F.col("geometry"), F.lit(_EMPTY_POINT_WKB))
+           .alias("geometry")] if with_geometry else []),
+    )
     return enriched
 
 
