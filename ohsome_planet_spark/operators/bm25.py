@@ -91,6 +91,11 @@ def _bm25_scores_fused(
     ).select(
         "_id", F.size("_toks").cast("long").alias("dl"), *tf_cols
     )
+    # per_doc feeds the stats aggregate AND the scored output —
+    # unpersisted, the tokenize pass runs once per consumer
+    from .cache_util import swap_persist
+
+    per_doc = swap_persist("bm25_fused", per_doc)
 
     stats = per_doc.agg(
         # the explode path derives (N, Σdl) from docs with ≥1 token only
