@@ -65,7 +65,17 @@ def eps_zoom(eps: float, hi: int = 28) -> int:
     if eps <= 0:
         raise ValueError("eps must be positive")
     z = int(math.floor(math.log2(180.0 / eps))) if eps < 180.0 else 1
-    return max(1, min(hi, z))
+    z = max(1, min(hi, z))
+    # r6 advice (low): the z>=1 clamp can silently UNDER-cover — for
+    # planar eps in (90, 180) the z=1 latitude cell is 90 deg < eps and
+    # the 3x3 ring no longer covers every eps-ball (dropped neighbor
+    # pairs). Refuse instead, like smooth_tile_counts' span guard.
+    if 180.0 / (1 << z) < eps:
+        raise ValueError(
+            f"eps={eps} deg exceeds the z={z} cell span "
+            f"{180.0 / (1 << z)} — the 3x3 ring cannot cover an eps-ball"
+        )
+    return z
 
 
 def eps_zoom_meters(eps_m: float, max_abs_lat: float = 85.0,
@@ -85,7 +95,15 @@ def eps_zoom_meters(eps_m: float, max_abs_lat: float = 85.0,
     z_lat = eps_zoom(lat_deg, hi)
     z_lon = (int(math.floor(math.log2(360.0 / lon_deg)))
              if lon_deg < 360.0 else 1)
-    return max(1, min(z_lat, z_lon, hi))
+    z = max(1, min(z_lat, z_lon, hi))
+    # same post-clamp coverage guard as eps_zoom (r6 advice, low)
+    if 180.0 / (1 << z) < lat_deg or 360.0 / (1 << z) < lon_deg:
+        raise ValueError(
+            f"eps_m={eps_m} m ({lat_deg:.4f} deg lat / {lon_deg:.4f} deg "
+            f"lon at |lat|<={max_abs_lat}) exceeds the z={z} cell span — "
+            "the 3x3 ring cannot cover an eps-ball"
+        )
+    return z
 
 
 def eps_neighbor_pairs(

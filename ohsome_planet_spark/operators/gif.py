@@ -192,7 +192,13 @@ def decode_gif(content: bytes, meta=None) -> np.ndarray:
             region[opaque] = lct[rect[opaque]]
         frames.append(canvas.copy())
         if disposal == 2:
-            canvas[top:top + h, left:left + w] = bg_fill
+            # GIF89a: with a transparent index in force the "background"
+            # to restore is transparent — composited here as black —
+            # not the palette color (r6 advice, low: the docstring
+            # promised this but bg_fill was used unconditionally)
+            fill = (np.zeros(3, np.uint8) if transparent is not None
+                    else bg_fill)
+            canvas[top:top + h, left:left + w] = fill
         elif disposal == 3:
             canvas = prev_canvas
         disposal = 0

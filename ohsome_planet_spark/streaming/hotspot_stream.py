@@ -5,9 +5,12 @@ variance), so it cannot ride a watermarked streaming aggregation
 directly — the statistic is non-incremental across cells. The standard
 shape (the `enrich_stream` pattern) is therefore: Structured Streaming
 maintains the windowed per-cell COUNTS, and `foreachBatch` recomputes
-the hotspot statistic per closed window with the BATCH operator
-verbatim — one code path, two execution modes, streaming == batch by
-construction (tested).
+the hotspot statistic with the BATCH operator verbatim over the FULL
+accumulated counts of every window the batch touched (foreachBatch
+merges the update-mode deltas into its own per-window state first —
+see run_hotspot_stream) — one code path, two execution modes,
+streaming == batch over everything-seen-so-far by construction
+(tested with windows spanning micro-batches).
 
 At 100 TB-rate streams the per-window hotspot job is tiny: its input is
 the aggregated cell counts (bounded by occupied cells per window), not
@@ -15,6 +18,8 @@ the event stream.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,16 +90,75 @@ def run_hotspot_stream(
     window_len: str = "1 hour",
     query_name: str = "hotspot_stream",
     checkpoint_dir: str | None = None,
+    state_dir: str | None = None,
 ):
     """Wire the stateful counts to the per-batch Gi* via foreachBatch:
     `sink_writer(df, batch_id)` receives each micro-batch's hotspot
-    rows. Caller starts/stops the returned query."""
+    rows. Caller starts/stops the returned query.
+
+    Correctness (r7, closes the r6 advice HIGH item): update mode hands
+    foreachBatch only the (window, cell) rows whose counts CHANGED in
+    the micro-batch, but Gi* is a global statistic of the window's whole
+    occupied-cell universe — computing it over the partial batch emitted
+    wrong z-scores whenever a window spanned micro-batches, and
+    non-updated cells were never corrected. foreachBatch therefore
+    maintains the accumulated windowed counts itself (one parquet
+    directory per window under ``state_dir``; changed cells replace
+    their previous rows, the batch being the new totals) and recomputes
+    `getis_ord_gi` over the FULL merged universe of every window the
+    batch touched — so every emission is the exact batch statistic of
+    everything seen so far, and corrected rows are re-emitted
+    (downstream keeps the last value per (window, cell), which the
+    equality test pins). State is bounded by occupied cells per window
+    — the same bound the statistic itself needs.
+
+    ``state_dir`` defaults next to the checkpoint (or a temp dir for
+    ad-hoc runs)."""
+    import tempfile
+
     counts = streaming_cell_count_source(
         events_stream, zoom=zoom, watermark=watermark,
         window_len=window_len)
+    if state_dir is None:
+        state_dir = (
+            os.path.join(checkpoint_dir, "_gi_counts_state")
+            if checkpoint_dir
+            else os.path.join(tempfile.mkdtemp(prefix="gi_state_"))
+        )
 
     def fb(batch_df, batch_id):
-        sink_writer(hotspots_per_window(batch_df, zoom=zoom), batch_id)
+        sess = batch_df.sparkSession
+        wins = [r["window_start"]
+                for r in batch_df.select("window_start").distinct()
+                .collect()]
+        if not wins:
+            return
+        merged_frames = []
+        for w in sorted(wins):
+            wdir = os.path.join(
+                state_dir, w.strftime("w=%Y%m%dT%H%M%S"))
+            batch_w = batch_df.where(
+                F.col("window_start") == w).select("cell", "n")
+            if os.path.exists(os.path.join(wdir, "_SUCCESS")):
+                old = sess.read.parquet(wdir).select("cell", "n")
+                merged = old.join(
+                    batch_w, "cell", "left_anti").unionByName(batch_w)
+            else:
+                merged = batch_w
+            tmp = wdir + ".tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(wdir):
+                import shutil
+
+                shutil.rmtree(wdir)
+            os.rename(tmp, wdir)
+            merged_frames.append(
+                sess.read.parquet(wdir).select("cell", "n")
+                .withColumn("window_start", F.lit(w)))
+        full = merged_frames[0]
+        for f in merged_frames[1:]:
+            full = full.unionByName(f)
+        sink_writer(hotspots_per_window(full, zoom=zoom), batch_id)
 
     writer = (
         counts.writeStream.outputMode("update")

@@ -270,3 +270,26 @@ def test_feature_path_decodes_gif(spark):
     assert len(out) == 1 and out[0]["decoded"]
     want = image_features(gif_to_gray(decode_gif(payload)))
     np.testing.assert_allclose(out[0]["features"], want)
+
+
+def test_disposal_background_with_transparency_restores_black():
+    """r7 (r6 advice, low): with a transparent index in force, disposal=2
+    restores the rect to TRANSPARENT (composited black), not the global
+    background palette color."""
+    f1 = np.full((4, 4), 1, np.uint8)
+    f2 = np.full((2, 2), 2, np.uint8)
+    f3 = np.full((1, 1), 3, np.uint8)
+    gif = encode_gif(
+        [{"pixels": f1},
+         # transparent index 0 set (no pixel uses it — only the flag
+         # matters for the disposal fill), disposal=2
+         {"pixels": f2, "left": 1, "top": 1, "disposal": 2,
+          "transparent": 0},
+         {"pixels": f3, "left": 0, "top": 0}],
+        (4, 4), PALETTE4, bg_index=1)
+    frames = decode_gif(gif)
+    assert frames.shape[0] == 3
+    want3 = PALETTE4[f1].copy()
+    want3[1:3, 1:3] = 0  # black, NOT PALETTE4[1]
+    want3[0, 0] = PALETTE4[3]
+    np.testing.assert_array_equal(frames[2], want3)

@@ -42,8 +42,13 @@ def test_hotspot_stream_equals_batch(spark, tmp_path):
     os.makedirs(sink_dir)
 
     events = _mk_events(spark, 240)
-    for i in range(2):
-        events.where(F.col("event_id") % 2 == i).coalesce(1).write.parquet(
+    # r7 (r6 advice, medium): split ORTHOGONALLY to the hour windows
+    # (event_id halves, not parity) so BOTH windows span BOTH
+    # micro-batches — this is the case where the old update-mode
+    # partial-universe statistic was provably wrong
+    for i, pred in enumerate([F.col("event_id") < 120,
+                              F.col("event_id") >= 120]):
+        events.where(pred).coalesce(1).write.parquet(
             f"{input_dir}/slice={i}")
 
     stream = (
@@ -54,7 +59,8 @@ def test_hotspot_stream_equals_batch(spark, tmp_path):
 
     def sink(df, batch_id):
         if df.take(1):
-            df.write.mode("append").parquet(sink_dir)
+            df.withColumn("_b", F.lit(batch_id)).write.mode(
+                "append").parquet(sink_dir)
 
     q = run_hotspot_stream(spark, stream, sink, zoom=6,
                            checkpoint_dir=ckpt)
@@ -62,12 +68,12 @@ def test_hotspot_stream_equals_batch(spark, tmp_path):
     q.stop()
 
     got = spark.read.parquet(sink_dir)
-    # update-mode re-emits a window per micro-batch: the LAST emission
-    # per (window, cell) is the converged value — compare the final
-    # state against the batch statistic over all events
+    # the state-merged foreachBatch re-emits corrected rows: the LAST
+    # batch's emission per (window, cell) is the converged value —
+    # compare it against the batch statistic over all events
     last = (
         got.groupBy("window_start", "cell")
-        .agg(F.max(F.struct("x", "k", "s1", "gi_z")).alias("_s"))
+        .agg(F.max(F.struct("_b", "x", "k", "s1", "gi_z")).alias("_s"))
     )
     # batch replay: hour windows + per-window Gi*
     counts = (
