@@ -523,32 +523,23 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(cos,4) with vec_id tiebreak so cross-engine float order agrees."""
     from pyspark.sql.window import Window
 
+    from ohsome_planet_spark.operators.similarity import (
+        brute_force_topk_arrow)
+
     emb = _t(spark, sf_dir, "embeddings")
-    to_dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
     q = emb.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), to_dbl("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    # parallelism guard (r5): the brute-force crossJoin broadcasts the
-    # candidate side, so the (interpreted-HOF) dot products run at the
-    # query scan's file partitioning — 1-2 tasks for a small parquet
+    # parallelism guard (r5): the dot kernel runs at the query scan's
+    # file partitioning — 1-2 tasks for a small parquet
     from ohsome_planet_spark.session import kernel_partitions
     q = q.repartition(kernel_partitions(spark))
-    c = emb.select(F.col("vec_id").alias("cand_id"), to_dbl("embedding").alias("cv"))
-    pairs = q.crossJoin(c).where(F.col("query_id") != F.col("cand_id"))
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-    )
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, v: acc + v * v))
-    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, v: acc + v * v))
-    scored = pairs.select(
-        "query_id", "cand_id", F.round(dot / (nq * nc), 4).alias("cos_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "cand_id", "cos_sim", "rank")
-    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    # r7: the cumsum Arrow kernel — bit-identical scores (same doubles,
+    # same fold order; rounding/ranking stay JVM), ~256M interpreted
+    # lambda evals removed; falls back to the staged-norm HOF path for
+    # oversized candidate batches
+    return brute_force_topk_arrow(q, c, k=5)
 
 
 def _q_cell_assign_hex(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -329,3 +329,26 @@ def test_ann_pairs_unique(spark):
     total = out.count()
     distinct = out.select("query_id", "cand_id").distinct().count()
     assert total == distinct > 0
+
+
+def test_brute_force_arrow_matches_hof(spark):
+    # r7: the cumsum Arrow kernel must be row- and bit-identical
+    # (cos_sim included) to the staged-norm HOF path it accelerates.
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ohsome_planet_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    hof = sorted(map(tuple, brute_force_topk(q, c, k=4).collect()))
+    arrow = sorted(map(tuple, brute_force_topk_arrow(q, c, k=4).collect()))
+    assert arrow == hof
