@@ -876,16 +876,24 @@ def contamination_flags(
         benchmark.select(F.explode(shingles_col(F.col(bench_text_col), n)).alias("gram"))
         .distinct()
     )
+    # r7: dedupe each doc's grams BEFORE the explode (array_distinct is
+    # per-row, no shuffle) so the per-doc aggregate can be a plain
+    # count(*) with map-side partial aggregation. The former
+    # count_distinct("gram") shuffled every MATCHED (doc, gram) string
+    # pair — benchmarks drawn from the corpus make matches common, not
+    # rare (64% of all grams on the sf fixtures; 1.67M shuffled rows at
+    # sf1) — while the distinct-exploded count shuffles one partial row
+    # per doc. Identical value: count over once-per-doc grams == the
+    # distinct count.
     doc_grams = docs.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), n)))
+        .alias("gram"),
     )
-    # broadcast semi first, THEN dedup: the corpus grams hit the broadcast
-    # join map-side, so the only shuffle carries the (rare) matching rows —
-    # a pre-join distinct would shuffle every n-gram of the corpus
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
+        .agg(F.count("*").alias("n_contaminated_grams"))
     )
 
 
