@@ -236,7 +236,11 @@ def enrich_pages(
         # default fixture gazetteer+features are code literals: enrich
         # once per session from gazetteer_rows() (no collect job, no
         # index rebuild per call — see _GAZ_DEFAULT_MEMO note)
-        key = (id(spark), hex_resolutions, with_geometry)
+        # applicationId is unique per context — id(spark) could be
+        # reused by a NEW session after the old one is GC'd, handing a
+        # dead-session DataFrame out of the memo
+        key = (spark.sparkContext.applicationId, hex_resolutions,
+               with_geometry)
         gaz_cty = _GAZ_DEFAULT_MEMO.get(key)
         if gaz_cty is None:
             from ..sources.gazetteer import gazetteer_rows
